@@ -1,0 +1,128 @@
+"""Batch + stream source/sink builders.
+
+Batch: Parquet scans of the driver's fixture tables.  Projection and
+filters declared on these DataFrames reach the scan (Catalyst pushdown) —
+verify with ``df.explain("formatted")`` -> ``PushedFilters`` / ``ReadSchema``.
+
+Stream: the reference's only I/O is Kafka JSON (faust_app/ma_agg.py:40,44).
+``kafka_tick_source`` / ``kafka_sink`` are the production path;
+``file_tick_source`` and ``memory_sink`` are the deterministic test path
+(same transformations, swappable edges).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.schemas import BATCH_TABLES, STOCK_TICK_SCHEMA
+
+TABLES = BATCH_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan. Schema comes from the footer; filters/projection on
+    the returned DataFrame push down into this scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects outright; we read nanos as long (legacy conf) and truncate to
+    microseconds JVM-side — the same ns->us truncation DuckDB applies on
+    read, so both engines see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming edges (reference parity: S1 source, S2 sink — ma_agg.py:40,44,78)
+# ---------------------------------------------------------------------------
+
+def kafka_tick_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "kafka_per_sec_data",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 — Kafka source scan: subscribe + JSON decode to the typed tick row.
+
+    Mirrors ``app.topic('kafka_per_sec_data', value_type=StockData)``
+    (faust_app/ma_agg.py:40, consumed at :83-85). Deserialization happens
+    JVM-side via ``from_json`` (no Python in the hot path).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_ticks(raw.select(F.col("value").cast("string").alias("json")))
+
+
+def file_tick_source(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Deterministic test source: newline-delimited JSON tick files."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return decode_ticks(raw.select(F.col("value").alias("json")))
+
+
+def decode_ticks(json_df: DataFrame) -> DataFrame:
+    """JSON string -> typed columns + parsed event-time ``ts``.
+
+    The ISO-8601 parse replicates ``datetime.fromisoformat(event.current_time)``
+    (faust_app/ma_agg.py:87) but JVM-side and vectorized.
+    """
+    return (
+        json_df.select(F.from_json("json", STOCK_TICK_SCHEMA).alias("r"))
+        .select("r.*")
+        .withColumn("ts", F.to_timestamp("current_time"))
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "kafka_MA_data_aggregated",
+    checkpoint_dir: str = "tmp/spark_checkpoints/ma_agg",
+):
+    """S2 — Kafka sink: serialize every column to one JSON value.
+
+    Mirrors ``await aggregated_topic.send(value=aggregated)``
+    (faust_app/ma_agg.py:44,78). Returns an un-started DataStreamWriter so
+    callers choose trigger/output mode. Checkpoint location matches the
+    layout the reference author had already planned (.gitignore:149-153).
+    """
+    payload = df.select(
+        F.col("symbol").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )

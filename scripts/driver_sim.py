@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Simulate the driver's verify pass against __spark_entry__.py.
+
+Builds a PLAIN SparkSession (deliberately not our tuned factory — the
+driver owns its session), smoke-runs ``entry(spark)``, then runs every
+``queries()[name]`` at the given SF dir and diffs it against
+``oracle_sql()[name]`` via DuckDB: row count, column names,
+order-insensitive normalized value multiset.
+
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    n = e.entry(spark).count()
+    print(f"SMOKE entry(): {n} rows in {time.time() - t0:.1f}s -> {'OK' if n > 0 else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = [c.lower() for c in sdf.columns]
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (rows-only) in {time.time() - t0:.1f}s")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0].lower() for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failed.append(name)
+            continue
+        status, detail = "OK", ""
+        if sorted(scols) != sorted(dcols):
+            status, detail = "FAIL", f"cols spark={scols} duck={dcols}"
+        elif len(srows) != len(drows):
+            status, detail = "FAIL", f"rows spark={len(srows)} duck={len(drows)}"
+        else:
+            sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
+            if sm != dm:
+                diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+                status, detail = "FAIL", f"values differ, e.g. {diffs}"
+        print(f"{status:5s} {name}: {len(srows)} rows in {time.time() - t0:.1f}s {detail}")
+        if status == "FAIL":
+            failed.append(name)
+
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
