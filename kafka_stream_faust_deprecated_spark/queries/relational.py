@@ -1,0 +1,443 @@
+"""M1 — relational core (SURVEY.md §2b E1-E4, E7, E12, E13).
+
+The reference has no joins/sorts/set-ops (SURVEY §2a "what the reference
+does NOT have" — faust_app/ma_agg.py is aggregation-only), so this module
+is the driver-mandated extension surface, built TPC-H-style over the
+fixture tables.
+
+Scale notes (100 TB):
+* Dim tables (region/nation/supplier/part at fact-relative size) join via
+  ``F.broadcast`` — no shuffle of the fact table for the join itself.
+* Fact-fact joins (orders x lineitem) are shuffle joins on the join key;
+  AQE handles skew splitting at runtime.
+* Aggregations rely on Catalyst's partial->final HashAggregate (map-side
+  combine), so the shuffle carries pre-aggregated rows.
+* Float aggregates are rounded on both engine sides — distributed sums
+  are order-nondeterministic in the last bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 — scan, projection, filter (pushed down to the parquet scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_filter_project",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       l_quantity,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_returnflag = 'R'
+""",
+    tags=("E1", "E2"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with predicate pushdown + column pruning + row-level
+    arithmetic. `.explain` shows PushedFilters for shipdate/returnflag and
+    a 6-column ReadSchema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+        & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderpriority LIKE '%URGENT%'
+  AND NOT (o_custkey IS NULL)
+""",
+    tags=("E2",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: IN, BETWEEN, LIKE, IS NULL, NOT, AND/OR."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & ~F.col("o_custkey").isNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# E7 — hash aggregation (TPC-H Q1 shape: partial->final HashAggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 4)                              AS sum_qty,
+       round(sum(l_extendedprice), 4)                                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                      AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)        AS sum_charge,
+       round(avg(l_quantity), 4)                                              AS avg_qty,
+       round(avg(l_extendedprice), 4)                                         AS avg_price,
+       round(avg(l_discount), 4)                                              AS avg_disc,
+       count(*)                                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("E7",),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical multi-aggregate scan.
+
+    Generalizes the reference's aggregate set (sum/count/mean,
+    faust_app/ma_agg.py:58-70) to a batch groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(net), 4).alias("sum_disc_price"),
+            F.round(F.sum(net * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                         AS n_orders,
+       count(DISTINCT o_custkey)        AS n_customers,
+       round(min(o_totalprice), 4)      AS min_price,
+       round(max(o_totalprice), 4)      AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("E7",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(distinct) alongside plain aggregates (Catalyst expands
+    to a two-phase expand+aggregate plan — still fully distributed)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — equi-joins (broadcast for dims, shuffle for fact-fact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_orders_customer",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       c.c_mktsegment,
+       count(*)                        AS n_orders,
+       round(sum(o.o_totalprice), 4)   AS total_spent
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+""",
+    tags=("E3", "E7"),
+)
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + aggregation. At 100 TB the customer side is
+    shuffled on the key once and AQE picks broadcast if it fits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_left_with_nulls",
+    oracle="""
+SELECT c.c_custkey,
+       count(o.o_orderkey)                          AS n_big_orders,
+       round(COALESCE(sum(o.o_totalprice), 0.0), 4) AS big_total
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("E3",),
+)
+def join_left_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join where the right side is filtered — unmatched
+    customers keep NULL order columns; count(col) skips them."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("big_total"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH cn AS (
+    SELECT c_nationkey AS nationkey, count(*) AS n_customers
+    FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey
+),
+sn AS (
+    SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+       COALESCE(cn.n_customers, 0)          AS n_customers,
+       COALESCE(sn.n_suppliers, 0)          AS n_suppliers
+FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+""",
+    tags=("E3",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with COALESCE null repair."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = (
+        c.where(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_broadcast_dims_revenue",
+    oracle="""
+SELECT n.n_name                                               AS nation,
+       r.r_name                                               AS region,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)  AS revenue,
+       count(*)                                               AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name, r.r_name
+""",
+    tags=("E3", "E7", "headline"),
+)
+def join_broadcast_dims_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: fact-fact shuffle join (lineitem x
+    orders) then explicit ``F.broadcast`` of customer/nation/region — at
+    100 TB the dims stay broadcast so only one fact shuffle happens."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+""",
+    tags=("E4",),
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — customers having at least one 'P' order. Returns
+    left columns only; never duplicates left rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    tags=("E4",),
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with no urgent orders (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# E12 — sort / limit / top-k (global and per-group)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_orders_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("E12",),
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on the driver; no full sort at any scale.
+    Tiebreak on o_orderkey keeps the row set deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+FROM (
+    SELECT c.c_mktsegment,
+           o.o_orderkey,
+           o.o_totalprice,
+           row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+           ) AS rk
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rk <= 3
+""",
+    tags=("E12", "E10"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment via row_number — the distributed
+    per-group top-k idiom (single shuffle on the group key)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E13 — set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_custkeys",
+    oracle="""
+WITH f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     p_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+     o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'f_and_p' AS set_name, o_custkey FROM (SELECT * FROM f_cust INTERSECT SELECT * FROM p_cust)
+UNION ALL
+SELECT 'f_not_p' AS set_name, o_custkey FROM (SELECT * FROM f_cust EXCEPT SELECT * FROM p_cust)
+UNION ALL
+SELECT 'any'     AS set_name, o_custkey FROM (
+    SELECT * FROM f_cust UNION SELECT * FROM p_cust UNION SELECT * FROM o_cust
+)
+""",
+    tags=("E13",),
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except(distinct) / union(distinct) / unionAll over
+    customer-key sets, tagged so one result carries all three."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def custs(status: str) -> DataFrame:
+        return o.where(F.col("o_orderstatus") == status).select("o_custkey").distinct()
+
+    f_cust, p_cust, o_cust = custs("F"), custs("P"), custs("O")
+    both = f_cust.intersect(p_cust).select(F.lit("f_and_p").alias("set_name"), "o_custkey")
+    only_f = f_cust.exceptAll(p_cust).select(F.lit("f_not_p").alias("set_name"), "o_custkey")
+    any_c = (
+        f_cust.union(p_cust)
+        .union(o_cust)
+        .distinct()
+        .select(F.lit("any").alias("set_name"), "o_custkey")
+    )
+    return both.unionAll(only_f).unionAll(any_c)
