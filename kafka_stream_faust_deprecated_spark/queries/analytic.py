@@ -1,0 +1,485 @@
+"""M3 — analytic surface (SURVEY.md §2b E5-E6, E8-E11, E21).
+
+SQL window functions, grouping sets, non-equi joins, and the two
+genuinely composite operators the reference's world lacks a built-in
+for: the as-of join (E6) and range/interval joins (E5).
+
+Scale notes (100 TB):
+* Every window query here shuffles ONCE on its partition key; frames are
+  bounded (rows/range) so state per key is O(frame), not O(partition).
+* The as-of join is implemented as union + single keyed window pass —
+  the scalable idiom (no per-row lookups, no broadcast of a fact table).
+* Range joins put the equi-key in the join condition so Spark plans a
+  hash/sort-merge join on the key with the range as a post-filter —
+  never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# E10 — ranking / analytic window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_ranking",
+    oracle="""
+SELECT o_orderkey,
+       c_mktsegment,
+       o_totalprice,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cum_dist
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERDUMMY
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey)
+""".replace("WHERDUMMY", "WHERE o_totalprice > 350000"),
+    tags=("E10",),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank/ntile/percent_rank/cume_dist per market
+    segment — one shuffle on the partition key, one sort."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice,
+       round(lag(o_totalprice)  OVER w, 4)                         AS prev_price,
+       round(lead(o_totalprice) OVER w, 4)                         AS next_price,
+       round(o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0), 4) AS price_delta,
+       datediff('day', lag(o_orderdate) OVER w, o_orderdate)       AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("E10",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with arithmetic between adjacent rows per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4
+        ).alias("price_delta"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_frames",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       o_totalprice,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)          AS ma3,
+       count(*) OVER (
+           ORDER BY o_totalprice
+           RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)          AS n_within_5k
+FROM orders
+WHERE o_custkey < 50
+""",
+    tags=("E10", "E11"),
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS and RANGE frames: running total, 3-row moving average (the
+    batch generalization of the reference SMA, S6/S22), and a
+    value-range frame over the global ordering."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            F.sum("o_totalprice").over(wseq.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(wseq.rowsBetween(-2, 0)), 4).alias("ma3"),
+        F.count(F.lit(1))
+        .over(Window.orderBy("o_totalprice").rangeBetween(-5000, 0))
+        .alias("n_within_5k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT r_name                                        AS region,
+       n_name                                        AS nation,
+       CAST(GROUPING(r_name) AS INTEGER)             AS g_region,
+       CAST(GROUPING(n_name) AS INTEGER)             AS g_nation,
+       count(*)                                      AS n_customers,
+       round(sum(c_acctbal), 4)                      AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("E9",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) with GROUPING indicators — subtotal rows
+    carry NULL keys; grouping() disambiguates real NULLs."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumnRenamed("r_name", "region")
+        .withColumnRenamed("n_name", "nation")
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.grouping("region").cast("int").alias("g_region"),
+            F.grouping("nation").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+        .select(
+            "region", "nation", "g_region", "g_nation", "n_customers", "total_acctbal"
+        )
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*)                      AS n_orders,
+       round(avg(o_totalprice), 4)   AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("E9",),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (Catalyst Expand operator — one shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "grouping_sets_events",
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)               AS n,
+       round(sum(value), 4)   AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (day), ())
+""",
+    tags=("E9",),
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL: per-type totals, per-day totals,
+    and the grand total in one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ksfd_events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               count(*)             AS n,
+               round(sum(value), 4) AS total_value
+        FROM ksfd_events_gs
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 — range / interval joins (equi key + range post-filter, never cartesian)
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0, 100000.0),
+           ('mid', 100000.0, 300000.0),
+           ('high', 300000.0, 1000000.0)
+)
+SELECT b.band,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 4) AS band_total
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""",
+    tags=("E5",),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join of a fact table against tiny range-band dims: Spark
+    broadcasts the bands (BroadcastNestedLoopJoin over 3 rows) — the
+    correct plan at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("band_total"),
+        )
+    )
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+SELECT p.event_id                       AS purchase_id,
+       p.user_id,
+       count(c.event_id)                AS clicks_before,
+       round(COALESCE(sum(c.value), 0.0), 4) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+""",
+    tags=("E5",),
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within the hour before each purchase, same
+    user. The equi-key (user_id) drives the join distribution; the time
+    range is a post-join filter — scales as a keyed join, not O(n^2)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+            & (c.c_ts <= p.p_ts),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("c_id").alias("clicks_before"),
+            F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("click_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6 — as-of join (nearest prior event; no Spark built-in)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_signup",
+    oracle="""
+WITH signups AS (
+    SELECT user_id, ts, value
+    FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup'
+    ) WHERE rn = 1
+),
+purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id                                   AS purchase_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S')          AS purchase_ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S')          AS signup_ts,
+       round(s.value, 4)                            AS signup_value,
+       datediff('second', s.ts, p.ts)               AS secs_since_signup
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    tags=("E6",),
+)
+def asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: tag both sides, union, one window pass
+    per user carrying the last-seen signup forward (last(..., ignorenulls)
+    over an unbounded-preceding frame), then keep purchase rows.
+
+    This is the scale-correct composition for E6 (SURVEY §2b): a single
+    shuffle on the key, sorted once, streamed — equivalent to DuckDB's
+    native ASOF JOIN. Ties (signup at exactly the purchase ts) sort
+    signup-first so `p.ts >= s.ts` matches the oracle's closed bound.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    # Dedup signups per (user, ts) — keeps the composition deterministic
+    # when duplicate timestamps exist (last-write-wins, as ma_agg.py:91).
+    sd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(sd))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),  # signups sort before purchases on ties
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.col("value").alias("s_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("double").alias("s_value"),
+    )
+
+    unioned = signups.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "user_id",
+        "ts",
+        "side",
+        "purchase_id",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("signup_ts_raw"),
+        F.last(F.when(F.col("side") == 0, F.col("s_value")), ignorenulls=True)
+        .over(w)
+        .alias("signup_value_raw"),
+    )
+    return carried.where(F.col("side") == 1).select(
+        F.col("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("signup_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.round("signup_value_raw", 4).alias("signup_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("signup_ts_raw")).alias(
+            "secs_since_signup"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — approximate count-distinct (rows-only: HLL sketches differ by impl)
+# ---------------------------------------------------------------------------
+
+@register("approx_count_distinct", oracle=None, tags=("E8",))
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distincts per group. No oracle — sketch
+    estimates are implementation-specific; tests assert <5% relative
+    error vs the exact count instead (tests/test_operators.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E21 — batch dedup (keep-latest per key; QUALIFY twin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_latest_event",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(value, 4) AS value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+    tags=("E21",),
+)
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user, type) — the batch generalization
+    of the reference's last-write-wins state upsert (S4/S5,
+    faust_app/ma_agg.py:89-91). One shuffle on the dedup key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+    )

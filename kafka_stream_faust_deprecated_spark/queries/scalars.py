@@ -1,0 +1,257 @@
+"""M2 — scalar function surface (SURVEY.md §2b E14-E18).
+
+Generalizes the reference's only scalar work — ISO-8601 timestamp
+parse/format and UTC normalization (S17-S19, faust_app/ma_agg.py:46-47,
+67-69,87) — to the full string/date/math/array/JSON surface. Everything
+here is built-in ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen); zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# E14 — string functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name)                                       AS name_upper,
+       lower(c_mktsegment)                                 AS seg_lower,
+       length(c_name)                                      AS name_len,
+       substr(c_name, 1, 8)                                AS name_prefix,
+       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_tag,
+       trim(concat('  ', c_name, '  '))                    AS name_trimmed,
+       replace(c_name, 'Customer', 'Cust')                 AS name_short,
+       regexp_extract(c_name, '([0-9]+)', 1)               AS name_digits,
+       split_part(c_name, '#', 2)                          AS after_hash,
+       CASE WHEN c_name LIKE '%1%' THEN 'has1' ELSE 'no1' END AS has_one
+FROM customer
+""",
+    tags=("E14",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/length/substring/concat/trim/replace/regexp/split."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias(
+            "seg_tag"
+        ),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.split(F.col("c_name"), "#").getItem(1).alias("after_hash"),
+        F.when(F.col("c_name").like("%1%"), F.lit("has1")).otherwise("no1").alias("has_one"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E15 — date/time functions (S17-S19 generalized)
+# ---------------------------------------------------------------------------
+
+@register(
+    "datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                       AS order_date,
+       CAST(year(o_orderdate) AS INTEGER)                      AS order_year,
+       CAST(month(o_orderdate) AS INTEGER)                     AS order_month,
+       CAST(day(o_orderdate) AS INTEGER)                       AS order_day,
+       CAST(dayofweek(o_orderdate) AS INTEGER)                 AS order_dow,
+       CAST(quarter(o_orderdate) AS INTEGER)                   AS order_quarter,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')  AS month_start,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')     AS due_date,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate)    AS days_since_epoch_start,
+       CAST(epoch(o_orderdate) AS BIGINT)                      AS unix_ts
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+""",
+    tags=("E15",),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dow/quarter, date_trunc, interval arithmetic,
+    datediff, unix epoch — the reference's timestamp handling (S17-S19)
+    widened to the full date surface. DOW normalized to Sunday=1 on both
+    sides (DuckDB dayofweek is Sunday=0)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-01-01")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("order_dow"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E16 — math functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "math_functions",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       round(l_extendedprice, 1)                        AS price_round1,
+       abs(l_discount - 0.05)                           AS disc_dev,
+       CAST(floor(l_quantity) AS BIGINT)                AS qty_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT)     AS price_k_ceil,
+       round(pow(l_quantity, 2), 4)                     AS qty_sq,
+       round(sqrt(l_extendedprice), 4)                  AS price_sqrt,
+       round(ln(l_extendedprice), 4)                    AS price_ln,
+       round(log10(l_extendedprice), 4)                 AS price_log10,
+       CAST(l_quantity AS BIGINT) % 7                   AS qty_mod7,
+       CASE WHEN l_discount > 0 THEN 1 ELSE 0 END       AS sign_disc,
+       round(greatest(l_tax, l_discount), 4)            AS max_rate,
+       round(least(l_tax, l_discount), 4)               AS min_rate
+FROM lineitem
+WHERE l_orderkey < 500
+""",
+    tags=("E16",),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/floor/ceil/pow/sqrt/ln/log10/mod/greatest/least."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.when(F.col("l_discount") > 0, F.lit(1)).otherwise(0).alias("sign_disc"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 4).alias("min_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E17 — array / higher-order functions (over the embeddings table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "array_functions",
+    oracle="""
+SELECT vec_id,
+       label,
+       len(embedding)                                                       AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4)                               AS first_elem,
+       round(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4)           AS vec_sum,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4)           AS vec_max,
+       round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4)           AS vec_min,
+       len(list_filter(embedding, x -> x > 0))                              AS n_positive,
+       round(CAST(list_aggregate(list_transform(embedding, x -> x * x), 'sum') AS DOUBLE), 4)
+                                                                            AS sq_norm
+FROM embeddings
+""",
+    tags=("E17",),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/aggregate/transform/filter over array<float>.
+
+    Higher-order functions run JVM-side per row — sums are sequential
+    left-to-right folds in both engines, so float results agree after
+    float->double promotion per element (we sum in float then round, as
+    DuckDB's list_aggregate('sum') keeps the list's FLOAT type)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    acc0 = F.lit(0.0).cast("float")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
+        F.round(
+            F.aggregate("embedding", acc0, lambda a, x: a + x).cast("double"), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("vec_min"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate("embedding", acc0, lambda a, x: a + x * x).cast("double"), 4
+        ).alias("sq_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E18 — JSON functions (events.props is a JSON object string)
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_functions",
+    oracle="""
+SELECT event_id,
+       event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT)   AS k_value,
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k,
+       CAST(json_extract(props, '$.missing') AS VARCHAR) AS missing_field
+FROM events
+WHERE event_type IN ('purchase', 'error')
+""",
+    tags=("E18",),
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / JSON-path extraction on the props column
+    (FIXTURES.md: props is a JSON object like {"k": 87})."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        "event_type",
+        k.cast("long").alias("k_value"),
+        F.when(k.isNotNull(), F.lit(1)).otherwise(0).alias("has_k"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@register(
+    "json_agg_by_key",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("E18", "E7"),
+)
+def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-extracted field — the scan prunes to
+    (event_type, props) only."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
