@@ -13,7 +13,7 @@ Modules map to SURVEY.md §7 milestones:
 
 from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 
-for _mod in ("relational", "scalars", "analytic", "llm"):
+for _mod in ("relational", "scalars", "analytic", "temporal", "llm"):
     try:  # modules land milestone by milestone
         __import__(f"kafka_stream_faust_deprecated_spark.queries.{_mod}")
     except ImportError:

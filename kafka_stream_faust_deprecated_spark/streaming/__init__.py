@@ -1,0 +1,23 @@
+from kafka_stream_faust_deprecated_spark.streaming.sma import (
+    sma_aggregate,
+    build_kafka_sma_job,
+    build_file_sma_query,
+)
+from kafka_stream_faust_deprecated_spark.streaming.windows import (
+    tumbling_aggregate,
+    sliding_aggregate,
+    sessionize,
+    streaming_dedup,
+    stream_stream_join,
+)
+
+__all__ = [
+    "sma_aggregate",
+    "build_kafka_sma_job",
+    "build_file_sma_query",
+    "tumbling_aggregate",
+    "sliding_aggregate",
+    "sessionize",
+    "streaming_dedup",
+    "stream_stream_join",
+]
