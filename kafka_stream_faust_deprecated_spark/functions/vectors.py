@@ -1,0 +1,88 @@
+"""Vector primitives over ``array<float>`` embeddings (SURVEY.md §2b E24).
+
+The dot product is a JVM-side higher-order function (``zip_with`` +
+``aggregate``), not a UDF — it stays inside codegen and costs no Python
+round-trip. Elements are cast to double BEFORE multiplying so Spark and
+the DuckDB oracle (``embedding::DOUBLE[]``) accumulate identically.
+
+LSH hyperplanes are derived from md5 in plain Python (driver-side, tiny)
+and embedded as literals in both the Spark plan and the oracle SQL, so
+the approximate index is deterministic and cross-engine checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product of two arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def lsh_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+
+    Component (p, d) comes from the first 4 hex chars of
+    ``md5(f"{p}_{d}")``, rounded to 4 decimals so the exact same literal
+    appears in the Spark plan and the oracle SQL — reproducible
+    anywhere, no RNG state.
+    """
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:4], 16)
+            row.append(round(h / 32768.0 - 1.0, 4))
+        planes.append(row)
+    return planes
+
+
+def _sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(c) for c in plane])) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_table_buckets(
+    vec: Column, n_tables: int, bits_per_table: int, dim: int
+) -> Column:
+    """Multi-table random-hyperplane LSH: array of (t, bucket) structs.
+
+    Each of the ``n_tables`` tables hashes the vector to a
+    ``bits_per_table``-bit sign bucket from its own hyperplane set;
+    candidates are pairs sharing a bucket in ANY table
+    (OR-amplification — recall 1-(1-p^k)^L instead of p^k). At scale
+    (t, bucket) is the shuffle key: explode the array, join on it.
+    """
+    planes = lsh_hyperplanes(n_tables * bits_per_table, dim)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _sign_bits(
+                    vec, planes[t * bits_per_table : (t + 1) * bits_per_table]
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )

@@ -1,0 +1,823 @@
+"""M5 — LLM-data-pipeline operators (SURVEY.md §2b E23-E26).
+
+Dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+(brute-force + LSH-bucketed cosine), text analysis (token stats, quality
+score, lexicon language-ID, TF-IDF, fingerprinting), and multimodal
+binary-column extraction — all over the driver's ``documents`` /
+``embeddings`` tables.
+
+Cross-engine determinism: every signature hash is md5-hex (identical in
+Spark and DuckDB), LSH hyperplanes are md5-derived literals embedded in
+both plans, and dot products accumulate in array order in double
+precision on both sides — so even the approximate operators are
+oracle-checked value-for-value, not just rows-only.
+
+Scale design (100 TB), per operator family:
+
+* exact dedup     — one shuffle on the text hash; map-side partial agg.
+* n-gram Jaccard  — the exact all-pairs baseline; its shingle self-join
+                    is O(sum df^2) and exists to verify the LSH path.
+* MinHash-LSH     — the scale path: K md5 min-hashes -> B banded
+                    signatures -> shuffle on (band, hash) -> verify only
+                    candidate pairs. State per bucket is bounded;
+                    skewed buckets split by AQE.
+* SimHash         — 32-bit fingerprint; banded (4 x 8 bits) candidate
+                    join gives guaranteed recall for hamming <= 2 by
+                    pigeonhole, without an all-pairs comparison.
+* ANN             — sign-bucket join replaces the brute-force cross
+                    join; buckets are the shuffle key.
+* multimodal      — mapInPandas over existing partitions, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_stream_faust_deprecated_spark.functions.multimodal import (
+    extract_features,
+    with_payload,
+)
+from kafka_stream_faust_deprecated_spark.functions.text import (
+    LANG_LEXICONS,
+    STOPWORDS,
+    norm_text,
+    stopword_ratio,
+    tokens,
+    type_token_ratio,
+    word_shingles,
+)
+from kafka_stream_faust_deprecated_spark.functions.vectors import (
+    cosine,
+    lsh_hyperplanes,
+    lsh_table_buckets,
+)
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared building blocks (Spark side + the mirrored DuckDB CTE strings)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of functions.text.norm_text.
+SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+#: DuckDB twin of the (doc_id, distinct 3-gram shingle) relation.
+SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+    FROM toks
+)"""
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 12  # minhash functions
+MINHASH_R = 3  # rows per band
+MINHASH_B = MINHASH_K // MINHASH_R  # bands
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): the distinct 3-word shingles of each document.
+
+    The token array is bound to a column BEFORE the shingling transform:
+    higher-order-function lambdas re-evaluate their operand expression
+    per element (no codegen CSE inside lambdas), so shingling directly
+    off ``tokens(text)`` would re-run the regex+split O(tokens) times
+    per document — 450 s instead of 5 s at sf0.1. Catalyst keeps the
+    two projections separate because the producer expression is
+    non-cheap and multiply-referenced (SPARK-36718)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.explode(word_shingles(F.col("tk"))).alias("s"))
+        .distinct()
+    )
+
+
+def _shingle_counts(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+
+
+def _verified_jaccard(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only — the verify stage every
+    approximate dedup funnels into. ``cand`` has columns (da, db).
+
+    Shingles are re-derived for CANDIDATE DOCS ONLY (broadcast semi-join
+    against the scan), never by re-walking the full shingle relation:
+    candidate sets are tiny relative to the corpus, so the verify pass
+    is a narrow second scan — the shape that holds at 100 TB, and it
+    sidesteps Spark's cache-miss on self-join-deduplicated branches
+    (re-aliased subtrees recompute instead of reusing)."""
+    cand_docs = (
+        cand.select(F.explode(F.array("da", "db")).alias("doc_id")).distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    shc = (
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.explode(word_shingles(F.col("tk"))).alias("s"))
+        .distinct()
+        .persist()
+    )
+    ns = _shingle_counts(shc)
+    common = (
+        cand.join(shc.select(F.col("doc_id").alias("da"), "s"), "da")
+        .join(shc.select(F.col("doc_id").alias("db"), F.col("s")), ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da")
+        .join(ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db")
+        .select(
+            "da",
+            "db",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E23 — deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+SELECT md5({SQL_NORM}) AS text_hash,
+       min(doc_id)     AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("E23",),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one hash-shuffle, keep min doc_id.
+
+    At 100 TB this is a single exchange on a 32-byte key with map-side
+    partial aggregation — the cheapest possible dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(norm_text(F.col("text"))).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "neardup_ngram_jaccard",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+c AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT da, db, round(common * 1.0 / (x.ns + y.ns - common), 4) AS jac
+FROM c JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
+WHERE common * 1.0 / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
+""",
+    tags=("E23",),
+)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard near-dup pairs (>= 0.8).
+
+    The exact baseline the LSH variants are measured against. The
+    shingle self-join is O(sum over shingles of df^2) — correct but not
+    the 100 TB path; that's neardup_minhash_lsh."""
+    sh = _doc_shingles(spark, sf_dir)
+    ns = _shingle_counts(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da")
+        .join(ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db")
+        .withColumn("jac_raw", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+    )
+    return jac.where(F.col("jac_raw") >= JACCARD_THRESHOLD).select(
+        "da", "db", F.round("jac_raw", 4).alias("jac")
+    )
+
+
+@register(
+    "neardup_minhash_lsh",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+mh AS (
+    SELECT doc_id, t.i, min(md5(t.i::VARCHAR || '|' || s)) AS h
+    FROM sh CROSS JOIN range({MINHASH_K}) t(i)
+    GROUP BY doc_id, t.i
+),
+bands AS (
+    SELECT doc_id, i // {MINHASH_R} AS band, md5(string_agg(h, '' ORDER BY i)) AS bh
+    FROM mh GROUP BY doc_id, i // {MINHASH_R}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+c AS (
+    SELECT da, db, count(*) AS common
+    FROM cand
+    JOIN sh x ON x.doc_id = da
+    JOIN sh y ON y.doc_id = db AND y.s = x.s
+    GROUP BY da, db
+)
+SELECT da, db, round(common * 1.0 / (x.ns + y.ns - common), 4) AS jac
+FROM c JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
+WHERE common * 1.0 / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
+""",
+    tags=("E23",),
+)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ({MINHASH_K} md5 hashes) + LSH banding (4 bands x 3 rows)
+    near-dup detection with exact-Jaccard verification of candidates.
+
+    The 100 TB dedup path: per-doc signatures are one groupBy, candidate
+    generation shuffles on (band, band_hash) — never all pairs — and the
+    expensive Jaccard join runs only on LSH survivors."""
+    # One shuffle computes the whole signature: K parallel min-aggregates
+    # into an array, instead of exploding K copies of every shingle and
+    # re-shuffling on (doc, i).
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("s"))))
+                for i in range(MINHASH_K)
+            ]
+        ).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "",
+                                *[
+                                    F.element_at("sig", b * MINHASH_R + j + 1)
+                                    for j in range(MINHASH_R)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(MINHASH_B)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    # The band table is tiny (B rows/doc); persisting it keeps the
+    # self-join from recomputing the whole signature pipeline per branch
+    # (deduplicated self-join branches don't reuse plan fragments).
+    bands = bands.persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .persist()
+    )
+    verified = _verified_jaccard(spark, sf_dir, cand)
+    return verified.where(F.col("jac") >= JACCARD_THRESHOLD).select(
+        "da", "db", F.round("jac", 4).alias("jac")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_HAMMING = 2
+
+
+def _sql_hex_to_int(expr: str, nchars: int) -> str:
+    """DuckDB: decode an ``nchars``-hex-char string expression to BIGINT."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_oracle() -> str:
+    hv = _sql_hex_to_int("substr(md5(tok), 1, 8)", 8)
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents),
+tt AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+hv AS (SELECT doc_id, {hv} AS hv FROM tt),
+bits AS (SELECT doc_id,
+           {bit_sums}
+         FROM hv GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS fp FROM bits)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_HAMMING}
+"""
+
+
+@register("neardup_simhash", oracle=_simhash_oracle(), tags=("E23",))
+def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit term-frequency-weighted SimHash pairs, hamming <= 2.
+
+    Each token occurrence votes +-1 per bit (the standard tf-weighted
+    formulation — SimHash approximates cosine similarity of the tf
+    vectors, a deliberately different metric than the Jaccard dedups).
+
+    Banded candidate join (4 bands x 8 bits): two bit errors can touch
+    at most 2 bands, so every qualifying pair shares >= 2 exact bands —
+    guaranteed recall without comparing all pairs (the oracle uses the
+    all-pairs formulation; an oracle doesn't need to scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    hv = tt.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    bit_sums = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        reduce(
+            lambda acc, b: acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0),
+            range(1, SIMHASH_BITS),
+            F.when(F.col("s0") > 0, F.lit(1)).otherwise(0),
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("fp"), k * SIMHASH_BAND_BITS)
+                        .bitwiseAND(mask)
+                        .alias("bv"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .where(F.col("hamming") <= SIMHASH_HAMMING)
+        .select("da", "db", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E24 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+KNN_N_QUERIES = 5
+ANN_TABLES = 8
+ANN_BITS = 4
+EMBED_DIM = 64
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_N_QUERIES}),
+s AS (
+    SELECT qid, e.vec_id AS nid,
+           list_dot_product(qv, v)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+    FROM q CROSS JOIN e
+    WHERE e.vec_id <> qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, round(cos, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+WHERE rn <= {KNN_K}
+""",
+    tags=("E24",),
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the query set, scan the
+    corpus once, rank per query. The JVM-side zip_with/aggregate dot
+    product keeps the scan inside codegen — no UDF, no collect."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = e.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rn").alias("rnk"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+def _ann_oracle() -> str:
+    planes = lsh_hyperplanes(ANN_TABLES * ANN_BITS, EMBED_DIM)
+    selects = []
+    for t in range(ANN_TABLES):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(c) for c in plane)
+            + "]) > 0 THEN '1' ELSE '0' END)"
+            for plane in planes[t * ANN_BITS : (t + 1) * ANN_BITS]
+        )
+        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS bucket FROM e")
+    buckets = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({buckets}),
+qb AS (SELECT vec_id AS qid, t, bucket FROM b WHERE vec_id < {KNN_N_QUERIES}),
+cand AS (
+    SELECT DISTINCT qb.qid, b.vec_id AS nid
+    FROM qb JOIN b ON qb.t = b.t AND qb.bucket = b.bucket AND b.vec_id <> qb.qid
+),
+s AS (
+    SELECT qid, nid,
+           list_dot_product(qe.v, ne.v)
+             / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cos
+    FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, round(cos, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+WHERE rn <= {KNN_K}
+"""
+
+
+@register("ann_cosine_lsh", oracle=_ann_oracle(), tags=("E24",))
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH
+    ({ANN_TABLES} tables x {ANN_BITS} sign bits): a vector is a
+    candidate if it shares a bucket with the query in ANY table
+    (OR-amplification), then only candidates are scored exactly.
+
+    At 100 TB the (table, bucket) pair is the shuffle key — candidate
+    generation is an equi-join, never a cross join; recall vs the exact
+    query is pinned in tests/test_llm.py. Hyperplanes are md5-derived
+    literals (functions/vectors.py), so the 'random' index is identical
+    in Spark and the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    b = e.select(
+        "vec_id",
+        F.explode(
+            lsh_table_buckets(F.col("v"), ANN_TABLES, ANN_BITS, EMBED_DIM)
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bucket")
+    qb = b.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "t", "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
+        .join(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv")), "nid")
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rn").alias("rnk"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E25 — text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT lang, source, len(string_split({SQL_NORM}, ' ')) AS n_tok, length(text) AS n_chr
+    FROM documents
+)
+SELECT lang, source,
+       count(*)::BIGINT       AS n_docs,
+       sum(n_tok)::BIGINT     AS total_tokens,
+       round(avg(n_tok), 4)   AS avg_tokens,
+       round(avg(n_chr), 4)   AS avg_chars,
+       max(n_tok)::BIGINT     AS max_tokens
+FROM t GROUP BY lang, source
+""",
+    tags=("E25",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting rolled up per (lang, source) — the
+    cheapest corpus profile: one scan, one partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chr"), 4).alias("avg_chars"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+
+
+_SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, string_split({SQL_NORM}, ' ') AS tk FROM documents),
+m AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           CASE WHEN len(tk) > 0
+                THEN len(list_distinct(tk)) * 1.0 / len(tk) ELSE 0.0 END AS ttr,
+           CASE WHEN len(tk) > 0
+                THEN len(list_filter(tk, x -> x IN ({_SQL_STOPS}))) * 1.0 / len(tk)
+                ELSE 0.0 END AS stop_ratio,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_ratio
+    FROM t
+)
+SELECT doc_id,
+       n_tokens::BIGINT       AS n_tokens,
+       round(ttr, 4)          AS ttr,
+       round(stop_ratio, 4)   AS stop_ratio,
+       round(punct_ratio, 4)  AS punct_ratio,
+       round(0.4 * ttr + 0.3 * stop_ratio + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality
+FROM m
+""",
+    tags=("E25",),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics (length, lexical diversity,
+    stopword and punctuation ratios) folded into one score — the
+    standard pretraining-corpus filter signals, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the token array to a column first — the quality expressions
+    # reference it several times (see _doc_shingles on lambda CSE)
+    tk = F.col("tk")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        type_token_ratio(tk).alias("ttr"),
+        stopword_ratio(tk).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("ttr", 4).alias("ttr"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round(
+            0.4 * F.col("ttr")
+            + 0.3 * F.col("stop_ratio")
+            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            4,
+        ).alias("quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    scores = ",\n           ".join(
+        "len(list_filter(tk, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) AS s_{lang}"
+        for lang, words in LANG_LEXICONS.items()
+    )
+    langs = list(LANG_LEXICONS)
+    pred = "CASE "
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        pred += f"WHEN s_{lang} > 0{' AND ' + conds if conds else ''} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS tk FROM documents),
+s AS (SELECT doc_id, lang,
+           {scores}
+      FROM t)
+SELECT doc_id, lang, {pred} AS predicted,
+       (({pred}) = lang) AS is_match
+FROM s
+"""
+
+
+def _isin_pred(words: tuple[str, ...]):
+    # single-arg closure: a default-arg lambda would make Spark treat it
+    # as the (value, index) two-arg form and bind the index to `words`
+    return lambda t: t.isin(*words)
+
+
+@register("lang_id_lexicon", oracle=_lang_id_oracle(), tags=("E25",))
+def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID: score each language by stopword hits,
+    argmax with a fixed priority tiebreak (the classic cheap lang filter
+    for corpus cleaning; n-gram models drop in the same shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = list(LANG_LEXICONS)
+    s = docs.select("doc_id", "lang", tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(F.col("tk"), _isin_pred(words))).alias(f"s_{lang}")
+            for lang, words in LANG_LEXICONS.items()
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"s_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+    predicted = pred.otherwise(F.lit("und"))
+    return s.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted"),
+        (predicted == F.col("lang")).alias("is_match"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT doc_id, term, tf, ln((n + 1.0) / (df + 1.0)) * tf AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+    tags=("E25",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+
+    Two shuffles total — (doc, term) counts, then term document
+    frequencies broadcast back — and a bounded per-doc top-k window."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * F.col("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.round("score", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "doc_fingerprint_minhash",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+h AS (SELECT doc_id, md5(s) AS h FROM sh),
+topk AS (
+    SELECT doc_id, h
+    FROM (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM h)
+    WHERE rn <= 4
+)
+SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS fingerprint
+FROM topk GROUP BY doc_id
+""",
+    tags=("E25", "E23"),
+)
+def doc_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-4 document fingerprint: the 4 lexicographically smallest
+    shingle md5s, re-hashed into one 128-bit id — a compact sketch that
+    is stable under small edits (winnowing-style)."""
+    sh = _doc_shingles(spark, sf_dir)
+    h = sh.select("doc_id", F.md5("s").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 4)
+    return topk.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E26 — multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_extract",
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS mime,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+    tags=("E26", "E22"),
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the real multimodal
+    path: binary column + mime -> Arrow-batched mapInPandas decode
+    (deterministic fake codec) -> typed metadata. Zero shuffle; Python
+    touches each byte exactly once. The feature vector is dropped here
+    only because the oracle checks scalars; tests/test_llm.py pins it."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_payload(docs)
+    return extract_features(media, fake=True).select(
+        "doc_id", "mime", "n_bytes", "content_hash"
+    )

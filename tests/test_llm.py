@@ -1,0 +1,81 @@
+"""Property tests for the approximate LLM-pipeline operators (E23-E26).
+
+The oracle harness already pins every operator value-for-value against
+DuckDB; these tests pin the properties the oracle can't see — recall of
+the approximate paths against their exact baselines, and the multimodal
+batch contract (feature shape, determinism, explicit codec gating).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_faust_deprecated_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    with_payload,
+)
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import get_query
+from tests.conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r["da"], r["db"]) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """On this corpus (planted pairs at jaccard ~0.99, noise < 0.2) the
+    banded MinHash must find every exact pair: P(miss) per pair is
+    (1 - j^3)^4 ~ 1e-5 at j=0.99. Verified pairs carry exact jaccard, so
+    LSH output == exact output when recall is 1."""
+    exact = _pairs(get_query("neardup_ngram_jaccard").fn(spark, SF_DIR))
+    lsh = _pairs(get_query("neardup_minhash_lsh").fn(spark, SF_DIR))
+    assert exact, "fixture has no planted near-dup pairs?"
+    assert lsh == exact
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Sign-bucket ANN trades recall for pruning; on 64-dim random data
+    with 6 hyperplanes the same-bucket neighbors still recover a usable
+    fraction of the exact top-3. Pin a floor so bucket-key regressions
+    (wrong hash, wrong join) fail loudly rather than degrading silently."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get_query("knn_cosine_bruteforce").fn(spark, SF_DIR).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get_query("ann_cosine_lsh").fn(spark, SF_DIR).collect()
+    }
+    assert exact
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    # every ANN hit must share the query's bucket -> never MORE results
+    # than the brute force per query
+    assert len(ann) <= len(exact)
+
+
+def test_multimodal_feature_contract(spark):
+    """The full extract (with feature vector): one output row per input,
+    fixed feature dim, deterministic values tied to the content hash."""
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    out = extract_features(with_payload(docs), fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert len(r["feature"]) == 4
+        assert all(0.0 <= x < 1.0 for x in r["feature"])
+        assert len(r["content_hash"]) == 32
+        assert r["n_bytes"] > 0
+    # determinism: a second run yields identical features
+    again = {r["doc_id"]: r["feature"] for r in out.collect()}
+    assert all(again[i] == by_id[i]["feature"] for i in by_id)
+
+
+def test_multimodal_real_codec_is_gated():
+    """Without a codec the decode step must fail loudly and explicitly,
+    not deep inside an executor with a missing-import traceback."""
+    with pytest.raises(NotImplementedError, match="image/png"):
+        decode_media(b"\x89PNG", "image/png", fake=False)
