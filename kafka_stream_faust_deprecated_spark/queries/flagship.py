@@ -79,13 +79,19 @@ def flagship_sma_5row(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     # S4/S5 — last-write-wins dedup per (user_id, ts): the reference's
-    # dict-key overwrite (ma_agg.py:91). Highest event_id wins.
-    dd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # dict-key overwrite (ma_agg.py:91). Highest event_id wins. Done on
+    # the SAME partitioning as the sliding window below (user_id, sorted
+    # by ts, event_id desc — the sort the window needs is a prefix), so
+    # the whole query is ONE exchange + ONE sort: dedup rides along as a
+    # lag() comparison instead of costing its own (user_id, ts) shuffle.
+    dd = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").desc())
     deduped = (
         events.select("user_id", "ts", "value", "event_type", "event_id")
-        .withColumn("rn", F.row_number().over(dd))
-        .where(F.col("rn") == 1)
-        .drop("rn", "event_id")
+        .withColumn(
+            "is_first", F.coalesce(F.col("ts") != F.lag("ts").over(dd), F.lit(True))
+        )
+        .where(F.col("is_first"))
+        .drop("is_first", "event_id")
     )
 
     # S6/S22 — 5-row sliding frame per user (batch twin of 5s/1s hopping).

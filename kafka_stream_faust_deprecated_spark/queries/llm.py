@@ -99,6 +99,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): each document's distinct shingles as ONE array column.
+
+    The set-per-row twin of ``_doc_shingles``: a pure projection — zero
+    shuffles, zero explode. Per-doc set operations (minhash signatures,
+    pairwise Jaccard) become JVM array expressions over this column, so
+    the whole signature pipeline needs no exchange at all. A shingle set
+    is O(doc tokens) — bounded by the corpus's max doc size, so the row
+    stays well under executor memory even for 100 KB documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"))).alias("sh")
+    )
+
+
 def _shingle_counts(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
 
@@ -109,37 +124,25 @@ def _verified_jaccard(
     """Exact Jaccard for candidate pairs only — the verify stage every
     approximate dedup funnels into. ``cand`` has columns (da, db).
 
-    Shingles are re-derived for CANDIDATE DOCS ONLY (broadcast semi-join
-    against the scan), never by re-walking the full shingle relation:
-    candidate sets are tiny relative to the corpus, so the verify pass
-    is a narrow second scan — the shape that holds at 100 TB, and it
-    sidesteps Spark's cache-miss on self-join-deduplicated branches
-    (re-aliased subtrees recompute instead of reusing)."""
-    cand_docs = (
-        cand.select(F.explode(F.array("da", "db")).alias("doc_id")).distinct()
-    )
-    docs = load_table(spark, sf_dir, "documents")
-    shc = (
-        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .select("doc_id", tokens(F.col("text")).alias("tk"))
-        .select("doc_id", F.explode(word_shingles(F.col("tk"))).alias("s"))
-        .distinct()
-        .persist()
-    )
-    ns = _shingle_counts(shc)
-    common = (
-        cand.join(shc.select(F.col("doc_id").alias("da"), "s"), "da")
-        .join(shc.select(F.col("doc_id").alias("db"), F.col("s")), ["db", "s"])
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    The candidate set is broadcast into two hash joins against the
+    shingle-set projection (a second narrow scan of ``documents``), and
+    the Jaccard itself is ``array_intersect`` on the two set columns —
+    no explode, no groupBy, no shuffle anywhere in the verify pass. At
+    100 TB the broadcast of LSH survivors is the right shape: candidates
+    are rare by construction, the corpus scan stays sequential."""
+    sets = _doc_shingle_sets(spark, sf_dir)
     return (
-        common.join(ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da")
-        .join(ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db")
+        F.broadcast(cand)
+        .join(sets.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa")), "da")
+        .join(sets.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb")), "db")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
         .select(
             "da",
             "db",
-            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jac"),
+            (
+                F.col("common")
+                / (F.size("sa") + F.size("sb") - F.col("common"))
+            ).alias("jac"),
         )
     )
 
@@ -247,20 +250,28 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash ({MINHASH_K} md5 hashes) + LSH banding (4 bands x 3 rows)
     near-dup detection with exact-Jaccard verification of candidates.
 
-    The 100 TB dedup path: per-doc signatures are one groupBy, candidate
-    generation shuffles on (band, band_hash) — never all pairs — and the
-    expensive Jaccard join runs only on LSH survivors."""
-    # One shuffle computes the whole signature: K parallel min-aggregates
-    # into an array, instead of exploding K copies of every shingle and
-    # re-shuffling on (doc, i).
-    sh = _doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
+    The 100 TB dedup path: per-doc signatures are pure array expressions
+    over the shingle-set column — ZERO shuffles to build the index;
+    candidate generation shuffles once on (band, band_hash) — never all
+    pairs — and the expensive Jaccard join runs only on LSH survivors."""
+    # The whole K-hash signature is a projection: array_min(transform())
+    # per hash function, no explode and no groupBy. min over the distinct
+    # set equals min over raw shingles, so semantics match the oracle.
+    sets = _doc_shingle_sets(spark, sf_dir).where(F.size("sh") > 0)
+
+    def _minhash(i: int):
+        # single-arg closure, not a default-arg lambda: a 2-param lambda
+        # would be treated as Spark's (element, index) transform form
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = sets.select(
+        "doc_id",
         F.array(
             *[
-                F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("s"))))
+                F.array_min(F.transform(F.col("sh"), _minhash(i)))
                 for i in range(MINHASH_K)
             ]
-        ).alias("sig")
+        ).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
@@ -298,7 +309,6 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-        .persist()
     )
     verified = _verified_jaccard(spark, sf_dir, cand)
     return verified.where(F.col("jac") >= JACCARD_THRESHOLD).select(
@@ -785,13 +795,17 @@ FROM topk GROUP BY doc_id
 def doc_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-4 document fingerprint: the 4 lexicographically smallest
     shingle md5s, re-hashed into one 128-bit id — a compact sketch that
-    is stable under small edits (winnowing-style)."""
-    sh = _doc_shingles(spark, sf_dir)
-    h = sh.select("doc_id", F.md5("s").alias("h"))
-    w = Window.partitionBy("doc_id").orderBy("h")
-    topk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 4)
-    return topk.groupBy("doc_id").agg(
-        F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("fingerprint")
+    is stable under small edits (winnowing-style).
+
+    Entirely a projection over the shingle-set column (sort + slice +
+    re-hash are array expressions) — no explode, no window, no shuffle;
+    a 100 TB corpus fingerprints in one scan."""
+    sets = _doc_shingle_sets(spark, sf_dir).where(F.size("sh") > 0)
+    bottom4 = F.slice(
+        F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, 4
+    )
+    return sets.select(
+        "doc_id", F.md5(F.concat_ws("", bottom4)).alias("fingerprint")
     )
 
 
