@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -73,6 +75,11 @@ def lsh_table_buckets(
     candidates are pairs sharing a bucket in ANY table
     (OR-amplification — recall 1-(1-p^k)^L instead of p^k). At scale
     (t, bucket) is the shuffle key: explode the array, join on it.
+
+    Pure-JVM variant (per-plane ``zip_with``+``aggregate``): fine for a
+    handful of planes; for a production-sized plane count use
+    ``lsh_bucket_strings_pandas`` — the per-row cost here is an
+    interpreted lambda step per (plane, component).
     """
     planes = lsh_hyperplanes(n_tables * bits_per_table, dim)
     return F.array(
@@ -86,3 +93,42 @@ def lsh_table_buckets(
             for t in range(n_tables)
         ]
     )
+
+
+def lsh_bucket_strings_pandas(n_tables: int, bits_per_table: int, dim: int):
+    """Arrow-vectorized LSH bucket assignment: ``array<string>`` of
+    ``n_tables`` sign-bit bucket strings per vector.
+
+    Bucket assignment is a dense (batch x dim) @ (dim x planes) matmul —
+    exactly the shape BLAS is built for. A scalar pandas UDF moves each
+    Arrow batch into numpy once, does ONE matmul for all planes, and
+    emits bucket strings; per-row cost is ~100x below the per-plane
+    higher-order-function formulation once planes x dim grows past a few
+    hundred flops. Only the SIGN of each dot product is consumed, so the
+    accumulation-order difference between BLAS and the oracle's
+    sequential ``list_dot_product`` is irrelevant in practice (|dot| is
+    O(1) while fp reorder error is ~1e-13; the sf0.01 oracle hash-match
+    would catch any flipped bit loudly).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        lsh_hyperplanes(n_tables * bits_per_table, dim), dtype=np.float64
+    ).T  # dim x (tables*bits)
+
+    @pandas_udf("array<string>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        bits = (mat @ planes) > 0  # batch x (tables*bits)
+        chars = np.where(bits, "1", "0")
+        out = []
+        for row in chars:
+            out.append(
+                [
+                    "".join(row[t * bits_per_table : (t + 1) * bits_per_table])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets

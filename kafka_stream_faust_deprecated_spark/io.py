@@ -48,6 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan, guaranteed to parallelize across the cluster.
+
+    The fixture parquet files are written as a SINGLE row group, so the
+    file-split configs (``maxPartitionBytes``/``openCostInBytes``) cannot
+    produce more than one non-empty scan partition — every expression-heavy
+    stage downstream (tokenize, md5 signatures) would run as one task on a
+    32-core machine. The guard repartitions ONLY when the scan under-splits
+    relative to cluster parallelism: at 100 TB the scan has thousands of
+    splits and this is a no-op (no shuffle added); on the small local
+    fixtures it is a sub-MB round-robin exchange that unlocks all cores.
+    """
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql queries."""
     for name in TABLES:

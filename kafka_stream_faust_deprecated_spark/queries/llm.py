@@ -52,10 +52,10 @@ from kafka_stream_faust_deprecated_spark.functions.text import (
 )
 from kafka_stream_faust_deprecated_spark.functions.vectors import (
     cosine,
+    lsh_bucket_strings_pandas,
     lsh_hyperplanes,
-    lsh_table_buckets,
 )
-from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.io import load_table, load_table_parallel
 from kafka_stream_faust_deprecated_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -91,7 +91,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document — 450 s instead of 5 s at sf0.1. Catalyst keeps the
     two projections separate because the producer expression is
     non-cheap and multiply-referenced (SPARK-36718)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("tk"))
         .select("doc_id", F.explode(word_shingles(F.col("tk"))).alias("s"))
@@ -99,7 +99,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_sets(
+    spark: SparkSession, sf_dir: str, min_tokens: int = 0
+) -> DataFrame:
     """(doc_id, sh): each document's distinct shingles as ONE array column.
 
     The set-per-row twin of ``_doc_shingles``: a pure projection — zero
@@ -107,9 +109,20 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise Jaccard) become JVM array expressions over this column, so
     the whole signature pipeline needs no exchange at all. A shingle set
     is O(doc tokens) — bounded by the corpus's max doc size, so the row
-    stays well under executor memory even for 100 KB documents."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+    stays well under executor memory even for 100 KB documents.
+
+    ``min_tokens`` filters short docs via ``size(tk)`` — one tokenize —
+    NOT via ``size(sh) > 0`` on the derived column: a predicate over the
+    shingle expression gets pushed below the repartition exchange and
+    inlines the whole shingle pipeline into the scan stage (single task
+    on the single-row-group fixtures, then recomputed post-exchange).
+    ``size(tk) >= 3`` is equivalent (a doc has a 3-shingle iff it has
+    >= 3 tokens) and costs one split() when pushed."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    if min_tokens:
+        tk = tk.where(F.size("tk") >= min_tokens)
+    return tk.select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"))).alias("sh")
     )
 
@@ -118,19 +131,20 @@ def _shingle_counts(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
 
 
-def _verified_jaccard(
-    spark: SparkSession, sf_dir: str, cand: DataFrame
-) -> DataFrame:
+def _verified_jaccard(sets: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs only — the verify stage every
-    approximate dedup funnels into. ``cand`` has columns (da, db).
+    approximate dedup funnels into. ``cand`` has columns (da, db);
+    ``sets`` is the (doc_id, sh) shingle-set projection, passed in (and
+    persisted by the caller) so the verify stage re-reads the SAME
+    cached stage the signatures were built from instead of re-running
+    tokenize+shingle over the corpus per join side.
 
     The candidate set is broadcast into two hash joins against the
-    shingle-set projection (a second narrow scan of ``documents``), and
-    the Jaccard itself is ``array_intersect`` on the two set columns —
-    no explode, no groupBy, no shuffle anywhere in the verify pass. At
-    100 TB the broadcast of LSH survivors is the right shape: candidates
-    are rare by construction, the corpus scan stays sequential."""
-    sets = _doc_shingle_sets(spark, sf_dir)
+    shingle sets, and the Jaccard itself is ``array_intersect`` on the
+    two set columns — no explode, no groupBy, no shuffle anywhere in
+    the verify pass. At 100 TB the broadcast of LSH survivors is the
+    right shape: candidates are rare by construction, the corpus pass
+    is a cache (or checkpoint) scan, not a third tokenization."""
     return (
         F.broadcast(cand)
         .join(sets.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa")), "da")
@@ -167,7 +181,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is a single exchange on a 32-byte key with map-side
     partial aggregation — the cheapest possible dedup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5(norm_text(F.col("text"))).alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -253,11 +267,30 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB dedup path: per-doc signatures are pure array expressions
     over the shingle-set column — ZERO shuffles to build the index;
     candidate generation shuffles once on (band, band_hash) — never all
-    pairs — and the expensive Jaccard join runs only on LSH survivors."""
+    pairs — and the expensive Jaccard join runs only on LSH survivors.
+
+    Execution shape: the corpus is tokenized+shingled exactly ONCE —
+    the (doc_id, sh) stage is persisted and reused by the signature
+    build AND both sides of the verify join; the band table (B rows/doc
+    of 32-byte hashes) is persisted so the candidate self-join doesn't
+    recompute the K-hash signatures per branch. The final pair set is
+    tiny (LSH survivors above the threshold), so it is materialized
+    eagerly via ``localCheckpoint`` and every intermediate cache is
+    released before returning — no cached blocks leak across
+    registry-driven runs. At 100 TB the same structure holds with
+    ``persist(DISK_ONLY)`` or a checkpoint for the shingle stage."""
     # The whole K-hash signature is a projection: array_min(transform())
     # per hash function, no explode and no groupBy. min over the distinct
     # set equals min over raw shingles, so semantics match the oracle.
-    sets = _doc_shingle_sets(spark, sf_dir).where(F.size("sh") > 0)
+    #
+    # The empty-set filter goes ABOVE the persist barrier: a filter on a
+    # heavy derived column below it gets predicate-pushed through the
+    # repartition exchange, inlining the whole tokenize+shingle expression
+    # into the (single-split) scan stage — serializing the corpus pass on
+    # one task AND recomputing it post-exchange. Filtering the cached
+    # columnar batches costs one size() per row instead.
+    cached = _doc_shingle_sets(spark, sf_dir).persist()
+    sets = cached.where(F.size("sh") > 0)
 
     def _minhash(i: int):
         # single-arg closure, not a default-arg lambda: a 2-param lambda
@@ -294,26 +327,30 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
-    # The band table is tiny (B rows/doc); persisting it keeps the
-    # self-join from recomputing the whole signature pipeline per branch
-    # (deduplicated self-join branches don't reuse plan fragments).
-    bands = bands.persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select("doc_id", "bb.band", "bb.bh").persist()
+    try:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
-    verified = _verified_jaccard(spark, sf_dir, cand)
-    return verified.where(F.col("jac") >= JACCARD_THRESHOLD).select(
-        "da", "db", F.round("jac", 4).alias("jac")
-    )
+        verified = _verified_jaccard(sets, cand)
+        result = verified.where(F.col("jac") >= JACCARD_THRESHOLD).select(
+            "da", "db", F.round("jac", 4).alias("jac")
+        )
+        # Eager materialization of the (small) result lets the finally
+        # block release the corpus-sized caches immediately; callers get
+        # a lineage-free DataFrame that never recomputes the pipeline.
+        return result.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
+        cached.unpersist()
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -366,7 +403,7 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most 2 bands, so every qualifying pair shares >= 2 exact bands —
     guaranteed recall without comparing all pairs (the oracle uses the
     all-pairs formulation; an oracle doesn't need to scale)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     tt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     hv = tt.select(
         "doc_id",
@@ -438,8 +475,16 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 3
 KNN_N_QUERIES = 5
-ANN_TABLES = 8
-ANN_BITS = 4
+#: LSH sizing: buckets/table = 2^ANN_BITS must stay >> expected bucket
+#: occupancy, so ANN_BITS grows with log2(corpus): 10 bits = 1024 buckets
+#: covers the sf fixtures (n <= 2000) with avg occupancy ~2; at 1M
+#: vectors use ~16 bits, at 1B ~24. Recall on weakly-structured corpora
+#: comes from OR-amplification across tables PLUS hamming<=1 multiprobe
+#: on the query side (Lv et al., "Multi-Probe LSH", VLDB 2007): each
+#: query probes its own bucket and the ANN_BITS single-bit-flip buckets
+#: per table — (1 + bits) x tables probe keys per query, all broadcast.
+ANN_TABLES = 16
+ANN_BITS = 10
 EMBED_DIM = 64
 
 
@@ -465,7 +510,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors: broadcast the query set, scan the
     corpus once, rank per query. The JVM-side zip_with/aggregate dot
     product keeps the scan inside codegen — no UDF, no collect."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
     q = e.where(F.col("vec_id") < KNN_N_QUERIES).select(
@@ -508,9 +553,18 @@ def _ann_oracle() -> str:
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS ({buckets}),
 qb AS (SELECT vec_id AS qid, t, bucket FROM b WHERE vec_id < {KNN_N_QUERIES}),
+probes AS (
+    SELECT qid, t, bucket FROM qb
+    UNION ALL
+    SELECT qid, t,
+           substr(bucket, 1, j - 1)
+             || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j + 1)
+    FROM qb CROSS JOIN range(1, {ANN_BITS} + 1) r(j)
+),
 cand AS (
-    SELECT DISTINCT qb.qid, b.vec_id AS nid
-    FROM qb JOIN b ON qb.t = b.t AND qb.bucket = b.bucket AND b.vec_id <> qb.qid
+    SELECT DISTINCT p.qid, b.vec_id AS nid
+    FROM probes p JOIN b ON p.t = b.t AND p.bucket = b.bucket AND b.vec_id <> p.qid
 ),
 s AS (
     SELECT qid, nid,
@@ -524,52 +578,78 @@ WHERE rn <= {KNN_K}
 """
 
 
-@register("ann_cosine_lsh", oracle=_ann_oracle(), tags=("E24",))
+@register("ann_cosine_lsh", oracle=_ann_oracle(), tags=("E24", "E22"))
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH
-    ({ANN_TABLES} tables x {ANN_BITS} sign bits): a vector is a
-    candidate if it shares a bucket with the query in ANY table
-    (OR-amplification), then only candidates are scored exactly.
+    ({ANN_TABLES} tables x {ANN_BITS} sign bits) with hamming<=1
+    multiprobe: a vector is a candidate if it shares a probed bucket
+    with the query in ANY table, then only candidates are scored
+    exactly (JVM-side sequential-order cosine, so scores hash-match the
+    oracle bit-for-bit).
 
-    At 100 TB the (table, bucket) pair is the shuffle key — candidate
-    generation is an equi-join, never a cross join; recall vs the exact
-    query is pinned in tests/test_llm.py. Hyperplanes are md5-derived
-    literals (functions/vectors.py), so the 'random' index is identical
-    in Spark and the DuckDB oracle."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    Scale shape (100 TB): bucket assignment is ONE Arrow-batched numpy
+    matmul per partition (functions/vectors.py:lsh_bucket_strings_pandas)
+    — the per-row O(tables x bits x dim) flops live in BLAS, not in an
+    interpreted lambda; (t, bucket) is the shuffle key and the probe
+    expansion happens on the tiny broadcast query side, so candidate
+    generation stays an equi-join at any corpus size. The corpus bucket
+    table is persisted for the corpus/query split and released before
+    returning the (tiny) checkpointed result."""
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
+    bucket_udf = lsh_bucket_strings_pandas(ANN_TABLES, ANN_BITS, EMBED_DIM)
     b = e.select(
-        "vec_id",
-        F.explode(
-            lsh_table_buckets(F.col("v"), ANN_TABLES, ANN_BITS, EMBED_DIM)
-        ).alias("tb"),
-    ).select("vec_id", "tb.t", "tb.bucket")
-    qb = b.where(F.col("vec_id") < KNN_N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "t", "bucket"
-    )
-    cand = (
-        b.join(F.broadcast(qb), ["t", "bucket"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"))
-        .distinct()
-    )
-    scored = (
-        cand.join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
-        .join(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv")), "nid")
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KNN_K)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("rn").alias("rnk"),
-            F.round("cos", 4).alias("cosine"),
+        "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bucket")
+    ).persist()
+    try:
+        # Query probes: own bucket + every single-bit flip, per table.
+        qb = b.where(F.col("vec_id") < KNN_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), "t", "bucket"
         )
-    )
+        def _flip_at(j):
+            head = F.col("bucket").substr(F.lit(1), j - 1)
+            flipped = F.when(
+                F.col("bucket").substr(j, F.lit(1)) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            tail = F.col("bucket").substr(j + 1, F.lit(ANN_BITS))
+            return F.concat(head, flipped, tail)
+
+        flips = qb.select(
+            "qid",
+            "t",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.lit(ANN_BITS)), _flip_at)
+            ).alias("bucket2"),
+        ).select("qid", "t", F.col("bucket2").alias("bucket"))
+        probes = qb.unionByName(flips).distinct()
+        cand = (
+            b.join(F.broadcast(probes), ["t", "bucket"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("nid"))
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid"
+            )
+            .join(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv")), "nid")
+            .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+        result = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KNN_K)
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"),
+                F.col("rn").alias("rnk"),
+                F.round("cos", 4).alias("cosine"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        b.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +676,7 @@ FROM t GROUP BY lang, source
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting rolled up per (lang, source) — the
     cheapest corpus profile: one scan, one partial-agg shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     t = docs.select(
         "lang",
         "source",
@@ -645,7 +725,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics (length, lexical diversity,
     stopword and punctuation ratios) folded into one score — the
     standard pretraining-corpus filter signals, all JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # bind the token array to a column first — the quality expressions
     # reference it several times (see _doc_shingles on lambda CSE)
     tk = F.col("tk")
@@ -709,7 +789,7 @@ def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-overlap language ID: score each language by stopword hits,
     argmax with a fixed priority tiebreak (the classic cheap lang filter
     for corpus cleaning; n-gram models drop in the same shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     langs = list(LANG_LEXICONS)
     s = docs.select("doc_id", "lang", tokens(F.col("text")).alias("tk")).select(
         "doc_id",
@@ -758,7 +838,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two shuffles total — (doc, term) counts, then term document
     frequencies broadcast back — and a bounded per-doc top-k window."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -800,7 +880,7 @@ def doc_fingerprint_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely a projection over the shingle-set column (sort + slice +
     re-hash are array expressions) — no explode, no window, no shuffle;
     a 100 TB corpus fingerprints in one scan."""
-    sets = _doc_shingle_sets(spark, sf_dir).where(F.size("sh") > 0)
+    sets = _doc_shingle_sets(spark, sf_dir, min_tokens=3)
     bottom4 = F.slice(
         F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, 4
     )
@@ -830,7 +910,7 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic fake codec) -> typed metadata. Zero shuffle; Python
     touches each byte exactly once. The feature vector is dropped here
     only because the oracle checks scalars; tests/test_llm.py pins it."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     media = with_payload(docs)
     return extract_features(media, fake=True).select(
         "doc_id", "mime", "n_bytes", "content_hash"

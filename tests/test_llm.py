@@ -36,10 +36,16 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    """Sign-bucket ANN trades recall for pruning; on 64-dim random data
-    with 6 hyperplanes the same-bucket neighbors still recover a usable
-    fraction of the exact top-3. Pin a floor so bucket-key regressions
-    (wrong hash, wrong join) fail loudly rather than degrading silently."""
+    """Multiprobe sign-bucket ANN vs the exact top-3.
+
+    The fixture embeddings are iid random (top-3 cosines ~0.4 — i.e. the
+    expected maximum of n random cosines, no planted neighbor structure),
+    which is the WORST case for any sublinear index: neighbors are barely
+    more bucket-collision-prone than strangers. 16 tables x 10 bits with
+    hamming<=1 multiprobe measures recall 0.87 on this corpus while
+    scoring ~18% of it; the floor is 0.6 so bucket-key regressions
+    (wrong hash, wrong probe expansion, wrong join) fail loudly while
+    honest parameter variance does not."""
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in get_query("knn_cosine_bruteforce").fn(spark, SF_DIR).collect()
@@ -50,8 +56,8 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     }
     assert exact
     recall = len(ann & exact) / len(exact)
-    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
-    # every ANN hit must share the query's bucket -> never MORE results
+    assert recall >= 0.6, f"ANN recall collapsed: {recall}"
+    # ANN scores only bucket-sharing candidates -> never MORE results
     # than the brute force per query
     assert len(ann) <= len(exact)
 
