@@ -10,6 +10,10 @@ Runs one representative query per operator family at
 Each query is forced end-to-end with a noop sink write (full
 materialization of every output row on the executors, nothing collected
 to the driver) — the number measures the plan, not driver serialization.
+
+Each query runs twice and the SECOND time is recorded: the warm run
+pays JVM codegen / broadcast-thread / Python-worker startup once, so
+round-over-round deltas compare plans, not cold-start noise.
 """
 
 from __future__ import annotations
@@ -56,6 +60,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = get_query(name).fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)

@@ -109,6 +109,38 @@ def file_tick_source(spark: SparkSession, path: str, max_files_per_trigger: int 
     return decode_ticks(raw.select(F.col("value").alias("json")))
 
 
+#: events-shaped JSON rows for the generic windowed/join streaming tests
+#: (same columns as the batch ``events`` fixture table).
+EVENT_JSON_SCHEMA = (
+    "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def file_event_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Deterministic test source for events-shaped NDJSON streams (the
+    file twin of a Kafka events topic): one typed row per line with a
+    parsed event-time ``ts``."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return decode_events(raw.select(F.col("value").alias("json")))
+
+
+def decode_events(json_df: DataFrame) -> DataFrame:
+    """JSON string -> typed events row (streaming twin of the batch
+    ``events`` table schema)."""
+    return (
+        json_df.select(F.from_json("json", EVENT_JSON_SCHEMA).alias("r"))
+        .select("r.*")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
 def decode_ticks(json_df: DataFrame) -> DataFrame:
     """JSON string -> typed columns + parsed event-time ``ts``.
 

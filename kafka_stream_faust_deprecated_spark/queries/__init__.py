@@ -13,8 +13,7 @@ Modules map to SURVEY.md §7 milestones:
 
 from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 
+# Imports are NOT guarded: a broken module must fail the registry load
+# loudly, not silently shrink the verified query surface.
 for _mod in ("relational", "scalars", "analytic", "temporal", "llm"):
-    try:  # modules land milestone by milestone
-        __import__(f"kafka_stream_faust_deprecated_spark.queries.{_mod}")
-    except ImportError:
-        pass
+    __import__(f"kafka_stream_faust_deprecated_spark.queries.{_mod}")

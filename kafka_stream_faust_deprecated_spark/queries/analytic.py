@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.operators.range_frame import (
+    global_range_count,
+)
 from kafka_stream_faust_deprecated_spark.registry import register
 
 
@@ -129,10 +132,22 @@ WHERE o_custkey < 50
 def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS and RANGE frames: running total, 3-row moving average (the
     batch generalization of the reference SMA, S6/S22), and a
-    value-range frame over the global ordering."""
+    value-range frame over the global ordering.
+
+    The global RANGE count is NOT an unpartitioned ``Window.orderBy``
+    (one-task at scale); it is the bucketed two-pass decomposition in
+    ``operators/range_frame.py`` — bucket-partitioned windows plus a
+    bucket-level offset scan, identical semantics."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    counted = global_range_count(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        value_col="o_totalprice",
+        width=5000.0,
+        id_cols=("o_orderkey",),
+        out_col="n_within_5k",
+    )
     wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
+    return counted.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
@@ -140,9 +155,7 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").over(wseq.rowsBetween(Window.unboundedPreceding, 0)), 4
         ).alias("running_total"),
         F.round(F.avg("o_totalprice").over(wseq.rowsBetween(-2, 0)), 4).alias("ma3"),
-        F.count(F.lit(1))
-        .over(Window.orderBy("o_totalprice").rangeBetween(-5000, 0))
-        .alias("n_within_5k"),
+        F.col("n_within_5k"),
     )
 
 

@@ -255,3 +255,80 @@ def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "json_structured",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT)        AS k_typed,
+       CAST(json_extract_string(props, 'k') AS VARCHAR)  AS k_tuple,
+       '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS roundtrip,
+       'STRUCT<k: BIGINT>'                               AS inferred_schema
+FROM events
+WHERE event_type = 'purchase'
+""",
+    tags=("E18",),
+)
+def json_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 beyond path extraction: ``from_json`` with an explicit
+    schema (typed struct, the batch twin of the Kafka-edge decode in
+    io.decode_ticks), ``json_tuple`` (multi-field extraction in one
+    pass), a ``to_json`` round-trip, and ``schema_of_json`` (schema
+    inference from a sample literal, evaluated once at plan time)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+        F.to_json(parsed).alias("roundtrip"),
+        F.schema_of_json(F.lit('{"k": 1}')).alias("inferred_schema"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+SELECT event_id,
+       'k,type'                                             AS keys_csv,
+       2::INTEGER                                           AS n_entries,
+       event_type                                           AS type_val,
+       CAST(json_extract(props, '$.k') AS VARCHAR)          AS k_val,
+       1::BOOLEAN                                           AS has_type,
+       0::BOOLEAN                                           AS has_missing,
+       'k=' || CAST(json_extract(props, '$.k') AS VARCHAR)
+            || ',type=' || event_type                       AS entries_csv
+FROM events
+WHERE event_type IN ('signup', 'view')
+""",
+    tags=("E17",),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 map surface: build a map<string,string> per event
+    (``map_from_arrays``), then ``map_keys`` / ``size`` /
+    ``element_at`` / ``map_contains_key`` / ``map_entries`` +
+    ``transform`` over the entry structs. The oracle states the
+    expected VALUES directly (DuckDB's map extraction semantics differ
+    across versions; the contract under test is Spark's map API)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "view")
+    )
+    k_str = F.get_json_object("props", "$.k")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("k")),
+        F.array(F.col("event_type"), k_str),
+    )
+    entry_strs = F.transform(
+        F.map_entries(m), lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value"))
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "k").alias("k_val"),
+        F.map_contains_key(m, "type").alias("has_type"),
+        F.map_contains_key(m, "missing").alias("has_missing"),
+        F.array_join(F.array_sort(entry_strs), ",").alias("entries_csv"),
+    )

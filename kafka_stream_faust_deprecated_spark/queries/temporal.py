@@ -13,9 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
+from pyspark.sql import functions as F
+
 from kafka_stream_faust_deprecated_spark.streaming.windows import (
     sessionize,
     sliding_aggregate,
+    stream_stream_join,
     tumbling_aggregate,
 )
 
@@ -93,3 +96,42 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessions per user; the oracle derives identical
     sessions via gaps-and-islands (lag + cumulative session counter)."""
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stream_join_events",
+    oracle="""
+SELECT l.event_id                               AS purchase_id,
+       r.event_id                               AS click_id,
+       l.user_id                                AS user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S')      AS purchase_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S')      AS click_ts,
+       round(l.value, 4)                        AS purchase_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR
+ AND r.ts <= l.ts
+WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+""",
+    tags=("E20",),
+)
+def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 batch twin: purchases joined to the same user's clicks within
+    the preceding hour — the canonical attribution stream-stream join.
+    The EXACT same ``stream_stream_join`` code path runs watermarked on
+    two streams (tests/test_streaming_windows.py proves the state
+    bound); here it runs on batch DataFrames for the oracle check."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    j = stream_stream_join(
+        purchases, clicks, key="user_id", max_delay="1 hour", watermark="1 hour"
+    )
+    return j.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round(F.col("l.value"), 4).alias("purchase_value"),
+    )

@@ -9,6 +9,15 @@ The config choices are the ones that matter at 100 TB on a real cluster:
 * UTC session timezone — the reference container ran TZ=Asia/Taipei and
   normalized to UTC by hand (``faust_app/ma_agg.py:46-47``); we make UTC
   the engine-wide invariant instead.
+
+Local-fixture caveat: the testdata parquet files are written as a SINGLE
+row group, so ``spark.sql.files.maxPartitionBytes``/``openCostInBytes``
+cannot split them — a byte-range split with no row-group boundary inside
+it produces an empty partition. Expression-heavy scans therefore go
+through ``io.load_table_parallel``, which repartitions only when the
+scan under-splits relative to cluster parallelism (a no-op at real
+multi-split scale). Do not "fix" local bench numbers with file-split
+configs; they cannot take effect on these fixtures.
 """
 
 from __future__ import annotations

@@ -32,6 +32,37 @@ def test_approx_count_distinct_accuracy(spark):
         assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"]
 
 
+def test_global_range_count_matches_naive_window(spark):
+    """operators.range_frame: the bucketed two-pass decomposition must
+    equal the unpartitioned RANGE window exactly — including ties,
+    values at exact bucket-width multiples (probe lands on a boundary),
+    and empty intermediate buckets."""
+    from pyspark.sql.window import Window
+
+    from kafka_stream_faust_deprecated_spark.operators.range_frame import (
+        global_range_count,
+    )
+
+    vals = (
+        [10.0, 10.0, 10.0]          # ties
+        + [5000.0, 10000.0]          # exact width multiples
+        + [4999.99, 5000.01]         # straddle a boundary
+        + [90000.0]                  # isolated: empty buckets between
+        + [float(v) for v in range(20000, 26000, 250)]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id INT, v DOUBLE"
+    )
+    naive = df.withColumn(
+        "n",
+        F.count(F.lit(1)).over(Window.orderBy("v").rangeBetween(-5000, 0)),
+    )
+    fast = global_range_count(df, "v", 5000.0, ("id",), out_col="n")
+    expected = {r["id"]: r["n"] for r in naive.collect()}
+    got = {r["id"]: r["n"] for r in fast.collect()}
+    assert got == expected
+
+
 def test_asof_join_carries_nearest_prior(spark):
     """E6: every matched signup_ts is <= purchase_ts (closed bound)."""
     rows = get_query("asof_join_signup").fn(spark, SF_DIR).collect()
