@@ -18,6 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -441,3 +442,42 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("any").alias("set_name"), "o_custkey")
     )
     return both.unionAll(only_f).unionAll(any_c)
+
+
+@register(
+    "pandas_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("E22", "E7"),
+)
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 grouped-aggregate pandas UDF: quantity-weighted average price
+    per return flag. Spark ships each group's columns to Python as ONE
+    Arrow batch and the UDF reduces it vectorized (numpy under pandas)
+    — the shape for custom aggregations (weighted stats, percentile
+    sketches) the built-in agg surface lacks. Only the tiny per-group
+    scalar crosses back; partial aggregation does not apply, so prefer
+    built-ins when they exist (SURVEY §2b E22)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    @pandas_udf("long")
+    def cnt(qty: pd.Series) -> int:
+        # pandas grouped aggs cannot mix with JVM aggregates in one
+        # agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the
+        # same Arrow batch instead of a second shuffle.
+        return int(len(qty))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"),
+        cnt("l_quantity").alias("n"),
+    )

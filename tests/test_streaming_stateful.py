@@ -1,0 +1,96 @@
+"""Golden tests for the explicit-Python-state SMA (E22/S4).
+
+``sma_aggregate_stateful`` re-implements the reference's keyed
+dict-state agent loop (faust_app/ma_agg.py:49-91) through
+``applyInPandasWithState``; it must produce the SAME window set as the
+declarative pipeline's golden (tests/tick_fixture.py), and honor the
+same eviction contract: stragglers behind the watermark cannot
+resurrect finalized windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime
+
+import pytest
+
+from kafka_stream_faust_deprecated_spark.io import decode_ticks
+from kafka_stream_faust_deprecated_spark.streaming.stateful import (
+    sma_aggregate_stateful,
+)
+from tests.tick_fixture import build_fixture, golden_sma, make_tick, write_ndjson
+
+
+def _iso(s: str) -> str:
+    return datetime.fromisoformat(s).replace(tzinfo=None).isoformat()
+
+
+def _run_stream(spark, tmp_path, files, name):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (fname, ticks) in enumerate(files):
+        p = src / fname
+        write_ndjson(ticks, str(p))
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+    ticks_df = decode_ticks(
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .selectExpr("value AS json")
+    )
+    q = (
+        sma_aggregate_stateful(ticks_df)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _check(rows, golden):
+    got = {(r["symbol"], _iso(r["window_start"])): r for r in rows}
+    assert got.keys() == {(s, _iso(w)) for (s, w) in golden}
+    for (sym, ws), exp in golden.items():
+        r = got[(sym, _iso(ws))]
+        assert r["window_data_count"] == 5
+        assert r["count_of_vwap"] == exp["count_of_vwap"], (sym, ws)
+        assert r["real_data_count"] == exp["real_data_count"], (sym, ws)
+        assert r["filled_data_count"] == exp["filled_data_count"], (sym, ws)
+        assert r["sum_of_vwap"] == pytest.approx(exp["sum_of_vwap"], abs=1e-6)
+        assert r["sma_value"] == pytest.approx(exp["sma_value"], abs=1e-6)
+        assert _iso(r["start"]) == _iso(exp["start"]), (sym, ws)
+        assert _iso(r["end"]) == _iso(exp["end"]), (sym, ws)
+
+
+def test_stateful_sma_matches_golden(spark, tmp_path):
+    ticks = build_fixture()
+    rows = _run_stream(spark, tmp_path, [("f1.json", ticks)], "sfs_1")
+    _check(rows, golden_sma(ticks))
+
+
+def test_stateful_sma_straggler_cannot_resurrect(spark, tmp_path):
+    """A flush batch advances the watermark and prunes BBB's buffered
+    seconds around the gap; the straggler for second 30 then arrives
+    alone and can only rebuild count-1 state -> windows 26..30 stay
+    suppressed, output identical to the no-straggler run."""
+    ticks = build_fixture()
+    flush = [make_tick("ZZZ", 100_000, 1.0, 1, True)]
+    late = [make_tick("BBB", 30, 999.0, 5, True)]
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        [("f1.json", ticks), ("f2.json", flush), ("f3.json", late)],
+        "sfs_2",
+    )
+    _check(rows, golden_sma(ticks))
+    bbb_starts = {_iso(r["window_start"]) for r in rows if r["symbol"] == "BBB"}
+    for k in range(26, 31):
+        assert f"2024-01-01T00:00:{k}" not in bbb_starts
