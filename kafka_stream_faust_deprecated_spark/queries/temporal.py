@@ -135,3 +135,39 @@ def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.round(F.col("l.value"), 4).alias("purchase_value"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT e.event_id                          AS event_id,
+       e.user_id                           AS user_id,
+       c.c_name                            AS user_name,
+       c.c_mktsegment                      AS segment,
+       round(e.value, 4)                   AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+    tags=("E20",),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 batch twin of the stream-static enrichment join: purchase
+    events decorated with the customer dimension. The same
+    ``stream_static_join`` runs against a file-source stream in
+    tests/test_streaming_windows.py; the static side broadcasts, so the
+    stream side never shuffles."""
+    from kafka_stream_faust_deprecated_spark.streaming.windows import (
+        stream_static_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return stream_static_join(ev, cust, on="user_id").select(
+        "event_id",
+        "user_id",
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("value", 4).alias("value"),
+    )

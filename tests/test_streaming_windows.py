@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from kafka_stream_faust_deprecated_spark.io import decode_events, file_event_source
 from kafka_stream_faust_deprecated_spark.streaming.windows import (
     sessionize,
+    sliding_aggregate,
+    stream_static_join,
     stream_stream_join,
     streaming_dedup,
     tumbling_aggregate,
@@ -243,6 +245,50 @@ def test_session_streaming_matches_batch(spark, tmp_path):
     expected = _rowset(batch, cols)
     assert got == expected
     assert len({t[0] for t in expected}) == 3  # all three users sessionized
+
+
+def test_sliding_streaming_matches_batch(spark, tmp_path):
+    """2h/1h hopping windows through the streaming state store: append
+    mode emits each finalized hop exactly once; the flush closes all."""
+    dirs = _write_sources(
+        tmp_path, {"src": [("f1.json", TUMBLE_EVENTS), ("f2.json", FLUSH_EVENT)]}
+    )
+    out = sliding_aggregate(file_event_source(spark, dirs["src"]))
+    rows = _run_to_memory(spark, tmp_path, out, "slide_s")
+    cols = ("win_start", "win_end", "n", "total_value")
+    flush_wins = {
+        r["win_start"]
+        for r in sliding_aggregate(_batch_events_df(spark, FLUSH_EVENT)).collect()
+    }
+    got = _rowset([r for r in rows if r["win_start"] not in flush_wins], cols)
+    batch = sliding_aggregate(_batch_events_df(spark, TUMBLE_EVENTS)).collect()
+    expected = _rowset(batch, cols)
+    assert got == expected
+    assert expected
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """E20 stream-static: each micro-batch joins against a broadcast
+    static dimension; the stream side never shuffles."""
+    dim = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "user_id LONG, name STRING"
+    )
+    dirs = _write_sources(
+        tmp_path,
+        {"src": [("f1.json", TUMBLE_EVENTS[:5]), ("f2.json", TUMBLE_EVENTS[5:])]},
+    )
+    out = stream_static_join(
+        file_event_source(spark, dirs["src"]), dim, on="user_id"
+    ).select("event_id", "user_id", "name")
+    rows = _run_to_memory(spark, tmp_path, out, "ssj_static")
+    batch = (
+        stream_static_join(_batch_events_df(spark, TUMBLE_EVENTS), dim, on="user_id")
+        .select("event_id", "user_id", "name")
+        .collect()
+    )
+    cols = ("event_id", "user_id", "name")
+    assert _rowset(rows, cols) == _rowset(batch, cols)
+    assert len(rows) == len(TUMBLE_EVENTS)  # users are 1..3, all match
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
