@@ -87,3 +87,79 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+#: resize: 1 row in -> 1 row out, payload replaced, dims recorded.
+RESIZE_SCHEMA = (
+    "doc_id long, mime string, payload binary, width int, height int"
+)
+
+#: frame-sample: 1 row in -> N rows out (one per sampled frame).
+FRAME_SCHEMA = (
+    "doc_id long, mime string, frame_idx int, frame_payload binary, frame_hash string"
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Row-preserving transform (resize / resample): payload in, payload
+    out, target dims recorded. The fake codec truncates-or-pads the
+    payload to width*height bytes deterministically — the real one is a
+    PIL/ffmpeg call with the SAME batch shape, so swapping it in touches
+    no Spark code. ``mapInPandas`` over existing partitions: no shuffle,
+    1:1 rows, bounded memory per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no resize codec in this environment; run with fake=True"
+                )
+            out = [
+                bytes(b)[:target].ljust(target, b"\0") for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 3, fake: bool = True
+) -> DataFrame:
+    """Row-expanding transform (video frame-sampling): each payload
+    yields ``n_frames`` evenly-spaced chunks as standalone rows — the
+    shape for frame-level feature pipelines. The fan-out is bounded
+    (n_frames per input row), stays partition-local, and downstream
+    per-frame ops parallelize over the expanded rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "no frame decoder in this environment; run with fake=True"
+                )
+            rows = []
+            for doc_id, mime, b in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                raw = bytes(b)
+                step = max(1, len(raw) // n_frames)
+                for k in range(n_frames):
+                    chunk = raw[k * step : (k + 1) * step]
+                    rows.append(
+                        (doc_id, mime, k, chunk, hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "frame_idx", "frame_payload", "frame_hash"],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

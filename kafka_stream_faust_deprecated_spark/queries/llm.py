@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 from kafka_stream_faust_deprecated_spark.functions.multimodal import (
     extract_features,
+    sample_frames,
     with_payload,
 )
 from kafka_stream_faust_deprecated_spark.functions.text import (
@@ -1156,3 +1157,26 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True).select(
         "doc_id", "mime", "n_bytes", "content_hash"
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       k::INT AS frame_idx,
+       md5(substr(text, (k * s)::INT + 1, s::INT)) AS frame_hash
+FROM (SELECT doc_id, text, greatest(length(text) // 3, 1) AS s FROM documents)
+CROSS JOIN range(3) r(k)
+""",
+    tags=("E26", "E22"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 row-expanding multimodal path: each binary payload fans out
+    to 3 evenly-spaced frame rows via Arrow-batched mapInPandas
+    (functions/multimodal.py:sample_frames) — the video frame-sampling
+    shape with a deterministic fake chunker. The oracle recomputes the
+    chunk hashes from the (ASCII) text with byte-identical offsets, so
+    even the Python fan-out is value-checked, not just row-counted."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    frames = sample_frames(with_payload(docs), n_frames=3, fake=True)
+    return frames.select("doc_id", "frame_idx", "frame_hash")

@@ -80,6 +80,45 @@ def test_multimodal_feature_contract(spark):
     assert all(again[i] == by_id[i]["feature"] for i in by_id)
 
 
+def test_multimodal_resize_contract(spark):
+    """resize_media: 1:1 rows, every payload exactly width*height bytes,
+    deterministic across runs."""
+    from kafka_stream_faust_deprecated_spark.functions.multimodal import (
+        resize_media,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    out = resize_media(with_payload(docs), width=8, height=4, fake=True)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r["payload"]) == 32
+        assert r["width"] == 8 and r["height"] == 4
+    again = {r["doc_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert all(again[r["doc_id"]] == bytes(r["payload"]) for r in rows)
+
+
+def test_multimodal_frame_sample_contract(spark):
+    """sample_frames: exactly n_frames rows per input, frame hashes match
+    a local recomputation of the chunking."""
+    import hashlib
+
+    from kafka_stream_faust_deprecated_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = sample_frames(with_payload(docs), n_frames=3, fake=True).collect()
+    assert len(rows) == 15
+    for r in rows:
+        raw = texts[r["doc_id"]].encode()
+        step = max(1, len(raw) // 3)
+        chunk = raw[r["frame_idx"] * step : (r["frame_idx"] + 1) * step]
+        assert r["frame_hash"] == hashlib.md5(chunk).hexdigest()
+        assert bytes(r["frame_payload"]) == chunk
+
+
 def test_multimodal_real_codec_is_gated():
     """Without a codec the decode step must fail loudly and explicitly,
     not deep inside an executor with a missing-import traceback."""
