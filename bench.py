@@ -11,9 +11,10 @@ Each query is forced end-to-end with a noop sink write (full
 materialization of every output row on the executors, nothing collected
 to the driver) — the number measures the plan, not driver serialization.
 
-Each query runs twice and the SECOND time is recorded: the warm run
-pays JVM codegen / broadcast-thread / Python-worker startup once, so
-round-over-round deltas compare plans, not cold-start noise.
+Each query runs three times — one warm-up (JVM codegen / broadcast
+threads / Python workers), then two measured runs of which the MINIMUM
+is recorded — so round-over-round deltas compare plans, not cold-start
+or GC noise.
 """
 
 from __future__ import annotations
@@ -61,9 +62,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = get_query(name).fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
 
     print(
         json.dumps(

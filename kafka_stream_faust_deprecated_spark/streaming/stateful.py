@@ -26,6 +26,15 @@ Scale: state per key is <= window_size + watermark-delay seconds of
 ticks; keys shard across executors by the groupBy hash. The Python hop
 costs one Arrow round-trip per key-batch — use the declarative pipeline
 when the logic fits it.
+
+Why ``applyInPandasWithState`` and not ``transformWithStateInPandas``:
+Spark 4's StatefulProcessor API exists in this build, but its streaming
+Python driver worker imports ``google.protobuf``, which is not
+installed in this environment (probed: the worker crashes with
+``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
+during runner initialization). The GroupState API below has no such
+dependency; porting this function to a StatefulProcessor is mechanical
+(the state tuple becomes a ValueState, the loop body is unchanged).
 """
 
 from __future__ import annotations

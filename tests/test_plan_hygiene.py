@@ -1,0 +1,78 @@
+"""Physical-plan hygiene for EVERY registered query (the 100 TB gate).
+
+Correctness says a query's values are right; these assertions say its
+PLAN would survive a 1000-executor cluster: no unbounded cartesian
+products, no nested-loop joins except against provably-tiny broadcast
+sides, and no single-partition exchanges except over bounded aggregate
+relations. Each exemption is an explicit whitelist entry with the
+reason — adding a new scale hazard means consciously editing this file,
+not silently shipping it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_faust_deprecated_spark.registry import all_specs
+from tests.conftest import SF_DIR
+
+#: BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+#: O(1)-sized by construction (a handful of rows / one aggregate row) —
+#: the probe scan stays a single pass with no shuffle.
+BNLJ_WHITELIST = {
+    "knn_cosine_bruteforce": "broadcast side = the 5-query set (exact baseline)",
+    "range_join_price_bands": "broadcast side = fixed price-band table",
+    "tfidf_top_terms": "broadcast side = the 1-row global doc count",
+}
+
+#: Exchange SinglePartition is acceptable ONLY over relations whose
+#: cardinality is bounded independent of data size.
+SINGLE_PARTITION_WHITELIST = {
+    "tfidf_top_terms": "global count aggregate: 1 row",
+    "window_frames": "bucket-level offsets: O(value_domain / width) rows",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in sorted(all_specs().items()):
+        df = spec.fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"unbounded cartesian products in: {offenders}"
+
+
+def test_nested_loop_joins_only_with_tiny_broadcast(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "NestedLoop" in p and n not in BNLJ_WHITELIST
+    ]
+    assert not offenders, (
+        f"nested-loop joins outside the tiny-broadcast whitelist: {offenders}"
+    )
+
+
+def test_single_partition_exchanges_only_over_bounded_relations(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "Exchange SinglePartition" in p and n not in SINGLE_PARTITION_WHITELIST
+    ]
+    assert not offenders, (
+        f"single-partition exchanges outside the bounded whitelist: {offenders}"
+    )
+
+
+def test_whitelists_are_not_stale(plans):
+    """An exemption for a query that no longer trips the flag (or no
+    longer exists) should be deleted, keeping the whitelists honest."""
+    for name in BNLJ_WHITELIST:
+        assert name in plans and "NestedLoop" in plans[name], name
+    for name in SINGLE_PARTITION_WHITELIST:
+        assert name in plans and "Exchange SinglePartition" in plans[name], name
