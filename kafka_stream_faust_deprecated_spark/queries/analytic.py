@@ -496,3 +496,35 @@ def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@register(
+    "percentile_summary",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       round(median(l_quantity), 4)                   AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("E7", "E16"),
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``): the distribution profile an e-commerce /
+    telemetry rollup actually reports. Exact percentiles buffer each
+    group's values on one reducer — fine for bounded group counts; at
+    unbounded cardinality switch to ``approx_percentile`` (t-digest,
+    mergeable partials), which the oracle cannot hash-match but the E8
+    pattern (rows-only + error-bound pytest) covers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )

@@ -103,6 +103,51 @@ def test_sma_streaming_matches_golden(spark, tmp_path):
     _check_against_golden(rows, golden_sma(ticks))
 
 
+def test_sma_streaming_update_mode_converges_to_golden(spark, tmp_path):
+    """S27's other half: ``update`` mode restores the reference's
+    per-tick freshness — a window may be emitted in several micro-batches
+    as it refines, but the LAST emission per (symbol, window) must equal
+    the append-mode/golden row. (The exactly-5 gate means only complete
+    windows ever surface, so updates refine duplicates, not partials.)"""
+    ticks = build_fixture()
+    half = len(ticks) // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (fname, batch) in enumerate(
+        [("f1.json", ticks[:half]), ("f2.json", ticks[half:])]
+    ):
+        p = src / fname
+        write_ndjson(batch, str(p))
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+    out = sma_aggregate(decode_ticks(
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .selectExpr("value AS json")
+    ))
+    batches: list[tuple[int, list]] = []
+
+    def sink(batch_df, epoch_id):
+        batches.append((epoch_id, batch_df.collect()))
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last emission per (symbol, window_start) wins
+    latest = {}
+    for epoch_id, rows in sorted(batches):
+        for r in rows:
+            latest[(r["symbol"], _iso(r["window_start"]))] = r
+    _check_against_golden(list(latest.values()), golden_sma(ticks))
+    assert len(batches) >= 2  # both micro-batches produced output
+
+
 def test_sma_streaming_drops_late_data(spark, tmp_path):
     """BBB's missing second 30 arrives AFTER the watermark has finalized
     the windows that cover it -> it must NOT resurrect windows 26..30 or
