@@ -528,3 +528,135 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
         F.round(F.median("l_quantity"), 4).alias("median_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E7/E9 — pivot / unpivot (wide<->long reshaping)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS total_f,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS total_o,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS total_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("E7", "E9"),
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one output column per order status. The value list is
+    EXPLICIT (not discovered) — at 100 TB an implicit pivot first runs a
+    distinct-scan of the pivot column on the driver; with literal values
+    the plan is a single partial->final aggregate, same as any groupBy
+    (pivot lowers to one agg with `count per value` CASE branches)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "o_orderpriority",
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("total_f"),
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("total_o"),
+            F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("total_p"),
+        )
+    )
+
+
+@register(
+    "unpivot_pricing_metrics",
+    oracle="""
+WITH wide AS (
+    SELECT l_returnflag,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2)  AS sum_qty,
+           round(sum(l_extendedprice), 2)             AS sum_price,
+           round(avg(l_discount), 6)                  AS avg_disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc'  AS metric, avg_disc  AS value FROM wide
+""",
+    tags=("E7", "E13"),
+)
+def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns -> (metric, value) long form —
+    the feed shape for metric stores / plotting. `unpivot` is a zero-
+    shuffle projection (each row expands to n_metrics rows in place), so
+    it composes with the upstream agg at no extra exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7/E16 — statistical aggregates (moments, correlation, regression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_moments",
+    oracle="""
+WITH base AS (
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2)                AS sd_price,
+           round(var_samp(l_quantity), 4)                        AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 2)      AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem GROUP BY l_returnflag
+),
+mom AS (
+    SELECT l_returnflag,
+           avg(l_quantity - 25)       AS mu,
+           avg((l_quantity - 25) ^ 2) AS r2m,
+           avg((l_quantity - 25) ^ 3) AS r3m,
+           avg((l_quantity - 25) ^ 4) AS r4m
+    FROM lineitem GROUP BY l_returnflag
+),
+cm AS (
+    SELECT l_returnflag,
+           r2m - mu ^ 2                                    AS m2,
+           r3m - 3 * mu * r2m + 2 * mu ^ 3                 AS m3,
+           r4m - 4 * mu * r3m + 6 * mu ^ 2 * r2m - 3 * mu ^ 4 AS m4
+    FROM mom
+)
+SELECT base.*,
+       round(m3 / (m2 ^ 1.5), 6)  AS skew_qty,
+       round(m4 / (m2 ^ 2) - 3, 6) AS kurt_qty
+FROM base JOIN cm USING (l_returnflag)
+""",
+    tags=("E7", "E16"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance, correlation,
+    population covariance, least-squares regression, and the 3rd/4th
+    standardized moments (skewness, excess kurtosis). All are mergeable
+    partial aggregates in Spark (one exchange, map-side combine) — the
+    oracle rebuilds skew/kurtosis from raw moments centered at a fixed
+    shift (25 ~ E[l_quantity]) because DuckDB's skewness/kurtosis are
+    the *sample*-corrected estimators while Spark's are population."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )

@@ -1180,3 +1180,229 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     frames = sample_frames(with_payload(docs), n_frames=3, fake=True)
     return frames.select("doc_id", "frame_idx", "frame_hash")
+
+
+# ---------------------------------------------------------------------------
+# E23/E25 — deterministic (hash-seeded) sampling: the training-mix knob
+# ---------------------------------------------------------------------------
+
+#: per-language hex-prefix keep thresholds: en kept at ~50%, rest ~10%.
+SAMPLE_THRESHOLDS = (("en", "80"), ("*", "1a"))
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+SELECT doc_id, lang, source, n_chars,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < (CASE WHEN lang = 'en' THEN '80' ELSE '1a' END)
+""",
+    tags=("E23", "E25"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — the operator that sets a
+    training-data language/source mix. Each row's fate is a pure
+    function of its id (first hex byte of md5(doc_id) vs a per-stratum
+    threshold), so the sample is reproducible across engines, runs, and
+    cluster sizes, needs no global coordination or RNG state, and stays
+    a pushed-down scan filter: at 100 TB this is a single pass with NO
+    shuffle, and re-running a pipeline re-selects the identical subset
+    (unlike ``df.sample``, whose seed is per-partition-index and thus
+    changes with repartitioning). Thresholds: en ~50% (0x00-0x7f),
+    others ~10% (0x00-0x19)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", "80").otherwise("1a")
+    return docs.where(bucket < threshold).select(
+        "doc_id", "lang", "source", "n_chars", bucket.alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E24 — k-means (Lloyd) step: the clustering primitive behind IVF/dedup
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle() -> str:
+    values = ",\n      ".join(
+        f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
+        for cid, comp, norm in _ivf_centroids()
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cid, c, cn) AS (VALUES
+      {values}
+),
+assign AS (
+    SELECT vec_id, cid, s FROM (
+        SELECT vec_id, cid,
+               list_dot_product(v, c) / (cn * sqrt(list_dot_product(v, v))) AS s,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_dot_product(v, c)
+                                           / (cn * sqrt(list_dot_product(v, v))) DESC,
+                                           cid) AS rn
+        FROM e CROSS JOIN cents
+    ) WHERE rn = 1
+),
+comp AS (
+    SELECT a.cid,
+           generate_subscripts(e.v, 1) AS pos,
+           unnest(e.v) AS x
+    FROM assign a JOIN e USING (vec_id)
+),
+mean_vec AS (
+    SELECT cid, pos, avg(x) AS m FROM comp GROUP BY cid, pos
+)
+SELECT cid,
+       any_value(n_members)  AS n_members,
+       any_value(mean_cos)   AS mean_cos,
+       round(sqrt(sum(m * m)), 4) AS new_norm
+FROM mean_vec
+JOIN (
+    SELECT cid, count(*) AS n_members, round(avg(s), 4) AS mean_cos
+    FROM assign GROUP BY cid
+) USING (cid)
+GROUP BY cid
+"""
+
+
+@register("kmeans_lloyd_step", oracle=_kmeans_oracle(), tags=("E24",))
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embedding corpus: assign every
+    vector to its max-cosine centroid, then recompute each cluster's
+    elementwise-mean centroid. Reports per-cluster size, mean assignment
+    cosine, and the new centroid's L2 norm (a scalar fingerprint of the
+    mean vector the oracle can check exactly).
+
+    Scale shape — the iterated kernel of IVF index builds and embedding-
+    space dedup/diversity analysis at 100 TB:
+    * assignment: centroid table is broadcast (k x dim doubles), per-row
+      argmax via one JVM dot-product loop — zero shuffle;
+    * recompute: posexplode to (cid, pos, x) then a single partial->final
+      avg keyed on (cid, pos) — dim x k cells, so the shuffle carries
+      O(k * dim) pre-combined rows per map task, NOT O(n * dim);
+    * convergence loops run this same plan repeatedly, feeding the new
+      centroids back as the next broadcast literal (driver-side k x dim
+      array — tiny), which is exactly how spark.ml's KMeans iterates."""
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = spark.createDataFrame(
+        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()],
+        "cid INT, c ARRAY<DOUBLE>, cn DOUBLE",
+    )
+    vnorm = F.sqrt(dot(F.col("v"), F.col("v")))
+    scores = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", (dot(F.col("v"), F.col("c")) / (F.col("cn") * vnorm)).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
+    assign = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "s", "v")
+    )
+    stats = assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.round(F.avg("s"), 4).alias("mean_cos")
+    )
+    mean_vec = (
+        assign.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    new_norm = mean_vec.groupBy("cid").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm")
+    )
+    return stats.join(new_norm, "cid").select("cid", "n_members", "mean_cos", "new_norm")
+
+
+# ---------------------------------------------------------------------------
+# E23 — near-dup clustering: candidate pairs -> connected components ->
+# canonical keep-list (the final stage of a production dedup pipeline)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def _cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT da, db FROM ({_simhash_oracle()})
+),
+und AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+nodes AS (SELECT doc_id FROM documents),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id,
+       cluster_id,
+       doc_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
+@register("dedup_connected_components", oracle=_cc_oracle(), tags=("E23",))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> one canonical doc per
+    cluster (min doc_id). Pairwise dedup alone under-deletes: if A~B and
+    B~C but A!~C, pair-dropping keeps {{A, C}} or worse depending on
+    scan order — the production contract is "keep exactly one per
+    transitive cluster", which is a connected-components problem over
+    the candidate-pair graph (here: the SimHash hamming<=2 pairs).
+
+    Spark-first iteration (no GraphX, which is RDD-side and Scala-only):
+    min-label propagation — each round every node takes the min of its
+    own label and its neighbors' labels, converging in <= graph-diameter
+    rounds (near-dup clusters are shallow: diameter is small because
+    similarity is near-transitive). Each round is one shuffle join
+    (edges x labels on node) + one groupBy(min); ``localCheckpoint``
+    truncates the lineage so round N's plan does not replay rounds
+    1..N-1. The driver-side loop checks a per-round convergence COUNT —
+    an aggregate scalar, not a data collect; iterative algorithms are
+    the one place a driver loop is the correct Spark idiom (spark.ml
+    does the same). The oracle is a recursive CTE — exact, but
+    all-reachable-labels, which only an oracle can afford.
+    """
+    pairs = neardup_simhash(spark, sf_dir).select("da", "db")
+    edges = (
+        pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
+        .toDF("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id2"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.doc_id2, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias(
+                    "new_lab"
+                ),
+                F.col("lab").alias("old_lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.where(F.col("new_lab") != F.col("old_lab")).count()
+        labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
+        if changed == 0:
+            break
+    else:  # pragma: no cover - CC_MAX_ITERS >> any near-dup graph diameter
+        raise RuntimeError("connected components did not converge")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lab")).alias("is_canonical"),
+    ).withColumn("cluster_size", F.count("*").over(w))

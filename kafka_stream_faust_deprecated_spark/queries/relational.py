@@ -481,3 +481,57 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"),
         cnt("l_quantity").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E2/E7 — scalar subqueries (correlated + uncorrelated)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_subquery_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(o_totalprice
+             - (SELECT avg(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey) + 1e-6, 2) AS above_cust_avg
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+  AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+    tags=("E2", "E7"),
+)
+def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated + uncorrelated scalar subqueries: orders above BOTH
+    their customer's average and the global average.
+
+    Spark-first decorrelation: the correlated per-customer average is a
+    window aggregate over the SAME scan (one exchange on o_custkey, no
+    self-join); the uncorrelated global average is a 1-row aggregate
+    broadcast into the filter — at 100 TB that is fact-scan + one
+    shuffle, versus the naive plan's two extra fact self-joins.
+
+    The +1e-6 nudge before rounding: per-customer averages of 2-decimal
+    prices land exactly on half-cent boundaries (sum/n with small n),
+    where the two engines' last-bit summation order flips round(x, 2)
+    either way; the epsilon moves both engines off the tie
+    consistently and is 4 orders below the reported precision."""
+    o = load_table(spark, sf_dir, "orders")
+    cust_avg = F.avg("o_totalprice").over(Window.partitionBy("o_custkey"))
+    global_avg = o.agg(F.avg("o_totalprice").alias("g_avg"))
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .join(F.broadcast(global_avg))
+        .where(
+            (F.col("o_totalprice") > F.col("cust_avg"))
+            & (F.col("o_totalprice") > F.col("g_avg"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.col("o_totalprice") - F.col("cust_avg") + F.lit(1e-6), 2).alias(
+                "above_cust_avg"
+            ),
+        )
+    )

@@ -23,6 +23,8 @@ BNLJ_WHITELIST = {
     "knn_cosine_bruteforce": "broadcast side = the 5-query set (exact baseline)",
     "range_join_price_bands": "broadcast side = fixed price-band table",
     "tfidf_top_terms": "broadcast side = the 1-row global doc count",
+    "kmeans_lloyd_step": "broadcast side = the k x dim centroid table",
+    "scalar_subquery_orders": "broadcast side = the 1-row global average",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -30,6 +32,7 @@ BNLJ_WHITELIST = {
 SINGLE_PARTITION_WHITELIST = {
     "tfidf_top_terms": "global count aggregate: 1 row",
     "window_frames": "bucket-level offsets: O(value_domain / width) rows",
+    "scalar_subquery_orders": "global average aggregate: 1 row",
 }
 
 
