@@ -47,6 +47,8 @@ HEADLINE = (
     "ann_cosine_lsh",
     "tfidf_top_terms",
     "doc_quality_score",
+    "kmeans_lloyd_step",
+    "dedup_connected_components",
 )
 
 
