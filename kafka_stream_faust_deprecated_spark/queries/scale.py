@@ -1,0 +1,166 @@
+"""Scale-technique operators: skew mitigation and dimension maintenance.
+
+These queries demonstrate the two table-maintenance/skew patterns a
+100 TB pipeline needs beyond plain joins and aggregations:
+
+* **Salted skew join** — a shuffle join keyed on a LOW-CARDINALITY /
+  skewed key routes entire key groups to single reducers (5 distinct
+  ``event_type`` values = at most 5 busy tasks no matter how large the
+  cluster). Salting splits each fact key into ``N_SALTS`` synthetic
+  subkeys and replicates the dimension row per subkey, spreading each
+  hot key over ``N_SALTS`` reducers. AQE's skew-join split handles
+  *moderate* skew automatically; explicit salting is the pattern for
+  pathological keys and is verified here to be result-identical to the
+  unsalted join (the DuckDB oracle runs the plain join).
+
+* **SCD2 merge** — slowly-changing-dimension type-2 history build:
+  apply a change-set to a dimension snapshot, closing out the previous
+  version (``valid_to`` = change date) and appending the new current
+  version. Expressed as one left join + one inner join + union, i.e.
+  two broadcast-able joins and no window function — the MERGE pattern
+  that scales to billion-row dimensions.
+
+The reference has no joins at all (SURVEY §2a "does NOT have"); these
+rows are driver-mandated extension surface (E3/E7/E22 applications).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import register
+
+#: Salt fan-out. On a real cluster set this ~= 2-4x the per-key excess
+#: (rows_of_hottest_key / rows_per_healthy_task); 32 matches local cores.
+N_SALTS = 32
+
+#: Per-event-type weights (the "dimension"). Deliberately tiny so the
+#: demo is about key skew, not dimension size — the SHUFFLE_HASH hint
+#: below forces the shuffle-join path that salting exists for
+#: (broadcast would sidestep the skew, which is the right fix when the
+#: dim fits in memory; salting is for when it does not).
+_TYPE_WEIGHTS = [
+    ("click", 0.1),
+    ("view", 0.05),
+    ("signup", 1.0),
+    ("purchase", 5.0),
+    ("error", 0.0),
+]
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+WITH dim(event_type, weight) AS (
+    VALUES ('click', 0.1), ('view', 0.05), ('signup', 1.0),
+           ('purchase', 5.0), ('error', 0.0)
+)
+SELECT e.event_type                         AS event_type,
+       count(*)                             AS n,
+       round(sum(e.value * d.weight), 4)    AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+""",
+    tags=("E3", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: ``events`` joined to a per-type
+    weight dim on the 5-value ``event_type`` key.
+
+    Fact side gets ``salt = pmod(hash(event_id), N_SALTS)``; the dim is
+    replicated once per salt value, and the join key becomes
+    ``(event_type, salt)`` — key cardinality grows 32x, so each hot key
+    spreads over 32 reducers instead of one. The salt cancels out of
+    the result: every fact row still matches exactly one dim copy, so
+    the oracle is the plain unsalted join.
+    """
+    fact = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS))
+    )
+    dim = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    joined = fact.join(dim_salted.hint("shuffle_hash"), ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+WITH chg AS (
+    SELECT o_custkey,
+           max(o_orderdate)            AS change_date,
+           round(sum(o_totalprice), 2) AS new_balance
+    FROM orders
+    GROUP BY 1
+)
+SELECT c.c_custkey                  AS c_custkey,
+       c.c_name                     AS c_name,
+       c.c_mktsegment               AS c_mktsegment,
+       round(c.c_acctbal, 2)        AS acctbal,
+       '1990-01-01'                 AS valid_from,
+       coalesce(strftime(ch.change_date, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+       CASE WHEN ch.change_date IS NULL THEN 1 ELSE 0 END           AS is_current
+FROM customer c LEFT JOIN chg ch ON c.c_custkey = ch.o_custkey
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, ch.new_balance,
+       strftime(ch.change_date, '%Y-%m-%d'), '9999-12-31', 1
+FROM customer c JOIN chg ch ON c.c_custkey = ch.o_custkey
+""",
+    tags=("E3", "E7", "scd2"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: apply a change-set (latest order date +
+    lifetime spend per customer, derived from ``orders``) to the
+    ``customer`` snapshot.
+
+    Customers WITH a change get two rows — the closed-out original
+    version (``valid_to`` = change date, not current) and the new
+    current version carrying the updated balance; customers without
+    orders keep their single open-ended original row. One aggregation
+    plus two joins on ``c_custkey``; both joins broadcast when the
+    change-set is small and sort-merge co-partitioned when it is not —
+    no window function, no row-at-a-time logic, so the same plan holds
+    at billion-row dimension scale.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    chg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("change_date"),
+            F.round(F.sum("o_totalprice"), 2).alias("new_balance"),
+        )
+    )
+    base = cust.join(chg, cust.c_custkey == chg.o_custkey, "left")
+    old_versions = base.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1990-01-01").alias("valid_from"),
+        F.coalesce(
+            F.date_format("change_date", "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.when(F.col("change_date").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_current"
+        ),
+    )
+    new_versions = base.where(F.col("change_date").isNotNull()).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("new_balance").alias("acctbal"),
+        F.date_format("change_date", "yyyy-MM-dd").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return old_versions.unionByName(new_versions)
