@@ -15,5 +15,5 @@ from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 
 # Imports are NOT guarded: a broken module must fail the registry load
 # loudly, not silently shrink the verified query surface.
-for _mod in ("relational", "scalars", "analytic", "temporal", "llm", "scale"):
+for _mod in ("relational", "scalars", "analytic", "temporal", "llm", "scale", "tpch"):
     __import__(f"kafka_stream_faust_deprecated_spark.queries.{_mod}")

@@ -33,6 +33,8 @@ SINGLE_PARTITION_WHITELIST = {
     "tfidf_top_terms": "global count aggregate: 1 row",
     "window_frames": "bucket-level offsets: O(value_domain / width) rows",
     "scalar_subquery_orders": "global average aggregate: 1 row",
+    "tpch_q6_forecast_revenue": "global revenue aggregate: 1 partial row per task",
+    "tpch_q14_promo_revenue": "global promo-share aggregate: 1 partial row per task",
 }
 
 
