@@ -10,6 +10,10 @@ from kafka_stream_faust_deprecated_spark.streaming.windows import (
     streaming_dedup,
     stream_stream_join,
 )
+from kafka_stream_faust_deprecated_spark.streaming.sinks import (
+    idempotent_parquet_sink,
+    read_sink,
+)
 
 __all__ = [
     "sma_aggregate",
@@ -20,4 +24,6 @@ __all__ = [
     "sessionize",
     "streaming_dedup",
     "stream_stream_join",
+    "idempotent_parquet_sink",
+    "read_sink",
 ]
