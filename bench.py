@@ -49,6 +49,9 @@ HEADLINE = (
     "doc_quality_score",
     "kmeans_lloyd_step",
     "dedup_connected_components",
+    "tpch_q5_local_supplier_volume",
+    "join_salted_skew",
+    "scd2_customer_history",
 )
 
 

@@ -456,6 +456,23 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_percentile_price", oracle=None, tags=("E8",))
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group via Spark's mergeable
+    percentile_approx sketch (G-K/QuantileSummaries). No oracle — sketch
+    boundaries are implementation-specific; tests bound the rank error
+    against the exact percentile instead (tests/test_operators.py).
+    The sketch is the 100 TB path: fixed-size partial state per
+    partition, merged on one shuffle — the exact percentile's
+    sort-within-group is the thing it avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # E21 — batch dedup (keep-latest per key; QUALIFY twin)
 # ---------------------------------------------------------------------------

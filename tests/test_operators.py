@@ -32,6 +32,31 @@ def test_approx_count_distinct_accuracy(spark):
         assert abs(a["approx_parts"] - e["parts"]) <= 0.05 * e["parts"]
 
 
+def test_approx_percentile_bounded_rank_error(spark):
+    """E8: percentile_approx at accuracy=10000 must land within 1% RANK
+    of the requested quantile (the sketch's contract is rank error, not
+    value error)."""
+    approx = {
+        r["l_returnflag"]: r
+        for r in get_query("approx_percentile_price").fn(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    for flag, row in approx.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == row["n_rows"]
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            import bisect
+
+            rank = bisect.bisect_left(vals, row[col])
+            assert abs(rank / n - q) <= 0.01, (flag, col, rank / n)
+
+
 def test_global_range_count_matches_naive_window(spark):
     """operators.range_frame: the bucketed two-pass decomposition must
     equal the unpartitioned RANGE window exactly — including ties,
