@@ -483,6 +483,44 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pandas_grouped_map_zscore",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round((l_extendedprice
+              - avg(l_extendedprice)    OVER (PARTITION BY l_returnflag))
+             / stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag),
+             4) AS z_price
+FROM lineitem
+""",
+    tags=("E22",),
+)
+def pandas_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 grouped-map ``applyInPandas``: per-group z-score of extended
+    price. Each group arrives in Python as ONE pandas DataFrame and
+    returns a transformed frame — the API for group-local model scoring
+    / fitting that has no built-in equivalent. This particular
+    transform IS expressible declaratively (the oracle is a window
+    aggregate), which is the point: the pandas path is pinned
+    value-identical to the built-in plan. Scale caveat baked into the
+    API: a group must fit in one worker's memory — use the built-in
+    window when the logic allows, or sub-key the group when it doesn't."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+
+    def zscore(g: pd.DataFrame) -> pd.DataFrame:
+        mu = g.l_extendedprice.mean()
+        sd = g.l_extendedprice.std(ddof=1)
+        g = g.assign(z_price=((g.l_extendedprice - mu) / sd).round(4))
+        return g[["l_orderkey", "l_linenumber", "l_returnflag", "z_price"]]
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        "l_orderkey long, l_linenumber long, l_returnflag string, z_price double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # E2/E7 — scalar subqueries (correlated + uncorrelated)
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ codegen); zero Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -331,4 +332,48 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m, "type").alias("has_type"),
         F.map_contains_key(m, "missing").alias("has_missing"),
         F.array_join(F.array_sort(entry_strs), ",").alias("entries_csv"),
+    )
+
+
+@register(
+    "pandas_scalar_textfeat",
+    oracle="""
+SELECT doc_id,
+       length(text)                                         AS n_chars,
+       length(regexp_replace(text, '[^A-Z]', '', 'g'))      AS n_upper,
+       length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+             / greatest(length(text), 1), 4)                AS upper_ratio
+FROM documents
+""",
+    tags=("E22", "E25"),
+)
+def pandas_scalar_textfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 SCALAR pandas UDF: per-row text features computed vectorized
+    in Python (pandas ``.str`` ops over one Arrow batch at a time).
+    Unlike the grouped variants there is no shuffle at all — the UDF
+    pipelines inside the scan stage. Exists to pin the Arrow
+    scalar-batch path against a pure-SQL oracle; in production prefer
+    the JVM built-ins (regexp_replace/length) that the oracle uses —
+    same result, no Python hop (SURVEY §2b E22 'UDFs are the slow
+    path')."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_upper(text: pd.Series) -> pd.Series:
+        return text.str.count(r"[A-Z]").astype("int64")
+
+    @pandas_udf("long")
+    def n_spaces(text: pd.Series) -> pd.Series:
+        return text.str.count(" ").astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_upper("text").alias("n_upper"),
+        n_spaces("text").alias("n_spaces"),
+        F.round(
+            n_upper("text") / F.greatest(F.length("text"), F.lit(1)), 4
+        ).alias("upper_ratio"),
     )

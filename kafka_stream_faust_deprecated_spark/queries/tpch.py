@@ -32,8 +32,11 @@ from pyspark.sql import functions as F
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 
-#: revenue expression shared by most queries
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    """Revenue expression shared by most queries. A function, not a
+    module constant: building a Column requires an active SparkContext
+    in classic mode, and this module imports before any session exists."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -71,7 +74,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_REV), 4).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
         .select(
@@ -162,7 +165,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REV), 4).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
     )
 
 
@@ -251,7 +254,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-    ).agg(F.round(F.sum(_REV), 4).alias("revenue"))
+    ).agg(F.round(F.sum(_rev()), 4).alias("revenue"))
 
 
 @register(
@@ -291,7 +294,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_REV), 4).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -351,7 +354,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    rev = _REV
+    rev = _rev()
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
