@@ -377,3 +377,82 @@ def pandas_scalar_textfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_upper("text") / F.greatest(F.length("text"), F.lit(1)), 4
         ).alias("upper_ratio"),
     )
+
+
+@register(
+    "udtf_word_bigrams",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+     b AS (SELECT doc_id,
+                  list_transform(generate_series(1, len(words) - 1),
+                                 i -> words[i] || ' ' || words[i + 1]) AS bigrams
+           FROM w)
+SELECT doc_id,
+       unnest(bigrams)                              AS bigram,
+       unnest(generate_series(0, len(bigrams) - 1)) AS pos
+FROM b
+""",
+    tags=("E22", "E25"),
+)
+def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 Python UDTF (Spark 4 user-defined TABLE function): one input
+    row fans out to N output rows — here, positional word bigrams per
+    document via LATERAL join. The UDTF is the arbitrary-Python
+    generalization of explode: use built-in explode/transform when the
+    fan-out is expressible (the oracle shows this one is); the UDTF
+    exists for generators with real logic (parsers, samplers,
+    beam-search expansions). Arrow-batched like the pandas UDFs; the
+    lateral join pipelines inside the scan stage — no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string, pos long")
+    class Bigrams:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            words = (text or "").split(" ")
+            for i in range(len(words) - 1):
+                yield words[i] + " " + words[i + 1], i
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bigram, b.pos
+        FROM udtf_docs d, LATERAL bigrams_udtf(d.text) b
+        """
+    )
+
+
+@register(
+    "variant_json_path",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+       json_extract_string(props, '$.k')          AS k_str,
+       CASE WHEN json_extract(props, '$.missing') IS NULL
+            THEN 1 ELSE 0 END                     AS miss
+FROM events
+WHERE event_type = 'error'
+""",
+    tags=("E18",),
+)
+def variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 via VariantType (Spark 4's binary semi-structured encoding):
+    ``parse_json`` once, then typed ``variant_get`` path extraction.
+    Against string-path ``get_json_object`` (the json_functions query)
+    the variant parses each document ONCE into a binary form that all
+    downstream path reads share — the right encoding when many fields
+    are extracted from the same JSON at 100 TB. Missing paths yield
+    NULL, pinned by the ``miss`` flag."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_num"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.when(
+            F.expr("variant_get(parse_json(props), '$.missing', 'string')").isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("miss"),
+    )
