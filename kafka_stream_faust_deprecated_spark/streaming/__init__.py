@@ -13,6 +13,8 @@ from kafka_stream_faust_deprecated_spark.streaming.windows import (
 from kafka_stream_faust_deprecated_spark.streaming.sinks import (
     idempotent_parquet_sink,
     read_sink,
+    read_upsert_table,
+    upsert_latest_sink,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "stream_stream_join",
     "idempotent_parquet_sink",
     "read_sink",
+    "upsert_latest_sink",
+    "read_upsert_table",
 ]

@@ -22,6 +22,8 @@ from kafka_stream_faust_deprecated_spark.streaming.sinks import (
     BATCH_ID_COL,
     idempotent_parquet_sink,
     read_sink,
+    read_upsert_table,
+    upsert_latest_sink,
 )
 from tests.test_streaming_windows import make_event, _write_sources
 
@@ -94,3 +96,101 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
             BATCH_ID_COL
         ).parquet(naive_out)
     assert spark.read.parquet(naive_out).count() == 2 * len(BATCH_1)
+
+
+def test_checkpoint_restart_processes_only_new_data(spark, tmp_path):
+    """Exactly-once across a REAL restart: run to completion on batch 1,
+    stop, add a second source file, restart from the SAME checkpoint —
+    the second run must process only the new file (offsets resumed) and
+    the sink must hold each row exactly once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = file_event_source(spark, str(src)).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.foreachBatch(idempotent_parquet_sink(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with open(src / "b1.json", "w") as f:
+        for e in BATCH_1:
+            f.write(json.dumps(e) + "\n")
+    run_once()
+    assert len(_rows(spark, out_dir)) == len(BATCH_1)
+
+    with open(src / "b2.json", "w") as f:
+        for e in BATCH_2:
+            f.write(json.dumps(e) + "\n")
+    run_once()
+
+    expected = {
+        (e["event_id"], e["user_id"], e["event_type"], e["value"])
+        for e in BATCH_1 + BATCH_2
+    }
+    assert _rows(spark, out_dir) == expected, "restart lost or duplicated rows"
+
+
+UPSERT_B1 = [
+    make_event(1, 0, 1, "purchase", 10.0),   # user 1 v1
+    make_event(2, 1, 2, "click", 1.0),       # user 2 v1
+    make_event(3, 2, 3, "view", 5.0),        # user 3 v1
+]
+UPSERT_B2 = [
+    make_event(4, 3, 1, "purchase", 99.0),   # user 1 v2 (newer ts -> wins)
+    make_event(5, 4, 4, "signup", 7.0),      # user 4 new key
+]
+
+
+def test_upsert_latest_sink_materializes_latest_per_key(spark, tmp_path):
+    dirs = _write_sources(
+        tmp_path, {"src": [("b1.json", UPSERT_B1), ("b2.json", UPSERT_B2)]}
+    )
+    out_dir = str(tmp_path / "mv")
+    sink = upsert_latest_sink(
+        spark, out_dir, key_cols=("user_id",), ts_col="ts",
+        tiebreak_col="event_id", n_buckets=4,
+    )
+    stream = file_event_source(spark, dirs["src"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_upsert_table(spark, out_dir).collect()
+    }
+    assert got == {
+        1: (4, 99.0),   # upserted by batch 2
+        2: (2, 1.0),
+        3: (3, 5.0),
+        4: (5, 7.0),    # inserted by batch 2
+    }
+
+    # Idempotence of the merge: re-applying batch 2 changes nothing.
+    replay = spark.createDataFrame(
+        [
+            (e["event_id"], e["ts"], e["user_id"], e["event_type"], e["value"])
+            for e in UPSERT_B2
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sink(replay, 1)
+    again = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_upsert_table(spark, out_dir).collect()
+    }
+    assert again == got, "merge replay was not idempotent"
