@@ -456,3 +456,80 @@ def variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("miss"),
     )
+
+
+@register(
+    "null_conditional_functions",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       nullif(l_discount, 0.0)                        AS disc_or_null,
+       coalesce(nullif(l_discount, 0.0), -1.0)        AS disc_coalesced,
+       ifnull(nullif(l_tax, 0.0), 0.0)                AS tax_ifnull,
+       CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
+            THEN 'discounted' ELSE 'full_price' END   AS price_class,
+       CASE WHEN l_discount = 0.0 THEN NULL
+            ELSE round(l_extendedprice * l_discount, 4) END AS rebate,
+       (nullif(l_discount, 0.0) IS NULL)::INTEGER     AS is_full_price
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+    tags=("E14", "E16"),
+)
+def null_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: ``nullif`` / ``coalesce`` / ``ifnull`` /
+    CASE-with-NULL and null-test projection — the three-valued-logic
+    corners every SQL engine must agree on. All JVM expressions inside
+    one codegen stage; the filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_coalesced"),
+        F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.0)).alias("tax_ifnull"),
+        F.when(disc_null.isNotNull(), F.lit("discounted"))
+        .otherwise("full_price")
+        .alias("price_class"),
+        F.when(
+            F.col("l_discount") == 0.0, F.lit(None).cast("double")
+        )
+        .otherwise(F.round(F.col("l_extendedprice") * F.col("l_discount"), 4))
+        .alias("rebate"),
+        disc_null.isNull().cast("int").alias("is_full_price"),
+    )
+
+
+@register(
+    "bitwise_functions",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255                       AS low_byte,
+       o_orderkey | 4096                      AS with_flag,
+       xor(o_orderkey, 21845)                 AS xored,
+       CAST(o_orderkey << 2 AS BIGINT)        AS shl2,
+       CAST(o_orderkey >> 3 AS BIGINT)        AS shr3,
+       bit_count(o_orderkey)                  AS popcount,
+       CAST(~o_orderkey AS BIGINT)            AS flipped
+FROM orders
+WHERE o_orderkey < 2000
+""",
+    tags=("E16",),
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND/OR/XOR/NOT, shifts, popcount — the
+    primitives under bitmap indexes, bloom filters, and the engine's own
+    SimHash operator (queries/llm.py)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("long").alias("popcount"),
+        F.bitwise_not(k).alias("flipped"),
+    )

@@ -164,3 +164,69 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return old_versions.unionByName(new_versions)
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t0 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after_signup,
+       (SELECT count(*) FROM p) AS n_purchase_after_click,
+       round((SELECT count(*) FROM p) * 1.0
+             / greatest((SELECT count(*) FROM s), 1), 4) AS conversion
+""",
+    tags=("E7", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence funnel: signup -> first later click ->
+    first later purchase, with end-to-end conversion rate.
+
+    Each stage is one aggregation plus one equi-join on ``user_id`` —
+    on a cluster all three stages reuse the same hash partitioning, so
+    the funnel is effectively one fact shuffle followed by co-located
+    joins of ever-shrinking per-user stage tables. The time ordering
+    (``ts > prior stage``) rides the join predicate; no window over the
+    full event history and no per-user sort."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    counts = (
+        s.agg(F.count("*").alias("n_signup"))
+        .join(c.agg(F.count("*").alias("n_click_after_signup")))
+        .join(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_click_after_signup",
+        "n_purchase_after_click",
+        F.round(
+            F.col("n_purchase_after_click")
+            / F.greatest(F.col("n_signup"), F.lit(1)),
+            4,
+        ).alias("conversion"),
+    )

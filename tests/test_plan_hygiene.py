@@ -25,6 +25,7 @@ BNLJ_WHITELIST = {
     "tfidf_top_terms": "broadcast side = the 1-row global doc count",
     "kmeans_lloyd_step": "broadcast side = the k x dim centroid table",
     "scalar_subquery_orders": "broadcast side = the 1-row global average",
+    "funnel_conversion": "broadcast sides = the three 1-row stage counts",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -35,6 +36,7 @@ SINGLE_PARTITION_WHITELIST = {
     "scalar_subquery_orders": "global average aggregate: 1 row",
     "tpch_q6_forecast_revenue": "global revenue aggregate: 1 partial row per task",
     "tpch_q14_promo_revenue": "global promo-share aggregate: 1 partial row per task",
+    "funnel_conversion": "three 1-row stage-count aggregates",
 }
 
 
