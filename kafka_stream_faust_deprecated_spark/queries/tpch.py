@@ -415,3 +415,604 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH supply AS (
+    SELECT l_partkey, l_suppkey,
+           round(avg(l_extendedprice / l_quantity), 4) AS price
+    FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT round(e.s_acctbal, 2) AS s_acctbal,
+       e.s_name              AS s_name,
+       e.n_name              AS n_name,
+       p.p_partkey           AS p_partkey,
+       p.p_name              AS p_name,
+       sp.price              AS price
+FROM part p
+JOIN supply sp ON sp.l_partkey = p.p_partkey
+JOIN eu e      ON e.s_suppkey  = sp.l_suppkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+  AND sp.price = (
+      SELECT min(sp2.price)
+      FROM supply sp2 JOIN eu e2 ON e2.s_suppkey = sp2.l_suppkey
+      WHERE sp2.l_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 25
+""",
+    tags=("E3", "E12", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: cheapest EUROPE supplier per STANDARD part (adapted: no
+    partsupp table, so unit cost = avg(l_extendedprice/l_quantity) per
+    (part, supplier) observed in lineitem).
+
+    The correlated ``= (SELECT min ...)`` is expressed as a window
+    ``min() OVER (PARTITION BY p_partkey)`` over the already-joined,
+    already-filtered supply rows — one shuffle on partkey instead of a
+    second scan + re-join of the subquery, the standard decorrelation
+    Catalyst itself would pick. Dims (part-filtered, supplier⋈nation⋈
+    region) are broadcast; only the supply agg shuffles."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("price")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    joined = supply.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_price", F.min("price").over(w))
+        .where(F.col("price") == F.col("min_price"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "price",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+SELECT year(o.o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN part p     ON p.p_partkey  = l.l_partkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey  = o.o_custkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = cn.n_regionkey
+WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("E3", "E7", "tpch"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3 suppliers' share of the AMERICA ECONOMY-part market
+    by order year. Seven-table star: every dim (part-filtered,
+    supplier, both nation roles, customer, region) broadcasts; the two
+    facts join on l_orderkey; the conditional-sum ratio is one partial
+    agg. Same-table double role (nation as supplier-nation AND
+    customer-nation) is done with two aliased broadcasts, not a
+    self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_rkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("sn_name") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT sn.n_name            AS nation,
+       year(o.o_orderdate)::INT AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey    = l.l_partkey
+JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey   = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+""",
+    tags=("E3", "E7", "tpch"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit on widget parts by supplier nation and year (adapted:
+    no partsupp, so unit supply cost = 0.6 × p_retailprice). The LIKE
+    filter on the broadcast part dim prunes lineitem rows at the join,
+    before the orders join — dim-filter-first ordering that matters when
+    lineitem is the 100 TB side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+WITH val AS (
+    SELECT l.l_partkey AS p_key,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey < 3
+    GROUP BY 1
+)
+SELECT p_key              AS l_partkey,
+       round(value, 4)    AS value
+FROM val
+WHERE value > (SELECT 0.001 * sum(value) FROM val)
+ORDER BY value DESC, l_partkey
+""",
+    tags=("E3", "E7", "tpch"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose traded value through NATION_{0,1,2} suppliers
+    exceeds 0.1% of that channel's total (adapted: no partsupp, value =
+    discounted revenue through those suppliers). The group-vs-global
+    comparison reuses ONE aggregation: the per-part agg is computed
+    once, and the global total is a broadcast scalar from a second pass
+    over the (tiny) agg output — never a rescan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 3)
+    val = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+    )
+    total = val.agg(F.sum("value").alias("tot"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value") > 0.001 * F.col("tot"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+SELECT l.l_linestatus AS l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("E3", "E7", "tpch"),
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: priority mix of LATE shipments by line status (adapted: no
+    shipmode/receiptdate, so "late" = shipped >90 days after the order
+    date and the grouping key is l_linestatus). The date-vs-date theta
+    predicate rides on the equi-join — it stays a hash join with a
+    post-join filter, never a BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey  AS s_suppkey,
+       s.s_name     AS s_name,
+       r.total_rev  AS total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+    tags=("E3", "E7", "tpch"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum Q1-1996 revenue. The
+    revenue-equals-max correlated view is one aggregation reused twice:
+    per-supplier revenue (100 rows) feeds both the broadcast max scalar
+    and the final filter — no second lineitem scan. Rounded to 4dp on
+    BOTH sides before the equality so the two engines agree on ties."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand AS p_brand,
+       p.p_type  AS p_type,
+       p.p_size  AS p_size,
+       count(DISTINCT pr.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+JOIN part p ON p.p_partkey = pr.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND pr.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("E3", "E4", "E7", "tpch"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: how many qualified suppliers can supply each (brand, type,
+    size) bucket (adapted: supplier-part pairs observed in lineitem
+    stand in for partsupp; "complaint" suppliers = negative account
+    balance, excluded by ANTI join — the NOT IN never materializes a
+    null-prone IN-list). distinct-pairs → broadcast-dim filter →
+    count-distinct: two exchanges total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS q_thresh
+    FROM lineitem GROUP BY 1
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa    ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13' AND l.l_quantity < pa.q_thresh
+""",
+    tags=("E3", "E7", "tpch"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue lost if tiny orders (below 20% of the part's mean
+    quantity) were dropped, for one brand. The correlated per-part AVG
+    decorrelates into a groupBy + equi-join back onto lineitem — and
+    because only Brand#13 parts survive the dim filter, the avg agg
+    itself is computed AFTER a semi-join-style pruning through the
+    broadcast part dim, not over all 100 TB of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    pruned = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    pa = pruned.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("q_thresh")
+    )
+    return (
+        pruned.join(F.broadcast(pa), F.col("pa_key") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("q_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("E2", "E3", "tpch"),
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue under an OR-of-ANDs predicate spanning both join
+    sides. The disjunction can't be pushed below the join whole, but
+    its single-side residues CAN: Catalyst derives ``p_size BETWEEN 1
+    AND 15``-ish envelopes for the part scan and ``l_quantity BETWEEN 1
+    AND 30`` for the lineitem scan from the OR (constraint
+    propagation), so both parquet scans still prune before the
+    broadcast join evaluates the exact disjunction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#20") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(disj)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q20_excess_supply",
+    oracle="""
+WITH sq AS (
+    SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+)
+SELECT s.s_name AS s_name, n.n_name AS n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN
+      (SELECT l_suppkey FROM sq WHERE qty > (SELECT 0.5 * avg(qty) FROM sq))
+ORDER BY s_name
+""",
+    tags=("E3", "E4", "E7", "tpch"),
+)
+def tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers who moved an above-half-average volume of red
+    parts in 1996 (adapted: shipped quantity stands in for partsupp
+    availqty). Chain: broadcast-dim prune → per-supplier agg →
+    broadcast scalar threshold → LEFT SEMI into the supplier dim. The
+    semi join keeps supplier rows unique without a distinct."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    sq = (
+        li.join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = sq.agg((0.5 * F.avg("qty")).alias("t"))
+    hot = sq.join(F.broadcast(thresh)).where(F.col("qty") > F.col("t"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+WITH late AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM late t
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE EXISTS (SELECT 1 FROM allsup a
+              WHERE a.l_orderkey = t.l_orderkey AND a.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = t.l_orderkey
+                    AND l2.l_suppkey <> t.l_suppkey)
+GROUP BY 1 ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("E3", "E4", "E7", "tpch"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who were the SOLE late shipper on a multi-supplier
+    finished order (adapted: late = shipped >60 days after order date;
+    no receipt/commit dates in the fixture). The EXISTS / NOT-EXISTS
+    pair decorrelates into a per-order aggregation over the distinct
+    (order, supplier) late/all sets: an order qualifies a supplier iff
+    it has >1 distinct suppliers overall and exactly 1 late one — one
+    shuffle on l_orderkey replaces two correlated self-joins of
+    lineitem (the classic Q21 plan killer at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    per_order = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") > 1)
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late"), F.first("l_suppkey").alias("supp"))
+        .where(F.col("n_late") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(per_order, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supp"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+SELECT c.c_nationkey AS cntry,
+       count(*)      AS numcust,
+       round(sum(c.c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c.c_nationkey < 10
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("E4", "E7", "tpch"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: rich-but-idle customers by country (adapted: nationkey <10
+    stands in for the phone-prefix country codes, and "idle" = no order
+    since 2000-07 — every fixture customer has SOME order, so the
+    original no-orders-ever predicate would be vacuously empty).
+    Global positive-balance average = broadcast scalar; idle customers
+    = LEFT ANTI against the orders fact pre-filtered on date and
+    projected to its key column only (column pruning means the anti
+    join builds on o_custkey alone, not full order rows)."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") < 10)
+    avg_bal = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-07-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
