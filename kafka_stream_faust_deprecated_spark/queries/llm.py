@@ -1406,3 +1406,126 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("cluster_id"),
         (F.col("doc_id") == F.col("lab")).alias("is_canonical"),
     ).withColumn("cluster_size", F.count("*").over(w))
+
+
+@register(
+    "doc_repetition_ratios",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents),
+g AS (
+    SELECT doc_id, tk,
+           list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1]) AS g2,
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+    FROM t WHERE len(tk) >= 3
+)
+SELECT doc_id,
+       len(tk)::BIGINT AS n_words,
+       round(1 - len(list_distinct(tk)) / len(tk), 4) AS dup_word_frac,
+       round(list_aggregate(list_transform(list_distinct(g2),
+                 d -> len(list_filter(g2, x -> x = d))), 'max')
+             / len(g2), 4) AS top2_frac,
+       round(1 - len(list_distinct(g3)) / len(g3), 4) AS dup3_frac
+FROM g
+""",
+    tags=("E25",),
+)
+def doc_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    word fraction, most-frequent-2-gram share, and duplicated-3-gram
+    fraction (Rae et al. 2021 §A1.1 uses these to drop boilerplate/spam
+    pages; the fixture docs have no newlines, so the line-based
+    variants are word-n-gram based here).
+
+    Scale shape: every signal is a pure array expression over the
+    per-row token array — array_distinct / filter / transform run
+    inside the projection, so the whole operator is ONE parquet scan
+    with ZERO shuffles, embarrassingly parallel at 100 TB. The
+    most-frequent-2-gram count is O(distinct² ) per doc, bounded by
+    document length, never by corpus size. Token arrays are bound to
+    columns before the n-gram transforms (SPARK-36718: lambdas
+    re-evaluate non-cheap operands per element)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk")).where(
+        F.size("tk") >= 3
+    )
+    g = tk.select(
+        "doc_id",
+        "tk",
+        word_shingles(F.col("tk"), 2).alias("g2"),
+        word_shingles(F.col("tk"), 3).alias("g3"),
+    )
+    top2_counts = F.transform(
+        F.array_distinct("g2"),
+        lambda d: F.size(F.filter(F.col("g2"), lambda x: x == d)),
+    )
+    return g.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        F.round(
+            1 - F.size(F.array_distinct("tk")) / F.size("tk"), 4
+        ).alias("dup_word_frac"),
+        F.round(F.array_max(top2_counts) / F.size("g2"), 4).alias("top2_frac"),
+        F.round(
+            1 - F.size(F.array_distinct("g3")) / F.size("g3"), 4
+        ).alias("dup3_frac"),
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+    FROM toks
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1'))
+SELECT c.doc_id AS doc_id,
+       count(*)::BIGINT AS n_grams,
+       round(avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+           AS contamination
+FROM grams c LEFT JOIN bench b ON c.g = b.g
+WHERE c.source NOT IN ('src0', 'src1')
+GROUP BY 1
+""",
+    tags=("E23", "E25"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training-corpus doc,
+    the fraction of its word 3-grams (with multiplicity) that appear
+    anywhere in the held-out benchmark set (sources src0/src1 stand in
+    for the eval suite). Real pipelines run this with 8-13-grams
+    before training to keep eval sets out of the training mix; n=3
+    here only because the fixture vocabulary is ~30 words.
+
+    Scale shape: the benchmark n-gram set is DISTINCT-ed then
+    broadcast — eval suites are MBs even when the corpus is 100 TB —
+    so the corpus side is one scan + explode + broadcast-hash lookup +
+    per-doc partial agg; the only exchange is the final groupBy
+    doc_id, and AQE coalesces it. Never a shuffle of the corpus grams
+    against each other."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    grams = docs.select(
+        "doc_id", "source", F.explode(word_shingles(tokens(F.col("text")))).alias("g")
+    )
+    bench = (
+        grams.where(is_bench).select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 4).alias(
+                "contamination"
+            ),
+        )
+    )
