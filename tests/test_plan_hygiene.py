@@ -26,6 +26,9 @@ BNLJ_WHITELIST = {
     "kmeans_lloyd_step": "broadcast side = the k x dim centroid table",
     "scalar_subquery_orders": "broadcast side = the 1-row global average",
     "funnel_conversion": "broadcast sides = the three 1-row stage counts",
+    "tpch_q11_important_parts": "broadcast side = the 1-row channel-total aggregate",
+    "tpch_q20_excess_supply": "broadcast side = the 1-row half-average threshold",
+    "tpch_q22_global_sales_opportunity": "broadcast side = the 1-row global avg balance",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -37,6 +40,12 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q6_forecast_revenue": "global revenue aggregate: 1 partial row per task",
     "tpch_q14_promo_revenue": "global promo-share aggregate: 1 partial row per task",
     "funnel_conversion": "three 1-row stage-count aggregates",
+    "tpch_q11_important_parts": "global channel-total aggregate: 1 row",
+    "tpch_q15_top_supplier": "global max-revenue aggregate: 1 row",
+    "tpch_q17_small_quantity_revenue": "global revenue sum: 1 partial row per task",
+    "tpch_q19_disjunctive_revenue": "global revenue sum: 1 partial row per task",
+    "tpch_q20_excess_supply": "global threshold aggregate: 1 row",
+    "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
 }
 
 
