@@ -314,3 +314,46 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = _run_to_memory(spark, tmp_path, out, "dedup_s")
     ids = sorted(r["event_id"] for r in rows if r["event_type"] != "flush")
     assert ids == [1, 2, 3]
+
+
+#: 13:20 user3 — no click within [12:20, 13:20] exists anywhere, so under
+#: LEFT OUTER this purchase must surface null-padded once the watermark
+#: proves no future click can match.
+ORPHAN_P = [make_event(4, 800, 3, "purchase", 40.0)]
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit like the inner
+    join, and the never-matched purchase emits (4, NULL) — but only
+    after BOTH watermarks pass its join window (flush + spacer batches,
+    same choreography as the inner-join eviction test). This is a
+    different state-store path from the inner join: unmatched left rows
+    are retained and re-examined at watermark advance, not discarded."""
+    dirs = _write_sources(
+        tmp_path,
+        {
+            "purchases": [("p1.json", PURCHASES + ORPHAN_P), ("p2.json", FLUSH_P)],
+            "clicks": [
+                ("c1.json", CLICKS),
+                ("c2.json", FLUSH_C),
+                ("c3.json", FLUSH_C2),
+            ],
+        },
+    )
+    joined = stream_stream_join(
+        file_event_source(spark, dirs["purchases"]),
+        file_event_source(spark, dirs["clicks"]),
+        key="user_id",
+        max_delay="1 hour",
+        watermark="1 hour",
+        how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    rows = _run_to_memory(spark, tmp_path, joined, "ssj_louter")
+    pairs = {(r["purchase_id"], r["click_id"]) for r in rows}
+    assert EXPECTED_PAIRS <= pairs, pairs
+    assert (4, None) in pairs, pairs
+    # the orphan emits exactly once, and never with a phantom match
+    assert sum(1 for p, _ in pairs if p == 4) == 1
