@@ -177,3 +177,32 @@ def kafka_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def binary_file_source(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """E26 — raw-media ingestion via Spark's ``binaryFile`` source: each
+    file becomes one row of (path, modificationTime, length, content
+    binary). This is the front door of the multimodal pipeline — image/
+    audio/video blobs land here, get typed metadata attached, and flow
+    into ``functions.multimodal.extract_features`` WITHOUT ever passing
+    through the driver.
+
+    Scale notes: the source parallelizes over files (one split per file
+    — binary payloads don't split), so 100 TB of media across millions
+    of objects scans wide; ``pathGlobFilter`` prunes at listing time
+    (never opens non-matching files) and ``max_bytes`` guards executors
+    against single-file OOM by filtering on the LENGTH metadata column
+    before any content is materialized.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -78,3 +78,43 @@ def test_orc_filter_pushdown(spark, tmp_path):
         "PushedFilters", 1
     )[1].split("]")[0], plan
     assert q.count() > 0
+
+
+def test_binary_file_source_feeds_multimodal_extract(spark, tmp_path):
+    """E26 ingestion front door: raw media files land via the binaryFile
+    source — pathGlobFilter prunes non-matching files at LISTING time,
+    the length metadata column guards oversized payloads before content
+    is touched — and the surviving blobs flow straight into the Arrow
+    feature extractor with no driver round-trip."""
+    import hashlib
+
+    from kafka_stream_faust_deprecated_spark.functions.multimodal import (
+        extract_features,
+    )
+    from kafka_stream_faust_deprecated_spark.io import binary_file_source
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {i: bytes([i]) * (10 + i) for i in range(5)}
+    for i, raw in payloads.items():
+        (media / f"img_{i}.bin").write_bytes(raw)
+    (media / "notes.txt").write_bytes(b"not media")          # glob-pruned
+    (media / "huge_9.bin").write_bytes(b"x" * 1000)          # length-pruned
+
+    files = binary_file_source(
+        spark, str(media), glob="*.bin", max_bytes=100
+    )
+    table = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    rows = extract_features(table, fake=True).collect()
+    assert {r["doc_id"] for r in rows} == set(payloads)
+    for r in rows:
+        raw = payloads[r["doc_id"]]
+        assert r["n_bytes"] == len(raw)
+        assert r["content_hash"] == hashlib.md5(raw).hexdigest()
+        assert len(r["feature"]) == 4
