@@ -1529,3 +1529,122 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Curation thresholds (pipeline_curate). Ordinary pretraining-filter
+#: settings scaled to the fixture corpus' synthetic stats.
+CURATE_LANG = "en"
+CURATE_MIN_QUALITY = 0.45
+CURATE_MAX_CONTAMINATION = 0.5
+CURATE_MIN_TOKENS = 25
+CURATE_MAX_TOKENS = 1000
+
+
+@register(
+    "pipeline_curate",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, source, text,
+           string_split({SQL_NORM}, ' ') AS tk,
+           md5({SQL_NORM}) AS h
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           round(0.4 * (CASE WHEN len(tk) > 0
+                    THEN len(list_distinct(tk)) * 1.0 / len(tk) ELSE 0.0 END)
+               + 0.3 * (CASE WHEN len(tk) > 0
+                    THEN len(list_filter(tk, x -> x IN ({_SQL_STOPS}))) * 1.0 / len(tk)
+                    ELSE 0.0 END)
+               + 0.3 * least(len(tk) / 100.0, 1.0), 4) AS quality
+    FROM t
+),
+grams AS (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+    FROM t
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+cont AS (
+    SELECT c.doc_id,
+           round(avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+               AS contamination
+    FROM grams c LEFT JOIN bench b ON c.g = b.g
+    WHERE c.source NOT IN ('src0', 'src1')
+    GROUP BY 1
+),
+canon AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY 1)
+SELECT t.doc_id AS doc_id,
+       m.n_tokens::BIGINT AS n_tokens,
+       m.quality AS quality,
+       coalesce(cont.contamination, 0.0) AS contamination,
+       (t.lang = '{CURATE_LANG}') AS lang_ok,
+       (m.quality >= {CURATE_MIN_QUALITY}) AS qual_ok,
+       (m.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}) AS tok_ok,
+       (coalesce(cont.contamination, 0.0) <= {CURATE_MAX_CONTAMINATION}) AS cont_ok,
+       (t.doc_id = canon.keep_id) AS is_canonical,
+       (t.lang = '{CURATE_LANG}'
+        AND m.quality >= {CURATE_MIN_QUALITY}
+        AND m.n_tokens BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+        AND coalesce(cont.contamination, 0.0) <= {CURATE_MAX_CONTAMINATION}
+        AND t.doc_id = canon.keep_id) AS retained
+FROM t
+JOIN m ON m.doc_id = t.doc_id
+LEFT JOIN cont ON cont.doc_id = t.doc_id
+JOIN canon ON canon.h = t.h
+WHERE t.source NOT IN ('src0', 'src1')
+""",
+    tags=("E23", "E25"),
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE declarative plan: language
+    filter + quality score + token bounds + benchmark-contamination cap
+    + exact-dedup canonical selection, each stage reusing the
+    registered operator's own implementation (doc_quality_score,
+    contamination_ngram_overlap, dedup_exact_documents). The output
+    carries per-stage pass flags plus the final ``retained`` verdict so
+    a pipeline owner can audit WHY a document was dropped — the shape
+    real curation jobs write back to the lakehouse.
+
+    Scale shape: all stages are scans/broadcast-lookups/per-key aggs of
+    the SAME corpus; Catalyst plans the composition without
+    materializing intermediates, and every join here is on doc_id or a
+    32-byte hash — no stage introduces a shuffle the standalone
+    operator didn't already have."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    base = docs.where(~is_bench).select(
+        "doc_id", "lang", F.md5(norm_text(F.col("text"))).alias("h")
+    )
+    quality = doc_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    cont = contamination_ngram_overlap(spark, sf_dir).select(
+        "doc_id", "contamination"
+    )
+    canon = dedup_exact_documents(spark, sf_dir).select(
+        F.col("text_hash").alias("h"), "keep_id"
+    )
+    lang_ok = F.col("lang") == CURATE_LANG
+    qual_ok = F.col("quality") >= CURATE_MIN_QUALITY
+    tok_ok = F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
+    cont_ok = F.col("contamination") <= CURATE_MAX_CONTAMINATION
+    is_canon = F.col("doc_id") == F.col("keep_id")
+    return (
+        base.join(quality, "doc_id")
+        .join(cont, "doc_id", "left")
+        .na.fill({"contamination": 0.0})
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "contamination",
+            lang_ok.alias("lang_ok"),
+            qual_ok.alias("qual_ok"),
+            tok_ok.alias("tok_ok"),
+            cont_ok.alias("cont_ok"),
+            is_canon.alias("is_canonical"),
+            (lang_ok & qual_ok & tok_ok & cont_ok & is_canon).alias("retained"),
+        )
+    )
