@@ -404,7 +404,15 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Banded candidate join (4 bands x 8 bits): two bit errors can touch
     at most 2 bands, so every qualifying pair shares >= 2 exact bands —
     guaranteed recall without comparing all pairs (the oracle uses the
-    all-pairs formulation; an oracle doesn't need to scale)."""
+    all-pairs formulation; an oracle doesn't need to scale).
+
+    The fingerprint stage (scan + tokenize + per-token md5 + 32 bit-sum
+    aggregation) is persisted before the banded self-join — without the
+    persist Catalyst plans BOTH join sides as the full pipeline, paying
+    the corpus scan and hash work twice (the same no-CSE-across-self-join
+    trap the MinHash plan hit in round 1). The result is eagerly
+    checkpointed so the ``finally`` releases the cache and callers (the
+    connected-components clusterer) get a lineage-free pair list."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     tt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     hv = tt.select(
@@ -428,7 +436,7 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("fp"),
-    )
+    ).persist()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fp.select(
@@ -448,27 +456,31 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.bv")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    try:
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                F.col("a.fp").alias("fa"),
+                F.col("b.fp").alias("fb"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.fp").alias("fa"),
-            F.col("b.fp").alias("fb"),
+        return (
+            cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+            .where(F.col("hamming") <= SIMHASH_HAMMING)
+            .select("da", "db", F.col("hamming").cast("long").alias("hamming"))
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
-        .where(F.col("hamming") <= SIMHASH_HAMMING)
-        .select("da", "db", F.col("hamming").cast("long").alias("hamming"))
-    )
+    finally:
+        fp.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1366,6 +1378,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one place a driver loop is the correct Spark idiom (spark.ml
     does the same). The oracle is a recursive CTE — exact, but
     all-reachable-labels, which only an oracle can afford.
+
+    Scale shape — iterate over edge-incident nodes ONLY: a node with no
+    candidate edge can never change its label, so the propagation loop
+    runs over ``edges.endpoints.distinct()`` (<= 2·|pairs| rows — for a
+    sparse dup graph, orders of magnitude smaller than the corpus) and
+    every untouched document joins the result as a singleton cluster
+    AFTER convergence via one anti-join. At 100 TB this turns per-round
+    cost from O(corpus) shuffles into O(dup-graph) shuffles, and the
+    cluster-size window runs over the tiny label set, never the corpus
+    (singletons take cluster_size = 1 as a literal, no shuffle).
     """
     pairs = neardup_simhash(spark, sf_dir).select("da", "db")
     edges = (
@@ -1373,26 +1395,42 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("a", "b")
         .localCheckpoint(eager=True)
     )
-    docs = load_table_parallel(spark, sf_dir, "documents")
-    labels = docs.select(
-        F.col("doc_id"), F.col("doc_id").alias("lab")
-    ).localCheckpoint(eager=True)
+    # edges holds both directions, so column `a` alone enumerates every
+    # edge-incident node. Only these can ever receive a foreign label.
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.a == labels.doc_id)
             .groupBy(F.col("b").alias("doc_id2"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
+        cand = labels.join(nbr_min, labels.doc_id == nbr_min.doc_id2, "left").select(
+            "doc_id",
+            F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias("l1"),
+            F.col("lab").alias("old_lab"),
+        )
+        # Pointer-doubling (hash-to-min): follow the new label one hop to
+        # ITS label in the same round, halving chain depth each pass —
+        # convergence in O(log diameter) rounds instead of O(diameter).
+        hop = cand.select(F.col("doc_id").alias("p_id"), F.col("l1").alias("p_lab"))
         merged = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.doc_id2, "left")
+            cand.join(hop, cand.l1 == hop.p_id, "left")
             .select(
                 "doc_id",
-                F.least(F.col("lab"), F.coalesce(F.col("nbr_lab"), F.col("lab"))).alias(
+                F.least(F.col("l1"), F.coalesce(F.col("p_lab"), F.col("l1"))).alias(
                     "new_lab"
                 ),
-                F.col("lab").alias("old_lab"),
+                "old_lab",
             )
-            .localCheckpoint(eager=True)
+            # Lazy checkpoint: the convergence count below is the single
+            # job that both materializes the truncated lineage and
+            # returns the changed-rows scalar — one Spark job per round.
+            .localCheckpoint(eager=False)
         )
         changed = merged.where(F.col("new_lab") != F.col("old_lab")).count()
         labels = merged.select("doc_id", F.col("new_lab").alias("lab"))
@@ -1401,11 +1439,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - CC_MAX_ITERS >> any near-dup graph diameter
         raise RuntimeError("connected components did not converge")
     w = Window.partitionBy("cluster_id")
-    return labels.select(
-        "doc_id",
-        F.col("lab").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lab")).alias("is_canonical"),
-    ).withColumn("cluster_size", F.count("*").over(w))
+    clustered = (
+        labels.select(
+            "doc_id",
+            F.col("lab").alias("cluster_id"),
+            (F.col("doc_id") == F.col("lab")).alias("is_canonical"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+    )
+    singletons = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(True).alias("is_canonical"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return clustered.unionByName(singletons)
 
 
 @register(

@@ -7,7 +7,12 @@ driver owns its session), smoke-runs ``entry(spark)``, then runs every
 ``oracle_sql()[name]`` via DuckDB: row count, column names,
 order-insensitive normalized value multiset.
 
-Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+Usage: python scripts/driver_sim.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the per-query results are also written in the driver's
+CORRECTNESS_r{N}.json format, so each round can commit a full
+self-check artifact (SELFCHECK_r{N}.json) even when the driver's own
+file samples only a subset of the registry.
 """
 
 from __future__ import annotations
@@ -50,8 +55,14 @@ def _multiset(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
 
@@ -74,6 +85,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    results = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -85,9 +97,17 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failed.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": f"spark: {ex}"[:300],
+            }
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (rows-only) in {time.time() - t0:.1f}s")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             rel = con.execute(oracles[name])
@@ -96,21 +116,40 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failed.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None, "err": f"duckdb: {ex}"[:300],
+            }
             continue
         status, detail = "OK", ""
-        if sorted(scols) != sorted(dcols):
+        schema_match = sorted(scols) == sorted(dcols)
+        rows_match = len(srows) == len(drows)
+        hash_match = False
+        if not schema_match:
             status, detail = "FAIL", f"cols spark={scols} duck={dcols}"
-        elif len(srows) != len(drows):
+        elif not rows_match:
             status, detail = "FAIL", f"rows spark={len(srows)} duck={len(drows)}"
         else:
             sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
-            if sm != dm:
+            hash_match = sm == dm
+            if not hash_match:
                 diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 status, detail = "FAIL", f"values differ, e.g. {diffs}"
         print(f"{status:5s} {name}: {len(srows)} rows in {time.time() - t0:.1f}s {detail}")
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": detail or None,
+        }
         if status == "FAIL":
             failed.append(name)
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
