@@ -109,6 +109,16 @@ def lsh_bucket_strings_pandas(n_tables: int, bits_per_table: int, dim: int):
     sequential ``list_dot_product`` is irrelevant in practice (|dot| is
     O(1) while fp reorder error is ~1e-13; the sf0.01 oracle hash-match
     would catch any flipped bit loudly).
+
+    Caveat (platform-pinned determinism): the empirical |dot| >> error
+    margin is measured on THIS corpus/platform, not guaranteed. A dot
+    product landing within BLAS reorder error of zero could hash
+    differently than the oracle's sequential sum on another BLAS
+    build/arch. An epsilon threshold would not remove the risk (it only
+    relocates the critical surface from 0 to eps), so we keep the plain
+    sign rule and pin correctness via the oracle hash-match on the
+    platform under test. A flipped bit only perturbs LSH candidate
+    recall, never correctness of verified pairs.
     """
     from pyspark.sql.functions import pandas_udf
 

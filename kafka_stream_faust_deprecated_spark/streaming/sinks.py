@@ -106,10 +106,18 @@ def upsert_latest_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         key_hash = F.hash(*[F.col(c) for c in key_cols])
         b = batch_df.withColumn(BUCKET_COL, F.pmod(key_hash, F.lit(n_buckets)))
-        try:
-            existing = spark.read.parquet(out_dir)
-        except Exception:  # first batch: table does not exist yet
-            existing = None
+        # Probe table existence explicitly via the Hadoop FileSystem (works
+        # on any FS Spark can read, incl. object stores) instead of
+        # catching a broad Exception around the read: a transient read
+        # failure (FS hiccup, corrupt footer, permissions) must FAIL the
+        # micro-batch so the checkpoint retries it — treating it as
+        # "first batch" would rewrite touched buckets without their
+        # previously persisted keys (silent data loss).
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+        table_exists = jpath.getFileSystem(hconf).exists(jpath)
+        existing = spark.read.parquet(out_dir) if table_exists else None
         if existing is not None:
             touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
             merged = existing.where(F.col(BUCKET_COL).isin(touched)).unionByName(b)
@@ -126,17 +134,27 @@ def upsert_latest_sink(
             .drop("_rn")
         )
         if existing is not None:
-            # The merge reads the same path it overwrites: materialize it
-            # (lineage cut) BEFORE the write, or the scan would race the
-            # overwrite. A production deployment writes to a new
-            # directory and swaps, or uses a transactional table format.
-            latest = latest.localCheckpoint(eager=True)
+            # The merge reads the same path it overwrites, so the merged
+            # rows must be durably materialized BEFORE the overwrite.
+            # localCheckpoint would pin blocks on executors only — an
+            # executor loss mid-overwrite would force recompute from a
+            # partially-truncated target. Stage to a sibling directory
+            # instead: the final overwrite scans the staged files, so any
+            # task retry re-reads durable staging, never the target.
+            staging = f"{out_dir}__staging_b{batch_id}"
+            latest.write.mode("overwrite").parquet(staging)
+            latest = spark.read.parquet(staging)
+        else:
+            staging = None
         (
             latest.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
+        if staging is not None:  # best-effort cleanup; replay overwrites it
+            spath = jvm.org.apache.hadoop.fs.Path(staging)
+            spath.getFileSystem(hconf).delete(spath, True)
 
     return write_batch
 

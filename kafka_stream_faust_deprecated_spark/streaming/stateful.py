@@ -83,16 +83,29 @@ def _sma_state_fn(
     else:
         buf, emitted_set, typ = {}, set(), None
 
+    # applyInPandasWithState gives NO ordering guarantee across the Arrow
+    # batches of a group within a micro-batch (the reference gets its
+    # arrival order from the Kafka partition log). "Keep-first" must not
+    # depend on that nondeterministic order, so collect the micro-batch's
+    # rows and sort them by a deterministic total order (second, then
+    # value fields) before applying keep-first: which duplicate wins is
+    # then a pure function of the data. Across micro-batches the earlier
+    # batch still wins (it reached state first) — that order IS
+    # deterministic, fixed by the checkpointed offset log.
+    batch_rows: list[tuple[int, float, int, bool, str]] = []
     for pdf in pdfs:
         for ts, vwap, size, rf, tp in zip(
             pdf["ts"], pdf["vwap_price_per_sec"], pdf["size_per_sec"],
             pdf["real_or_filled"], pdf["type"],
         ):
             sec = int(pd.Timestamp(ts).timestamp())  # second-truncate (S5)
-            if sec not in buf:  # keep-first dedup
-                buf[sec] = (float(vwap), int(size), rf == "real")
-            if typ is None:
-                typ = tp  # S14 first-value
+            batch_rows.append((sec, float(vwap), int(size), rf == "real", tp))
+    batch_rows.sort()
+    for sec, vwap, size, real, tp in batch_rows:
+        if sec not in buf:  # keep-first dedup (deterministic: sorted above)
+            buf[sec] = (vwap, size, real)
+        if typ is None:
+            typ = tp  # S14 first-value
 
     # S21 prune: seconds that cannot complete any unemitted window.
     wm_sec = state.getCurrentWatermarkMs() // 1000
