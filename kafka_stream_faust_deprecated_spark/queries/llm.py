@@ -1652,39 +1652,88 @@ WHERE t.source NOT IN ('src0', 'src1')
     tags=("E23", "E25"),
 )
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation as ONE declarative plan: language
-    filter + quality score + token bounds + benchmark-contamination cap
-    + exact-dedup canonical selection, each stage reusing the
-    registered operator's own implementation (doc_quality_score,
-    contamination_ngram_overlap, dedup_exact_documents). The output
-    carries per-stage pass flags plus the final ``retained`` verdict so
-    a pipeline owner can audit WHY a document was dropped — the shape
-    real curation jobs write back to the lakehouse.
+    """End-to-end corpus curation: language filter + quality score +
+    token bounds + benchmark-contamination cap + exact-dedup canonical
+    selection. The output carries per-stage pass flags plus the final
+    ``retained`` verdict so a pipeline owner can audit WHY a document
+    was dropped — the shape real curation jobs write back to the
+    lakehouse.
 
-    Scale shape: all stages are scans/broadcast-lookups/per-key aggs of
-    the SAME corpus; Catalyst plans the composition without
-    materializing intermediates, and every join here is on doc_id or a
-    32-byte hash — no stage introduces a shuffle the standalone
-    operator didn't already have."""
+    Execution shape — tokenize ONCE, derive everything: the corpus is
+    scanned and tokenized exactly one time into a persisted
+    (doc_id, lang, source, tk, h) stage; quality metrics, both sides
+    of the contamination gram join, and the canonical-hash agg all read
+    that cached stage instead of re-scanning/re-tokenizing ``documents``
+    per composed signal (Catalyst does not CSE across subplans, so the
+    naive composition of the standalone operators held ~5 corpus scans
+    and ~4 tokenize passes). Joins are on doc_id or a 32-byte hash; the
+    bench gram set is DISTINCT-ed then broadcast; the per-doc result is
+    eagerly materialized so the corpus cache is released before
+    returning — the same persist-and-reuse discipline as
+    ``neardup_minhash_lsh``. At 100 TB the persisted stage becomes
+    ``persist(DISK_ONLY)`` or a checkpoint, and the result is written
+    straight to the lakehouse instead of checkpointed."""
+    tok = _curate_token_stage(spark, sf_dir).persist()
+    try:
+        # Eager materialization (per-doc audit rows, no text) lets the
+        # finally block release the corpus-sized token cache immediately.
+        return _curate_audit(tok).localCheckpoint(eager=True)
+    finally:
+        tok.unpersist()
+
+
+def _curate_token_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE corpus pass pipeline_curate performs: tokenized text plus
+    the exact-dedup hash, everything every curation signal needs."""
     docs = load_table_parallel(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens(F.col("text")).alias("tk"),
+        F.md5(norm_text(F.col("text"))).alias("h"),
+    )
+
+
+def _curate_audit(tok: DataFrame) -> DataFrame:
+    """Derive every curation signal from the (persisted) token stage."""
     is_bench = F.col("source").isin("src0", "src1")
-    base = docs.where(~is_bench).select(
-        "doc_id", "lang", F.md5(norm_text(F.col("text"))).alias("h")
+    tk = F.col("tk")
+    # quality formula = doc_quality_score's, minus the punct term the
+    # curation score never used; pure projection over the cached stage
+    metrics = tok.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.round(
+            0.4 * type_token_ratio(tk)
+            + 0.3 * stopword_ratio(tk)
+            + 0.3 * F.least(F.size(tk) / 100.0, F.lit(1.0)),
+            4,
+        ).alias("quality"),
     )
-    quality = doc_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
-    cont = contamination_ngram_overlap(spark, sf_dir).select(
-        "doc_id", "contamination"
+    grams = tok.select("doc_id", "source", F.explode(word_shingles(tk)).alias("g"))
+    bench = grams.where(is_bench).select("g").distinct().withColumn("hit", F.lit(1))
+    cont = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 4).alias(
+                "contamination"
+            )
+        )
     )
-    canon = dedup_exact_documents(spark, sf_dir).select(
-        F.col("text_hash").alias("h"), "keep_id"
-    )
+    # canonical selection runs over ALL docs (bench included), matching
+    # dedup_exact_documents' contract — one exchange on the 32-byte hash
+    canon = tok.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    base = tok.where(~is_bench).select("doc_id", "lang", "h")
     lang_ok = F.col("lang") == CURATE_LANG
     qual_ok = F.col("quality") >= CURATE_MIN_QUALITY
     tok_ok = F.col("n_tokens").between(CURATE_MIN_TOKENS, CURATE_MAX_TOKENS)
     cont_ok = F.col("contamination") <= CURATE_MAX_CONTAMINATION
     is_canon = F.col("doc_id") == F.col("keep_id")
     return (
-        base.join(quality, "doc_id")
+        base.join(metrics, "doc_id")
         .join(cont, "doc_id", "left")
         .na.fill({"contamination": 0.0})
         .join(canon, "h")

@@ -124,3 +124,43 @@ def test_multimodal_real_codec_is_gated():
     not deep inside an executor with a missing-import traceback."""
     with pytest.raises(NotImplementedError, match="image/png"):
         decode_media(b"\x89PNG", "image/png", fake=False)
+
+
+def test_pipeline_curate_single_corpus_scan(spark):
+    """pipeline_curate must tokenize the corpus exactly once: every
+    consumer branch (quality metrics, both gram sides, canonical agg,
+    base projection) reads the persisted token stage, so the only
+    parquet scans in the plan are the cache-fill reprints under each
+    InMemoryTableScan — zero uncached corpus scans. (The returned
+    DataFrame is localCheckpoint-ed; we patch it to identity to inspect
+    the pre-checkpoint plan.)"""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _curate_audit,
+        _curate_token_stage,
+        pipeline_curate,
+    )
+
+    tok = _curate_token_stage(spark, SF_DIR).persist()
+    try:
+        df = _curate_audit(tok)
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        tok.unpersist()
+    n_cached = plan.count("InMemoryTableScan")
+    n_parquet = plan.count("Scan parquet")
+    assert n_cached >= 4, plan
+    # formatted explain reprints the cached plan (one parquet scan) under
+    # each InMemoryTableScan; any EXTRA parquet scan is an uncached pass
+    assert n_parquet == n_cached, plan
+    # and the public entry returns a lineage-free, cache-released result
+    out = pipeline_curate(spark, SF_DIR)
+    assert out.count() > 0
+    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size(), (
+        "pipeline_curate leaked a cached stage"
+    )
