@@ -34,6 +34,42 @@ def _local_cpus() -> int:
         return 32
 
 
+#: Spark's two built-in streaming state store backends (SURVEY.md M6).
+#: The HDFS-backed default keeps every key in executor heap — fine for the
+#: reference's 3-symbol state, a hard cap at 100 TB keyspaces. RocksDB
+#: spills state to local SSD with an off-heap block cache and changelog
+#: checkpointing, so state scales with disk, not heap. RocksDB ships in
+#: the Spark distribution (rocksdbjni is bundled); no extra jars needed.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def configure_state_store(spark: SparkSession, backend: str) -> None:
+    """Select the streaming state store backend for subsequently *started*
+    queries (the provider class is captured when a streaming query starts,
+    so already-running queries are unaffected — and a query restarted from
+    an existing checkpoint must keep the backend it was created with).
+
+    ``backend`` is ``"hdfs"`` (executor-heap state, Spark's default) or
+    ``"rocksdb"`` (disk-backed state, the 100 TB choice). RocksDB also gets
+    changelog checkpointing so per-batch checkpoint cost is the delta, not
+    a full SST upload.
+    """
+    provider = STATE_STORE_PROVIDERS[backend]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    if backend == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+
+
 def get_spark(
     app_name: str = "ksfd-spark",
     shuffle_partitions: int | None = None,
@@ -70,6 +106,20 @@ def get_spark(
         # even at 100 TB fact scale; 64 MB keeps them broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # Streaming state backend (SURVEY.md M6): default to RocksDB so
+        # streaming state scales with executor disk instead of heap; set
+        # SPARK_GRAFT_STATE_STORE=hdfs to fall back to Spark's in-heap
+        # default. Both variants are golden-tested (tests/test_streaming_sma.py).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS[
+                os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb")
+            ],
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
 
     if "SPARK_LOCAL_MASTER" not in os.environ and not os.environ.get("MASTER"):

@@ -92,15 +92,31 @@ def _run_stream(spark, tmp_path, files, name):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
-def test_sma_streaming_matches_golden(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["hdfs", "rocksdb"])
+def test_sma_streaming_matches_golden(spark, tmp_path, backend):
     """File-source streaming run over 2 micro-batches; a far-future flush
     tick advances the watermark so every fixture window closes and emits
-    exactly once (append mode, S27)."""
-    ticks = build_fixture()
-    flush = [make_tick("ZZZ", 100_000, 1.0, 1, True)]
-    rows = _run_stream(spark, tmp_path, [("f1.json", ticks), ("f2.json", flush)], "sma_s1")
-    assert all(r["symbol"] != "ZZZ" for r in rows)  # lone tick never completes
-    _check_against_golden(rows, golden_sma(ticks))
+    exactly once (append mode, S27).
+
+    Parameterized over both state store backends (SURVEY.md M6): the
+    in-heap HDFS-backed default and the disk-backed RocksDB provider the
+    engine selects for 100 TB keyspaces. Same golden either way — the
+    backend is a storage choice, never a semantics choice."""
+    from kafka_stream_faust_deprecated_spark.session import configure_state_store
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    configure_state_store(spark, backend)
+    try:
+        ticks = build_fixture()
+        flush = [make_tick("ZZZ", 100_000, 1.0, 1, True)]
+        rows = _run_stream(
+            spark, tmp_path, [("f1.json", ticks), ("f2.json", flush)], f"sma_s1_{backend}"
+        )
+        assert all(r["symbol"] != "ZZZ" for r in rows)  # lone tick never completes
+        _check_against_golden(rows, golden_sma(ticks))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def test_sma_streaming_update_mode_converges_to_golden(spark, tmp_path):
