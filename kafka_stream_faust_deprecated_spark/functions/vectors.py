@@ -95,7 +95,9 @@ def lsh_table_buckets(
     )
 
 
-def lsh_bucket_strings_pandas(n_tables: int, bits_per_table: int, dim: int):
+def lsh_bucket_strings_pandas(
+    n_tables: int, bits_per_table: int, dim: int, bits_stride: int | None = None
+):
     """Arrow-vectorized LSH bucket assignment: ``array<string>`` of
     ``n_tables`` sign-bit bucket strings per vector.
 
@@ -122,9 +124,24 @@ def lsh_bucket_strings_pandas(n_tables: int, bits_per_table: int, dim: int):
     """
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(
-        lsh_hyperplanes(n_tables * bits_per_table, dim), dtype=np.float64
-    ).T  # dim x (tables*bits)
+    # ``bits_stride`` decouples the plane LAYOUT from the bucket WIDTH:
+    # table t owns global plane indices [t*stride, (t+1)*stride) and its
+    # bucket string uses the first ``bits_per_table`` of them. With
+    # stride > bits, a corpus-size-derived bucket width (auto-sized LSH)
+    # keeps each table's planes a stable prefix — widening the bucket
+    # refines existing buckets instead of reshuffling every table's
+    # hyperplane set, and a static oracle can truncate a stride-wide
+    # bucket string to the same width.
+    stride = bits_per_table if bits_stride is None else bits_stride
+    if stride < bits_per_table:
+        raise ValueError(f"bits_stride {stride} < bits_per_table {bits_per_table}")
+    all_planes = lsh_hyperplanes(n_tables * stride, dim)
+    used = [
+        all_planes[t * stride + j]
+        for t in range(n_tables)
+        for j in range(bits_per_table)
+    ]
+    planes = np.array(used, dtype=np.float64).T  # dim x (tables*bits)
 
     @pandas_udf("array<string>")
     def buckets(v: pd.Series) -> pd.Series:

