@@ -35,6 +35,13 @@ installed in this environment (probed: the worker crashes with
 during runner initialization). The GroupState API below has no such
 dependency; porting this function to a StatefulProcessor is mechanical
 (the state tuple becomes a ValueState, the loop body is unchanged).
+
+Re-probed 2026-08-13: ``importlib.util.find_spec('google.protobuf')``
+still raises ``ModuleNotFoundError: No module named 'google'``, and
+``pip install --dry-run protobuf`` fails with no route to any package
+index (``Name or service not known`` — the sandbox has no network), so
+the dependency cannot be installed in-round. The GroupState path
+remains the supported implementation here.
 """
 
 from __future__ import annotations

@@ -67,6 +67,50 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert len(ann) <= len(exact)
 
 
+def test_cluster_pairs_cross_partition_matches_local_cc(spark):
+    """The contraction+propagation CC must be partitioning-invariant:
+    forcing a tiny pair_cap (many contraction partitions, so components
+    SPAN partitions and the cross-partition pointer-doubling loop does
+    real work) must produce exactly the labels of an in-memory
+    union-find over the same pairs — and of the default single-partition
+    run."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _simhash_pairs,
+        cluster_pairs,
+    )
+
+    pairs = _simhash_pairs(spark, SF_DIR)
+    rows = [(r["da"], r["db"]) for r in pairs.collect()]
+    assert rows, "fixture has no near-dup pairs?"
+    # in-memory reference union-find
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {x: find(x) for x in parent}
+
+    # force ~8 contraction partitions so chains cross partitions
+    forced = {
+        r["doc_id"]: r["lab"]
+        for r in cluster_pairs(pairs, pair_cap=max(1, len(rows) // 8)).collect()
+    }
+    default = {
+        r["doc_id"]: r["lab"] for r in cluster_pairs(pairs).collect()
+    }
+    assert forced == expected
+    assert default == expected
+
+
 def test_multimodal_feature_contract(spark):
     """The full extract (with feature vector): one output row per input,
     fixed feature dim, deterministic values tied to the content hash."""
