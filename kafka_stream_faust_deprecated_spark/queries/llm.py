@@ -773,12 +773,36 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.unpersist()
 
 
-IVF_CENTROIDS = 16
-IVF_NPROBE = 4
+#: IVF sizing derives from the SAME clamped bits as the LSH index:
+#: k = 2^(bits//2) ≈ 2·sqrt(n) (the classic cells ~ sqrt(corpus) rule,
+#: so per-cell membership ~ sqrt(n)/2 and probe cost stays sublinear),
+#: clamped to [IVF_K_MIN, IVF_K_MAX]; nprobe = k/8 cells. Integer-exact
+#: in Python and SQL (shift vs pow-of-two cast), so the static oracle
+#: derives the identical index from count(*).
+IVF_K_MIN = 8
+IVF_K_MAX = 64
+
+
+def _ivf_k(n: int) -> int:
+    return min(IVF_K_MAX, max(IVF_K_MIN, 1 << (_ann_bits(n) // 2)))
+
+
+def _ivf_nprobe(k: int) -> int:
+    return max(2, k // 8)
+
+
+#: DuckDB twins of _ivf_k/_ivf_nprobe given a CTE ``nb(bits)``.
+_IVF_K_SQL = (
+    f"least({IVF_K_MAX}, greatest({IVF_K_MIN}, "
+    "CAST(pow(2, (SELECT bits FROM nb) // 2) AS INT)))"
+)
 
 
 def _ivf_centroids() -> list[tuple[int, list[float], float]]:
-    """Deterministic md5-derived centroids (cid, components, l2norm).
+    """Deterministic md5-derived centroids (cid, components, l2norm),
+    generated for IVF_K_MAX; corpus-sized runs use the prefix [:k], so
+    a bigger corpus REFINES the cell partition instead of reshuffling
+    existing centroids.
 
     Real IVF runs k-means; these are fixed pseudo-random centroids so
     the index is bit-identical in Spark and the oracle (k-means would
@@ -789,7 +813,7 @@ def _ivf_centroids() -> list[tuple[int, list[float], float]]:
     import hashlib
 
     cents = []
-    for p in range(IVF_CENTROIDS):
+    for p in range(IVF_K_MAX):
         row = []
         for d in range(EMBED_DIM):
             h = int(hashlib.md5(f"c{p}_{d}".encode()).hexdigest()[:4], 16)
@@ -806,16 +830,19 @@ def _ivf_oracle() -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents(cid, c, cn) AS (VALUES
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
+nk AS (SELECT k, greatest(2, k // 8) AS np FROM (SELECT {_IVF_K_SQL} AS k) t),
+cents_all(cid, c, cn) AS (VALUES
       {values}
 ),
+cents AS (SELECT * FROM cents_all WHERE cid < (SELECT k FROM nk)),
 scores AS (
     SELECT vec_id, cid, list_dot_product(v, c) / cn AS s,
            row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, c) / cn DESC, cid) AS rn
     FROM e CROSS JOIN cents
 ),
 assign AS (SELECT vec_id, cid FROM scores WHERE rn = 1),
-probes AS (SELECT vec_id AS qid, cid FROM scores WHERE rn <= {IVF_NPROBE} AND vec_id < {KNN_N_QUERIES}),
+probes AS (SELECT vec_id AS qid, cid FROM scores WHERE rn <= (SELECT np FROM nk) AND vec_id < {KNN_N_QUERIES}),
 cand AS (
     SELECT DISTINCT p.qid, a.vec_id AS nid
     FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
@@ -835,21 +862,24 @@ WHERE rn <= {KNN_K}
 @register("ann_cosine_ivf", oracle=_ivf_oracle(), tags=("E24",))
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E24's second index family: IVF (inverted-file) ANN — partition
-    the corpus by nearest centroid, probe the query's top-{IVF_NPROBE}
-    of {IVF_CENTROIDS} cells, score only members of probed cells.
+    the corpus by nearest centroid, probe the query's top-nprobe of k
+    cells, score only members of probed cells. k and nprobe derive from
+    the corpus count (_ivf_k/_ivf_nprobe: k ≈ 2·sqrt(n) clamped, nprobe
+    = k/8), with the oracle deriving the identical values in SQL.
 
     Scale shape: assignment is one broadcast of the centroid table and
     a per-row argmax (at production plane counts, swap the JVM dot loop
     for the Arrow matmul UDF as in ann_cosine_lsh); the candidate join
     shuffles on cid — cell membership, never all pairs. Centroid count
-    grows ~sqrt(n) (or n/target_cell_size), nprobe tunes the
-    recall/cost point: on this structureless fixture, probing 4/16
-    cells recovers ~0.53 of exact top-3 while scoring ~25%."""
+    grows ~sqrt(n), so probing k/8 cells scans ~n/8 of the corpus at
+    any size."""
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
+    k = _ivf_k(_embeddings_count(spark, e, sf_dir))
+    nprobe = _ivf_nprobe(k)
     cents = spark.createDataFrame(
-        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()],
+        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()[:k]],
         "cid INT, c ARRAY<DOUBLE>, cn DOUBLE",
     )
     scores = e.join(F.broadcast(cents)).select(
@@ -860,7 +890,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         assign = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
         probes = ranked.where(
-            (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < KNN_N_QUERIES)
+            (F.col("rn") <= nprobe) & (F.col("vec_id") < KNN_N_QUERIES)
         ).select(F.col("vec_id").alias("qid"), "cid")
         cand = (
             assign.join(F.broadcast(probes), "cid")
@@ -1350,9 +1380,12 @@ def _kmeans_oracle() -> str:
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents(cid, c, cn) AS (VALUES
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
+nk AS (SELECT {_IVF_K_SQL} AS k),
+cents_all(cid, c, cn) AS (VALUES
       {values}
 ),
+cents AS (SELECT * FROM cents_all WHERE cid < (SELECT k FROM nk)),
 assign AS (
     SELECT vec_id, cid, s FROM (
         SELECT vec_id, cid,
@@ -1392,7 +1425,9 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to its max-cosine centroid, then recompute each cluster's
     elementwise-mean centroid. Reports per-cluster size, mean assignment
     cosine, and the new centroid's L2 norm (a scalar fingerprint of the
-    mean vector the oracle can check exactly).
+    mean vector the oracle can check exactly). k is corpus-derived
+    (_ivf_k, shared with ann_cosine_ivf — this IS that index's training
+    step), with the oracle deriving the identical k from count(*).
 
     Scale shape — the iterated kernel of IVF index builds and embedding-
     space dedup/diversity analysis at 100 TB:
@@ -1407,8 +1442,9 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
+    k = _ivf_k(_embeddings_count(spark, e, sf_dir))
     cents = spark.createDataFrame(
-        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()],
+        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()[:k]],
         "cid INT, c ARRAY<DOUBLE>, cn DOUBLE",
     )
     vnorm = F.sqrt(dot(F.col("v"), F.col("v")))
