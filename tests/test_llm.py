@@ -9,6 +9,8 @@ batch contract (feature shape, determinism, explicit codec gating).
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from kafka_stream_faust_deprecated_spark.functions.multimodal import (
     decode_media,
@@ -109,6 +111,46 @@ def test_cluster_pairs_cross_partition_matches_local_cc(spark):
     }
     assert forced == expected
     assert default == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cluster_pairs_property_random_graphs(spark, raw):
+    """Property: on ANY undirected pair list — including chains, cycles,
+    self-parallel duplicates, and star collisions hypothesis finds that
+    the fixture's simhash pairs never produce — cluster_pairs with a
+    pathological pair_cap (many tiny contraction partitions) must equal
+    an in-memory union-find."""
+    pairs = [(min(a, b), max(a, b)) for a, b in raw]
+    df = spark.createDataFrame(pairs, "da long, db long")
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    from kafka_stream_faust_deprecated_spark.queries.llm import cluster_pairs
+
+    got = {r["doc_id"]: r["lab"] for r in cluster_pairs(df, pair_cap=3).collect()}
+    assert got == expected
 
 
 def test_multimodal_feature_contract(spark):
