@@ -1369,6 +1369,68 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_language_sampling",
+    oracle=f"""
+WITH t AS (
+    SELECT lang, len(string_split({SQL_NORM}, ' ')) AS tk FROM documents
+),
+agg AS (
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(tk)::BIGINT AS n_tokens
+    FROM t GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS total FROM agg),
+sh AS (
+    SELECT lang, n_docs, n_tokens,
+           n_tokens / total AS share,
+           sqrt(n_tokens / total) AS traw
+    FROM agg CROSS JOIN tot
+),
+z AS (SELECT sum(traw) AS zsum FROM sh)
+SELECT lang, n_docs, n_tokens,
+       round(share, 4)               AS share,
+       round(traw / zsum, 4)         AS target_share,
+       round((traw / zsum) / share, 4) AS sampling_weight
+FROM sh CROSS JOIN z
+""",
+    tags=("E25",),
+)
+def mixture_language_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mixture reweighting (alpha = 0.5, the
+    mBERT/XLM-R exponentiated-share rule): target_share_l proportional
+    to share_l^alpha, so low-resource languages are upsampled relative
+    to their token share and sampling_weight = target/share is the
+    per-language acceptance multiplier a sampler (e.g.
+    sample_stratified_hash's thresholds) would apply. The standard knob
+    for setting a multilingual pretraining mix.
+
+    Scale shape: one corpus scan -> partial-agg shuffle to one row per
+    language, then the share normalizations run as window sums over
+    that LANGUAGE-COUNT-bounded relation — the single-partition
+    exchange is over ~10^1 pre-aggregated rows, never the corpus
+    (whitelisted bounded-aggregate pattern, tests/test_plan_hygiene.py).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.size(tokens(F.col("text"))).alias("tk"))
+    agg = tok.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("tk").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    sh = agg.withColumn(
+        "share", F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    ).withColumn("traw", F.sqrt("share"))
+    return sh.withColumn("zsum", F.sum("traw").over(w_all)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 4).alias("share"),
+        F.round(F.col("traw") / F.col("zsum"), 4).alias("target_share"),
+        F.round((F.col("traw") / F.col("zsum")) / F.col("share"), 4).alias(
+            "sampling_weight"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # E24 — k-means (Lloyd) step: the clustering primitive behind IVF/dedup
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q19_disjunctive_revenue": "global revenue sum: 1 partial row per task",
     "tpch_q20_excess_supply": "global threshold aggregate: 1 row",
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
+    "mixture_language_sampling": "share normalization windows: 1 row per language",
 }
 
 
