@@ -1370,6 +1370,56 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_nll",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS tok FROM documents
+),
+v AS (SELECT tok, count(*)::DOUBLE AS c FROM t GROUP BY tok),
+tot AS (SELECT sum(c) AS n FROM v),
+p AS (SELECT tok, c / n AS p FROM v CROSS JOIN tot)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(-avg(ln(p)), 4) AS nll
+FROM t JOIN p USING (tok)
+GROUP BY doc_id
+""",
+    tags=("E25",),
+)
+def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (the CCNet idea with the LM reduced to
+    corpus unigram frequencies): per document, the mean negative log
+    likelihood of its tokens under the corpus unigram distribution.
+    Boilerplate stuffed with ultra-common tokens scores LOW nll,
+    lexically unusual junk scores HIGH — both tails are filter
+    candidates, complementing the rule-based doc_quality_score and the
+    repetition ratios.
+
+    Scale shape: the token explode is the same single corpus scan every
+    E25 profile uses; the unigram model is ONE map-side-combinable
+    count shuffle keyed on token (vocabulary-bounded, zipf-skewed but
+    AQE-split); scoring re-joins tokens to probabilities on the token
+    key and reduces per doc_id — no all-pairs, no driver-side model
+    state, and the "model" itself is a DataFrame, so a real external LM
+    table drops in by replacing the ``probs`` relation."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("c") / F.col("n")).alias("p")
+    )
+    return (
+        tok.join(probs, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg(F.log("p")), 4).alias("nll"),
+        )
+    )
+
+
+@register(
     "mixture_language_sampling",
     oracle=f"""
 WITH t AS (

@@ -29,6 +29,7 @@ BNLJ_WHITELIST = {
     "tpch_q11_important_parts": "broadcast side = the 1-row channel-total aggregate",
     "tpch_q20_excess_supply": "broadcast side = the 1-row half-average threshold",
     "tpch_q22_global_sales_opportunity": "broadcast side = the 1-row global avg balance",
+    "doc_unigram_nll": "broadcast side = the 1-row corpus token total",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -47,6 +48,7 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q20_excess_supply": "global threshold aggregate: 1 row",
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
     "mixture_language_sampling": "share normalization windows: 1 row per language",
+    "doc_unigram_nll": "global token-total aggregate: 1 row",
 }
 
 
