@@ -230,3 +230,61 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("conversion"),
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH firstd AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+ret AS (
+    SELECT f.cohort_date,
+           date_diff('day', f.cohort_date, a.d)::BIGINT AS day_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_active
+    FROM activity a JOIN firstd f USING (user_id)
+    GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_date, count(*)::BIGINT AS n_cohort FROM firstd GROUP BY 1)
+SELECT r.cohort_date AS cohort_date,
+       r.day_offset  AS day_offset,
+       r.n_active    AS n_active,
+       s.n_cohort    AS n_cohort,
+       round(r.n_active * 1.0 / s.n_cohort, 4) AS retention
+FROM ret r JOIN sizes s USING (cohort_date)
+""",
+    tags=("E7", "E15"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix: users grouped by first-activity
+    date; for each (cohort, day offset) the count and share of the
+    cohort active that day — the standard growth-analytics triangle.
+
+    Scale shape: first-touch and the distinct (user, day) activity set
+    are both single aggregations keyed on ``user_id``, so the join
+    between them reuses one hash partitioning (co-located, no second
+    fact shuffle); the regroup to (cohort_date, day_offset) reduces to
+    a DATE-RANGE-bounded relation (days x days rows, independent of
+    user count), and cohort sizes join back as a broadcast. No window
+    over per-user event history and no per-user sort anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ret = (
+        activity.join(firstd, "user_id")
+        .groupBy("cohort_date", F.datediff("d", "cohort_date").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = firstd.groupBy("cohort_date").agg(F.count("*").alias("n_cohort"))
+    return ret.join(F.broadcast(sizes), "cohort_date").select(
+        "cohort_date",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+    )
