@@ -677,3 +677,65 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
     )
+
+
+HIST_BUCKETS = 20
+
+
+@register(
+    "price_histogram",
+    oracle=f"""
+WITH bounds AS (
+    SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+),
+b AS (
+    SELECT least({HIST_BUCKETS - 1},
+                 CAST(floor((l_extendedprice - lo) / ((hi - lo) / {HIST_BUCKETS})) AS BIGINT)) AS bucket,
+           lo, hi
+    FROM lineitem CROSS JOIN bounds
+),
+h AS (SELECT bucket, lo, hi, count(*)::BIGINT AS n FROM b GROUP BY 1, 2, 3)
+SELECT bucket,
+       round(lo + bucket * ((hi - lo) / {HIST_BUCKETS}), 4) AS bucket_lo,
+       round(lo + (bucket + 1) * ((hi - lo) / {HIST_BUCKETS}), 4) AS bucket_hi,
+       n,
+       round(n * 1.0 / sum(n) OVER (), 4) AS share
+FROM h
+""",
+    tags=("E7",),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram with DATA-DERIVED bounds — the profiling
+    primitive behind skew detection and partition planning. Two passes:
+    a min/max aggregate (one row, broadcast back) then a single scan
+    assigning ``floor((v - lo) / width)`` buckets with the top edge
+    clamped into the last bucket.
+
+    Scale shape: the bounds row is a broadcast scalar (never a sort);
+    bucketing is a pure projection; the histogram itself is a partial
+    agg shuffle to HIST_BUCKETS rows, and the share normalization runs
+    as a window sum over that bucket-count-bounded relation
+    (whitelisted single-partition pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+    ).cast("long")
+    h = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"), "lo", "hi")
+        .agg(F.count("*").alias("n"))
+    )
+    w_all = Window.partitionBy()
+    return h.select(
+        "bucket",
+        F.round(F.col("lo") + F.col("bucket") * width, 4).alias("bucket_lo"),
+        F.round(F.col("lo") + (F.col("bucket") + 1) * width, 4).alias("bucket_hi"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_all), 4).alias("share"),
+    )

@@ -30,6 +30,7 @@ BNLJ_WHITELIST = {
     "tpch_q20_excess_supply": "broadcast side = the 1-row half-average threshold",
     "tpch_q22_global_sales_opportunity": "broadcast side = the 1-row global avg balance",
     "doc_unigram_nll": "broadcast side = the 1-row corpus token total",
+    "price_histogram": "broadcast side = the 1-row min/max bounds",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -49,6 +50,7 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
     "mixture_language_sampling": "share normalization windows: 1 row per language",
     "doc_unigram_nll": "global token-total aggregate: 1 row",
+    "price_histogram": "share normalization window: HIST_BUCKETS rows",
 }
 
 
