@@ -80,7 +80,23 @@ def _sma_state_fn(
     key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """The reference's per-symbol loop, one invocation per (symbol,
-    micro-batch). ``state`` survives between batches via the state store."""
+    micro-batch). ``state`` survives between batches via the state store.
+
+    Idle-key TTL (the state-hygiene fix the reference lacks — its
+    defaultdict grows with every symbol ever seen, ``ma_agg.py:42``):
+    after each batch the key arms an EVENT-TIME timeout just past its
+    newest buffered second + window size. If the watermark passes that
+    point with no new data, no unemitted window can ever complete (the
+    prune below would drop every buffered second), so the timed-out
+    invocation removes the key's state entirely. A later revival simply
+    rebuilds from empty — it cannot re-emit: re-completing an emitted
+    window would need all five of its seconds at/above a watermark that
+    has already passed beyond them. Only observable delta vs keeping
+    state forever: the S14 first-value ``type`` is re-learned from the
+    revival tick (constant per symbol in practice)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         secs, vwaps, sizes, reals, typ, emitted = state.get
         buf: dict[int, tuple[float, int, bool]] = {
@@ -151,16 +167,25 @@ def _sma_state_fn(
         emitted_set.add(b)
 
     items = sorted(buf.items())
-    state.update(
-        (
-            [s for s, _ in items],
-            [v for _, (v, _, _) in items],
-            [z for _, (_, z, _) in items],
-            [r for _, (_, _, r) in items],
-            typ,
-            sorted(emitted_set),
+    if not items:
+        # everything this key buffered is behind the watermark prune —
+        # nothing retained can complete, drop the state row now.
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (
+                [s for s, _ in items],
+                [v for _, (v, _, _) in items],
+                [z for _, (_, z, _) in items],
+                [r for _, (_, _, r) in items],
+                typ,
+                sorted(emitted_set),
+            )
         )
-    )
+        # Arm the idle-key TTL: fires once the watermark proves no
+        # unemitted window over the buffered seconds can complete.
+        state.setTimeoutTimestamp((items[-1][0] + WINDOW_SIZE + 1) * 1000)
     if rows:
         yield pd.DataFrame(rows)
 
@@ -180,6 +205,6 @@ def sma_aggregate_stateful(ticks: DataFrame, watermark: str = "5 seconds") -> Da
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -76,6 +76,51 @@ def test_stateful_sma_matches_golden(spark, tmp_path):
     _check(rows, golden_sma(ticks))
 
 
+def test_stateful_sma_idle_state_evicted(spark, tmp_path):
+    """Idle-key TTL: after a far-future flush tick advances the
+    watermark past every fixture symbol's buffered seconds, the
+    event-time timeout must REMOVE those keys' state rows — the
+    reference's defaultdict would keep all of them forever
+    (ma_agg.py:42). Only the flush symbol's own fresh state may
+    remain."""
+    ticks = build_fixture()
+    flush = [make_tick("ZZZ", 100_000, 1.0, 1, True)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (fname, batch) in enumerate([("f1.json", ticks), ("f2.json", flush)]):
+        p = src / fname
+        write_ndjson(batch, str(p))
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+    ticks_df = decode_ticks(
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .selectExpr("value AS json")
+    )
+    q = (
+        sma_aggregate_stateful(ticks_df)
+        .writeStream.format("memory")
+        .queryName("sfs_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # output must still equal the golden (TTL is storage-only)
+    rows = spark.sql("SELECT * FROM sfs_ttl").collect()
+    _check([r for r in rows if r["symbol"] != "ZZZ"], golden_sma(ticks))
+    # state rows after the flush batch: every fixture symbol evicted,
+    # at most ZZZ's own state survives
+    progress = q.recentProgress
+    assert progress, "no progress events recorded"
+    last_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert last_rows <= 1, (
+        f"idle state not evicted: {last_rows} state rows remain"
+    )
+
+
 def test_stateful_sma_straggler_cannot_resurrect(spark, tmp_path):
     """A flush batch advances the watermark and prunes BBB's buffered
     seconds around the gap; the straggler for second 30 then arrives
