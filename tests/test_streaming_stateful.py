@@ -121,6 +121,61 @@ def test_stateful_sma_idle_state_evicted(spark, tmp_path):
     )
 
 
+def test_stateful_sma_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Durability (the reference's changelog-topic story, ma_agg.py:42):
+    stop the query mid-stream, start a NEW query on the same checkpoint,
+    feed the rest of the fixture — buffered seconds, emitted-window set,
+    and armed timeouts must all come back from the state store, so the
+    combined output equals the single-run golden with no duplicates and
+    no losses across the restart boundary."""
+    ticks = build_fixture()
+    half = len(ticks) // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    p1 = src / "f1.json"
+    write_ndjson(ticks[:half], str(p1))
+    os.utime(p1, (time.time() - 100, time.time() - 100))
+
+    collected: list = []
+
+    def _start():
+        ticks_df = decode_ticks(
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .selectExpr("value AS json")
+        )
+        return (
+            sma_aggregate_stateful(ticks_df)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = _start()
+    q1.awaitTermination(300)
+
+    p2 = src / "f2.json"
+    write_ndjson(ticks[half:], str(p2))
+    os.utime(p2, (time.time() - 50, time.time() - 50))
+    flush = src / "f3.json"
+    write_ndjson([make_tick("ZZZ", 100_000, 1.0, 1, True)], str(flush))
+    os.utime(flush, (time.time() - 40, time.time() - 40))
+
+    q2 = _start()
+    q2.awaitTermination(300)
+
+    rows = [r for r in collected if r["symbol"] != "ZZZ"]
+    # append mode + restored emitted-set => every window exactly once
+    keys = [(r["symbol"], _iso(r["window_start"])) for r in rows]
+    assert len(keys) == len(set(keys)), "restart re-emitted windows"
+    _check(rows, golden_sma(ticks))
+
+
 def test_stateful_sma_straggler_cannot_resurrect(spark, tmp_path):
     """A flush batch advances the watermark and prunes BBB's buffered
     seconds around the gap; the straggler for second 30 then arrives
