@@ -57,8 +57,10 @@ HEADLINE = (
     "sliding_window_events",
     "dedup_exact_documents",
     "neardup_minhash_lsh",
+    "neardup_simhash",
     "knn_cosine_bruteforce",
     "ann_cosine_lsh",
+    "ann_cosine_ivf",
     "tfidf_top_terms",
     "doc_quality_score",
     "kmeans_lloyd_step",

@@ -57,7 +57,7 @@ from kafka_stream_faust_deprecated_spark.functions.vectors import (
     lsh_bucket_strings_pandas,
     lsh_hyperplanes,
 )
-from kafka_stream_faust_deprecated_spark.io import load_table, load_table_parallel
+from kafka_stream_faust_deprecated_spark.io import load_table_parallel
 from kafka_stream_faust_deprecated_spark.registry import register
 
 # ---------------------------------------------------------------------------

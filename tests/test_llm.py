@@ -153,6 +153,37 @@ def test_cluster_pairs_property_random_graphs(spark, raw):
     assert got == expected
 
 
+def test_index_sizing_python_sql_agree(duck):
+    """The corpus-derived index sizes are computed TWICE — in Python at
+    plan-build time and in DuckDB inside the static oracle SQL. Both
+    use float log2/pow, so a platform rounding difference near powers
+    of two would silently desynchronize the Spark plan from its oracle.
+    Pin the two derivations equal across magnitudes and boundaries."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _ANN_BITS_SQL,
+        _IVF_K_SQL,
+        _ann_bits,
+        _ivf_k,
+        _ivf_nprobe,
+    )
+
+    ns = [2, 3, 10, 500, 511, 512, 513, 1000, 2000, 2047, 2048, 2049,
+          4096, 65536, 10**6, 10**9]
+    for n in ns:
+        bits_sql = _ANN_BITS_SQL.replace(
+            "(SELECT count(*) FROM embeddings)", str(n)
+        )
+        got_bits = duck.execute(f"SELECT {bits_sql}").fetchone()[0]
+        assert got_bits == _ann_bits(n), f"bits diverge at n={n}"
+        k_sql = _IVF_K_SQL.replace("(SELECT bits FROM nb)", str(got_bits))
+        got_k = duck.execute(f"SELECT {k_sql}").fetchone()[0]
+        assert got_k == _ivf_k(n), f"ivf k diverges at n={n}"
+        got_np = duck.execute(
+            f"SELECT greatest(2, {got_k} // 8)"
+        ).fetchone()[0]
+        assert got_np == _ivf_nprobe(got_k), f"nprobe diverges at n={n}"
+
+
 def test_multimodal_feature_contract(spark):
     """The full extract (with feature vector): one output row per input,
     fixed feature dim, deterministic values tied to the content hash."""

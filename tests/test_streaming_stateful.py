@@ -10,7 +10,6 @@ resurrect finalized windows.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from datetime import datetime
