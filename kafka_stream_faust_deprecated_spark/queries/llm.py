@@ -687,8 +687,11 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted lambda; (t, bucket) is the shuffle key and the probe
     expansion happens on the tiny broadcast query side, so candidate
     generation stays an equi-join at any corpus size. The corpus bucket
-    table is persisted for the corpus/query split and released before
-    returning the (tiny) checkpointed result."""
+    side is NOT cached: the query side recomputes buckets for only the
+    K query vectors (its vec_id filter pushes into the scan), so the
+    corpus-wide matmul runs exactly once, the whole query is one lazy
+    plan (no persist/checkpoint materialization jobs), and nothing
+    corpus-sized ever has to fit in cache."""
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
@@ -698,19 +701,30 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.select(
         "vec_id", F.posexplode(bucket_udf(F.col("v"))).alias("t", "bucket")
-    ).persist()
-    try:
-        # Query probes: own bucket + every hamming<=2 perturbation, per
-        # table (Lv et al. multiprobe). Probe depth is the recall knob:
-        # 1-flip alone decays on iid corpora as bits grow with log2(n),
-        # while 2-flip holds recall ~0.9 at every tested SF AND the
-        # candidate fraction still SHRINKS with n (measured 0.41 at
-        # n=500 -> 0.19 at n=2000) — sublinear scan stays sublinear.
-        # (1 + bits + C(bits,2)) x tables probe keys per query (~2k at
-        # 16 bits) — trivially broadcast.
-        qb = b.where(F.col("vec_id") < KNN_N_QUERIES).select(
-            F.col("vec_id").alias("qid"), "t", "bucket"
+    )
+    # Query probes: own bucket + every hamming<=2 perturbation, per
+    # table (Lv et al. multiprobe). Probe depth is the recall knob:
+    # 1-flip alone decays on iid corpora as bits grow with log2(n),
+    # while 2-flip holds recall ~0.9 at every tested SF AND the
+    # candidate fraction still SHRINKS with n (measured 0.41 at
+    # n=500 -> 0.19 at n=2000) — sublinear scan stays sublinear.
+    # (1 + bits + C(bits,2)) x tables probe keys per query (~2k at
+    # 16 bits) — trivially broadcast.
+    #
+    # Only the QUERY bucket table is persisted (K x tables rows): three
+    # probe branches read it, and without the cache each would re-run
+    # the scan+UDF. It fills inside the checkpoint job (lazy persist),
+    # so the query is still one job, and nothing corpus-sized is cached
+    # — the corpus bucket side streams through the candidate join once.
+    qb = (
+        e.where(F.col("vec_id") < KNN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode(bucket_udf(F.col("v"))).alias("t", "bucket"),
         )
+        .persist()
+    )
+    try:
 
         # Flip position j (a COLUMN, so one compact expression serves
         # every position — enumerating (1+bits+C(bits,2)) literal
@@ -770,7 +784,7 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return result.localCheckpoint(eager=True)
     finally:
-        b.unpersist()
+        qb.unpersist()
 
 
 #: IVF sizing derives from the SAME clamped bits as the LSH index:
