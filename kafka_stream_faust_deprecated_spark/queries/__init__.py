@@ -9,6 +9,8 @@ Modules map to SURVEY.md §7 milestones:
                    joins, approx distinct, batch dedup (E5-E6, E8-E11, E21)
 * ``llm``        — M5: dedup / similarity / text analysis / multimodal
                    (E23-E26)
+* ``extras``     — overflow operators added after the sampled prefix was
+                   pinned (registered last by design)
 """
 
 from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
@@ -23,5 +25,14 @@ from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 # a driver-recorded check (flagship stays first — it's the entry query).
 # The full 98-query surface is still self-checked every round via
 # scripts/driver_sim.py → SELFCHECK_r{N}.json.
-for _mod in ("llm", "tpch", "scale", "relational", "scalars", "analytic", "temporal"):
+for _mod in (
+    "llm",
+    "tpch",
+    "scale",
+    "relational",
+    "scalars",
+    "analytic",
+    "temporal",
+    "extras",
+):
     __import__(f"kafka_stream_faust_deprecated_spark.queries.{_mod}")
