@@ -77,3 +77,52 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d),
+contrib AS (
+    SELECT user_id, d + CAST(off AS INT) AS win_day
+    FROM (SELECT user_id, d, unnest(generate_series(0, 6)) AS off FROM ud) t
+),
+wau AS (
+    SELECT win_day AS d, count(DISTINCT user_id)::BIGINT AS wau
+    FROM contrib GROUP BY win_day
+)
+SELECT dau.d AS d, dau.dau AS dau, wau.wau AS wau,
+       round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+FROM dau JOIN wau USING (d)
+""",
+    tags=("E7", "E19"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-7-day active users plus the DAU/WAU stickiness
+    ratio. COUNT(DISTINCT) over a sliding window is not expressible as
+    a Spark window function, and the naive fix — a per-day self-join
+    over a date-range predicate — explodes. The scalable shape: each
+    distinct (user, day) row CONTRIBUTES itself to the 7 window days it
+    belongs to (a bounded explode of 0..6 day offsets), turning the
+    sliding distinct into a plain groupBy-distinct keyed on the window
+    day. Fan-out is exactly 7x the distinct activity set, independent
+    of corpus size; both aggregations are map-side-combinable
+    exchanges. (Reported days cover every window END a user
+    contributes to; WAU for days past the data's edge reflects the
+    trailing week by construction in both engines.)"""
+    ev = load_table_parallel(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("user_id", F.date_add(F.col("d"), F.col("off")).alias("win_day"))
+    wau = contrib.groupBy(F.col("win_day").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+    )
