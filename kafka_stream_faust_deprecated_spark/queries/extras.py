@@ -126,3 +126,72 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH c AS (
+    SELECT o_custkey,
+           date_diff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE)))::BIGINT AS recd,
+           count(*)::BIGINT AS freq,
+           round(sum(o_totalprice), 4) AS monetary
+    FROM orders GROUP BY 1
+),
+cuts AS (
+    SELECT quantile_cont(recd, 0.33) AS r1, quantile_cont(recd, 0.66) AS r2,
+           quantile_cont(freq, 0.33) AS f1, quantile_cont(freq, 0.66) AS f2,
+           quantile_cont(monetary, 0.33) AS m1, quantile_cont(monetary, 0.66) AS m2
+    FROM c
+)
+SELECT o_custkey, recd, freq, monetary,
+       (CASE WHEN recd <= r1 THEN 1 WHEN recd <= r2 THEN 2 ELSE 3 END)::BIGINT AS r_score,
+       (CASE WHEN freq <= f1 THEN 1 WHEN freq <= f2 THEN 2 ELSE 3 END)::BIGINT AS f_score,
+       (CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2 ELSE 3 END)::BIGINT AS m_score
+FROM c CROSS JOIN cuts
+""",
+    tags=("E7",),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / frequency / monetary customer segmentation with EXACT
+    tercile cutoffs. The textbook formulation is ntile(3) over three
+    global orderings — three single-task total sorts at scale. The
+    scalable shape: one customer-keyed aggregation, ONE exact-percentile
+    aggregate row (six scalars) broadcast back, and a pure-projection
+    CASE per customer — no global sort anywhere, and the cutoffs are
+    value-identical to DuckDB's quantile_cont (same interpolation as
+    Spark's percentile), so scoring matches the oracle bit-for-bit.
+    (Ties straddling a cutoff land on the same side in both engines;
+    vs ntile, equal values never split across segments.)"""
+    o = load_table_parallel(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.unix_date(F.to_date(F.max("o_orderdate"))).cast("long").alias("recd"),
+        F.count("*").alias("freq"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    cuts = c.agg(
+        F.percentile("recd", 0.33).alias("r1"),
+        F.percentile("recd", 0.66).alias("r2"),
+        F.percentile("freq", 0.33).alias("f1"),
+        F.percentile("freq", 0.66).alias("f2"),
+        F.percentile("monetary", 0.33).alias("m1"),
+        F.percentile("monetary", 0.66).alias("m2"),
+    )
+
+    def _score(v, c1, c2):
+        return (
+            F.when(F.col(v) <= F.col(c1), 1)
+            .when(F.col(v) <= F.col(c2), 2)
+            .otherwise(3)
+            .cast("long")
+        )
+
+    return c.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recd",
+        "freq",
+        "monetary",
+        _score("recd", "r1", "r2").alias("r_score"),
+        _score("freq", "f1", "f2").alias("f_score"),
+        _score("monetary", "m1", "m2").alias("m_score"),
+    )

@@ -31,6 +31,7 @@ BNLJ_WHITELIST = {
     "tpch_q22_global_sales_opportunity": "broadcast side = the 1-row global avg balance",
     "doc_unigram_nll": "broadcast side = the 1-row corpus token total",
     "price_histogram": "broadcast side = the 1-row min/max bounds",
+    "customer_rfm_segments": "broadcast side = the 1-row tercile cutoffs",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -51,6 +52,7 @@ SINGLE_PARTITION_WHITELIST = {
     "mixture_language_sampling": "share normalization windows: 1 row per language",
     "doc_unigram_nll": "global token-total aggregate: 1 row",
     "price_histogram": "share normalization window: HIST_BUCKETS rows",
+    "customer_rfm_segments": "global percentile aggregate: 1 row",
 }
 
 
