@@ -195,3 +195,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score("freq", "f1", "f2").alias("f_score"),
         _score("monetary", "m1", "m2").alias("m_score"),
     )
+
+
+def _cluster_hist_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import _cc_oracle
+
+    return f"""
+SELECT cluster_size::BIGINT AS cluster_size,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters
+FROM ({_cc_oracle()})
+GROUP BY 1
+"""
+
+
+@register("dedup_cluster_size_histogram", oracle=_cluster_hist_oracle(), tags=("E23",))
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: how many near-dup clusters exist at each
+    size (singletons included) — the number a pipeline owner reads to
+    decide whether dedup is worth the pass and to spot pathological
+    mega-clusters (boilerplate explosions) before deleting anything.
+
+    Scale shape: reuses the memoized SimHash pair stage and the
+    contract-then-propagate clustering (cluster_pairs); the histogram
+    itself reduces the per-cluster sizes (<= number of clusters rows)
+    twice — both map-side-combinable — and the singleton count is one
+    anti-join of doc_ids against the (tiny) pair-incident label set,
+    added as a histogram row, never materializing singleton rows."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _simhash_pairs,
+        cluster_pairs,
+    )
+
+    labels = cluster_pairs(_simhash_pairs(spark, sf_dir))
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("sz"))
+    multi = sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+    )
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+    singles = (
+        docs.join(labels.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return multi.unionByName(singles)

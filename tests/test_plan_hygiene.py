@@ -53,6 +53,7 @@ SINGLE_PARTITION_WHITELIST = {
     "doc_unigram_nll": "global token-total aggregate: 1 row",
     "price_histogram": "share normalization window: HIST_BUCKETS rows",
     "customer_rfm_segments": "global percentile aggregate: 1 row",
+    "dedup_cluster_size_histogram": "global singleton-count aggregate: 1 row",
 }
 
 
