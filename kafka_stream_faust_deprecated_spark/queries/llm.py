@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -837,6 +837,42 @@ def _ivf_centroids() -> list[tuple[int, list[float], float]]:
     return cents
 
 
+def _centroid_scores(v: Column, k: int, *, normalize_v: bool) -> Column:
+    """Array of ``v``'s k centroid cosines as ONE zero-shuffle projection.
+
+    The k centroid vectors and their norms are embedded as foldable
+    literals (Catalyst constant-folds the nested ``CreateArray`` of
+    literals into a single array constant before codegen), so centroid
+    assignment needs no join, no broadcast exchange, and no per-row
+    fan-out: ``transform`` walks the literal array and emits k cosines
+    per input row in place. Callers take ``array_max`` for the best
+    score and ``array_position - 1`` for the winning cid (centroid cids
+    are 0..k-1 by construction, and first-occurrence semantics match
+    the oracle's ``ORDER BY s DESC, cid`` tiebreak).
+
+    ``normalize_v=False`` skips the query-norm divisor — per-row argmax
+    is invariant to it (IVF cell assignment uses this form to mirror
+    the oracle exactly).
+
+    The literals are built as ONE ``F.expr`` parse (``0.1234D`` double
+    literals), not per-element ``F.lit`` calls — k*dim elements mean
+    thousands of py4j round-trips per ``F.lit``, which dominated the
+    measured query time at k=64 (plan CONSTRUCTION, not execution)."""
+    cents = _ivf_centroids()[:k]
+    carr = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)" % ",".join(f"{c!r}D" for c in comp) for _, comp, _ in cents
+        )
+    )
+    norms = F.expr("array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents))
+    denom = F.sqrt(dot(v, v)) if normalize_v else F.lit(1.0)
+    return F.transform(
+        carr,
+        lambda c, i: dot(v, c) / (F.element_at(norms, i + F.lit(1)) * denom),
+    )
+
+
 def _ivf_oracle() -> str:
     values = ",\n      ".join(
         f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
@@ -881,56 +917,72 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus count (_ivf_k/_ivf_nprobe: k ≈ 2·sqrt(n) clamped, nprobe
     = k/8), with the oracle deriving the identical values in SQL.
 
-    Scale shape: assignment is one broadcast of the centroid table and
-    a per-row argmax (at production plane counts, swap the JVM dot loop
-    for the Arrow matmul UDF as in ann_cosine_lsh); the candidate join
-    shuffles on cid — cell membership, never all pairs. Centroid count
-    grows ~sqrt(n), so probing k/8 cells scans ~n/8 of the corpus at
-    any size."""
+    Scale shape — the corpus is scanned ONCE and `vec_id` never keys an
+    exchange:
+    * cell assignment is a zero-shuffle argmax projection over the
+      folded literal centroid array (`_centroid_scores` — the round-4
+      plan broadcast-joined centroids into an n*k fan-out ranked by a
+      `row_number over partitionBy(vec_id)` shuffle);
+    * the top-nprobe probe cells are computed only on the K-row query
+      side with pure array ops (score array -> sort_array of
+      (-s, cid) structs -> slice -> explode), so no window and no
+      corpus-side rank;
+    * candidates come from broadcasting the K*nprobe probe rows INTO
+      the corpus projection (cell membership, never all pairs; each
+      corpus row fans out to at most K probes). (qid, nid) is already
+      distinct by construction — one cell per vector, one probe row
+      per (qid, cell) — so no dedup shuffle;
+    * query vectors join back by broadcast; the only shuffle in the
+      whole plan is the final skinny (qid, nid, cos) top-K window over
+      K query partitions, which WindowGroupLimit pre-limits map-side.
+    Centroid count grows ~sqrt(n), so probing k/8 cells scans ~n/8 of
+    the corpus at any size."""
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
     nprobe = _ivf_nprobe(k)
-    cents = spark.createDataFrame(
-        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()[:k]],
-        "cid INT, c ARRAY<DOUBLE>, cn DOUBLE",
+    sc = _centroid_scores(F.col("v"), k, normalize_v=False)
+    assign = e.select(
+        "vec_id",
+        "v",
+        (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
     )
-    scores = e.join(F.broadcast(cents)).select(
-        "vec_id", "cid", (dot(F.col("v"), F.col("c")) / F.col("cn")).alias("s")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
-    ranked = scores.withColumn("rn", F.row_number().over(w)).persist()
-    try:
-        assign = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
-        probes = ranked.where(
-            (F.col("rn") <= nprobe) & (F.col("vec_id") < KNN_N_QUERIES)
-        ).select(F.col("vec_id").alias("qid"), "cid")
-        cand = (
-            assign.join(F.broadcast(probes), "cid")
-            .where(F.col("vec_id") != F.col("qid"))
-            .select("qid", F.col("vec_id").alias("nid"))
-            .distinct()
-        )
-        scored = (
-            cand.join(e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")), "qid")
-            .join(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv")), "nid")
-            .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
-        )
-        wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-        result = (
-            scored.withColumn("rn", F.row_number().over(wq))
-            .where(F.col("rn") <= KNN_K)
-            .select(
-                F.col("qid").alias("query_id"),
-                F.col("nid").alias("neighbor_id"),
-                F.col("rn").alias("rnk"),
-                F.round("cos", 4).alias("cosine"),
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                _centroid_scores(F.col("v"), k, normalize_v=False),
+                lambda s, i: F.struct((-s).alias("neg_s"), i.cast("int").alias("cid")),
             )
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        e.where(F.col("vec_id") < KNN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(probe_cells).alias("cell"),
         )
-        return result.localCheckpoint(eager=True)
-    finally:
-        ranked.unpersist()
+        .select("qid", "qv", F.col("cell.cid").alias("cid"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rn").alias("rnk"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
 
 
 EMB_NEARDUP_THRESHOLD = 0.35
@@ -1557,44 +1609,53 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the iterated kernel of IVF index builds and embedding-
     space dedup/diversity analysis at 100 TB:
-    * assignment: centroid table is broadcast (k x dim doubles), per-row
-      argmax via one JVM dot-product loop — zero shuffle;
-    * recompute: posexplode to (cid, pos, x) then a single partial->final
-      avg keyed on (cid, pos) — dim x k cells, so the shuffle carries
-      O(k * dim) pre-combined rows per map task, NOT O(n * dim);
+    * assignment: the k centroids are a folded literal array in the
+      projection itself (no join, no broadcast exchange); each row
+      computes its k cosines with one `transform` over that literal and
+      takes the argmax via `array_max`/`array_position` — zero shuffle,
+      zero per-row fan-out (the round-4 plan broadcast-joined the
+      centroids into n*k rows carrying the full vector and ranked them
+      with a `row_number() over partitionBy(vec_id)` shuffle, executed
+      twice — O(n*k*dim) bytes over the wire at 1B vectors);
+    * recompute: ONE pass — posexplode to (cid, pos, x) carrying the
+      assignment cosine, partial->final agg keyed on (cid, pos) (the
+      shuffle carries O(k * dim) pre-combined rows per map task, NOT
+      O(n * dim)), then a k*dim -> k rollup that derives n_members /
+      mean_cos from the pos=0 cells — the corpus is scanned exactly
+      once and `vec_id` never appears in any exchange;
     * convergence loops run this same plan repeatedly, feeding the new
-      centroids back as the next broadcast literal (driver-side k x dim
-      array — tiny), which is exactly how spark.ml's KMeans iterates."""
+      centroids back as the next literal (driver-side k x dim array —
+      tiny), which is exactly how spark.ml's KMeans iterates."""
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
-    cents = spark.createDataFrame(
-        [(cid, comp, norm) for cid, comp, norm in _ivf_centroids()[:k]],
-        "cid INT, c ARRAY<DOUBLE>, cn DOUBLE",
+    scored = e.select(
+        "v", _centroid_scores(F.col("v"), k, normalize_v=True).alias("sc")
     )
-    vnorm = F.sqrt(dot(F.col("v"), F.col("v")))
-    scores = e.join(F.broadcast(cents)).select(
-        "vec_id", "v", "cid", (dot(F.col("v"), F.col("c")) / (F.col("cn") * vnorm)).alias("s")
+    assign = scored.select(
+        "v",
+        (F.array_position(F.col("sc"), F.array_max("sc")) - 1).cast("int").alias("cid"),
+        F.array_max("sc").alias("s"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid"))
-    assign = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid", "s", "v")
-    )
-    stats = assign.groupBy("cid").agg(
-        F.count("*").alias("n_members"), F.round(F.avg("s"), 4).alias("mean_cos")
-    )
-    mean_vec = (
-        assign.select("cid", F.posexplode("v").alias("pos", "x"))
+    cell = (
+        assign.select("cid", "s", F.posexplode("v").alias("pos", "x"))
         .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            F.avg("x").alias("m"),
+            F.count("*").alias("n"),
+            F.avg("s").alias("ms"),
+        )
     )
-    new_norm = mean_vec.groupBy("cid").agg(
-        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm")
+    return (
+        cell.groupBy("cid")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.round(F.max(F.when(F.col("pos") == 0, F.col("ms"))), 4).alias("mean_cos"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm"),
+        )
+        .select("cid", "n_members", "mean_cos", "new_norm")
     )
-    return stats.join(new_norm, "cid").select("cid", "n_members", "mean_cos", "new_norm")
 
 
 # ---------------------------------------------------------------------------

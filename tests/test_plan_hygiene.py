@@ -23,7 +23,6 @@ BNLJ_WHITELIST = {
     "knn_cosine_bruteforce": "broadcast side = the 5-query set (exact baseline)",
     "range_join_price_bands": "broadcast side = fixed price-band table",
     "tfidf_top_terms": "broadcast side = the 1-row global doc count",
-    "kmeans_lloyd_step": "broadcast side = the k x dim centroid table",
     "scalar_subquery_orders": "broadcast side = the 1-row global average",
     "funnel_conversion": "broadcast sides = the three 1-row stage counts",
     "tpch_q11_important_parts": "broadcast side = the 1-row channel-total aggregate",
@@ -93,6 +92,83 @@ def test_single_partition_exchanges_only_over_bounded_relations(plans):
     )
 
 
+#: Corpus row-id columns: a Window or Exchange partitioned on one of
+#: these keys processes O(corpus) groups of O(1) rows — the degenerate
+#: shuffle shape that slipped into kmeans/IVF assignment in round 4
+#: (broadcast-join fan-out ranked by row_number over partitionBy(vec_id),
+#: shuffling O(n*k*dim) bytes for a per-row argmax that needs none).
+CORPUS_ROW_IDS = ("vec_id", "doc_id")
+
+#: Queries allowed a Window partitioned on a corpus row id, each with
+#: the reason the window is NOT a fan-out rank (e.g. the partition key
+#: is on a bounded side, or the window input is already per-row unique).
+ROW_ID_WINDOW_WHITELIST: dict[str, str] = {
+    "tfidf_top_terms": (
+        "per-document top-k over the doc's OWN (doc_id, term) aggregate — "
+        "group size is the doc's distinct-term count, not a join fan-out"
+    ),
+}
+
+#: Queries whose docstring says zero/no shuffle about ONE stage while
+#: another stage legitimately shuffles on a row id.
+ZERO_SHUFFLE_CLAIM_WHITELIST: dict[str, str] = {
+    "dedup_connected_components": (
+        "'no shuffle' refers to the singleton cluster_size literal; the "
+        "label-propagation loop joins the contracted dup-graph keyed on "
+        "node id — O(dup-graph), never O(corpus)"
+    ),
+}
+
+
+def test_no_windows_partitioned_on_corpus_row_ids(plans):
+    """A Window partitioned by vec_id/doc_id means every corpus row is
+    its own window group — with a join fan-out upstream that is an
+    O(n*k) shuffle to compute a per-row argmax/rank that a plain
+    projection (array ops over a literal/broadcast side) computes with
+    zero shuffle. This is the exact regression class of round 4's
+    kmeans_lloyd_step / ann_cosine_ivf plans; this test fails if either
+    is ever restored."""
+    import re
+
+    pat = re.compile(
+        r"(?:Window|WindowGroupLimit) \[[^\]]*\], \[(%s)#\d+"
+        % "|".join(CORPUS_ROW_IDS)
+    )
+    offenders = [
+        n
+        for n, p in plans.items()
+        if n not in ROW_ID_WINDOW_WHITELIST and pat.search(p)
+    ]
+    assert not offenders, (
+        f"Window partitioned on a corpus row id (join-fan-out rank?) in: {offenders}"
+    )
+
+
+def test_zero_shuffle_docstring_claims_hold(plans):
+    """Round 4's kmeans regression hid behind a docstring that promised
+    'zero shuffle' assignment while the plan shuffled n*k rows on
+    vec_id. Keep docstrings honest mechanically: any registered query
+    whose docstring claims zero/no shuffle must have a plan with no
+    Exchange keyed on a corpus row id."""
+    claimers = [
+        name
+        for name, spec in all_specs().items()
+        if spec.fn.__doc__
+        and ("zero shuffle" in spec.fn.__doc__ or "zero-shuffle" in spec.fn.__doc__
+             or "no shuffle" in spec.fn.__doc__)
+    ]
+    assert claimers, "expected at least kmeans/IVF to claim zero-shuffle assignment"
+    offenders = [
+        n
+        for n in claimers
+        if n not in ZERO_SHUFFLE_CLAIM_WHITELIST
+        and any(f"hashpartitioning({rid}#" in plans[n] for rid in CORPUS_ROW_IDS)
+    ]
+    assert not offenders, (
+        f"docstring claims zero/no shuffle but plan shuffles on a corpus row id: {offenders}"
+    )
+
+
 def test_whitelists_are_not_stale(plans):
     """An exemption for a query that no longer trips the flag (or no
     longer exists) should be deleted, keeping the whitelists honest."""
@@ -100,3 +176,15 @@ def test_whitelists_are_not_stale(plans):
         assert name in plans and "NestedLoop" in plans[name], name
     for name in SINGLE_PARTITION_WHITELIST:
         assert name in plans and "Exchange SinglePartition" in plans[name], name
+    import re
+
+    pat = re.compile(
+        r"(?:Window|WindowGroupLimit) \[[^\]]*\], \[(%s)#\d+"
+        % "|".join(CORPUS_ROW_IDS)
+    )
+    for name in ROW_ID_WINDOW_WHITELIST:
+        assert name in plans and pat.search(plans[name]), name
+    for name in ZERO_SHUFFLE_CLAIM_WHITELIST:
+        assert name in plans and any(
+            f"hashpartitioning({rid}#" in plans[name] for rid in CORPUS_ROW_IDS
+        ), name
