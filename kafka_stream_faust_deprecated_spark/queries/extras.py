@@ -1,10 +1,11 @@
-"""Overflow query module — registered LAST on purpose.
+"""Overflow query module for operators added after round 4's freeze.
 
 The external correctness sampler checks the first ~50 registered
-queries; that prefix is pinned to flagship + llm + tpch + scale
-(`queries/__init__.py`). New operators land here so they extend the
-self-checked surface without rotating anything out of the sampled
-prefix.
+queries in registration order; `queries/__init__.py` rotates that
+prefix each round toward whichever queries have the weakest driver
+record — as of round 5 this module is promoted to the FRONT of the
+prefix (right after flagship) precisely because its queries were the
+newest and least externally verified.
 """
 
 from __future__ import annotations

@@ -7,12 +7,25 @@ driver owns its session), smoke-runs ``entry(spark)``, then runs every
 ``oracle_sql()[name]`` via DuckDB: row count, column names,
 order-insensitive normalized value multiset.
 
-Usage: python scripts/driver_sim.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python scripts/driver_sim.py [--json OUT.json] [--registration-order]
+           [--prefix N] [--perm N [--seed S]] [sf_dir] [query ...]
 
 With ``--json`` the per-query results are also written in the driver's
 CORRECTNESS_r{N}.json format, so each round can commit a full
 self-check artifact (SELFCHECK_r{N}.json) even when the driver's own
 file samples only a subset of the registry.
+
+``--registration-order`` runs queries in registration order instead of
+sorted — the driver's actual iteration order, which matters because all
+queries share ONE session and an earlier query's session-conf mutation
+(e.g. the nanos-parquet legacy flag set by any events read) can leak
+into a later query. ``--prefix N`` additionally truncates to the first
+N queries, replicating the driver's ~50-query sample exactly.
+
+``--perm N`` runs the whole suite N times in seeded random orders, each
+under a FRESH ``spark.newSession()`` (fresh SQLConf, shared JVM), and
+reports any query that fails in some order but not others — a sweep
+for session-conf order-dependence across the full registry.
 """
 
 from __future__ import annotations
@@ -54,41 +67,25 @@ def _multiset(rows, cols):
     )
 
 
-def main() -> int:
-    argv = list(sys.argv[1:])
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
+def _pop_flag(argv: list, flag: str, has_value: bool = False):
+    if flag not in argv:
+        return None if has_value else False
+    i = argv.index(flag)
+    if has_value:
+        val = argv[i + 1]
         del argv[i : i + 2]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+        return val
+    del argv[i]
+    return True
 
-    import __spark_entry__ as e
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-        .appName("driver-sim")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    t0 = time.time()
-    n = e.entry(spark).count()
-    print(f"SMOKE entry(): {n} rows in {time.time() - t0:.1f}s -> {'OK' if n > 0 else 'FAIL'}")
-
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings".split()
-    ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-
-    qs, oracles = e.queries(), e.oracle_sql()
+def run_suite(spark, con, sf_dir: str, ordered_names, qs, oracles):
+    """Run each named query and diff it against its oracle; returns
+    (results dict in the driver's CORRECTNESS format, failed list)."""
     failed = []
     results = {}
-    for name, fn in sorted(qs.items()):
-        if only and name not in only:
-            continue
+    for name in ordered_names:
+        fn = qs[name]
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -143,7 +140,77 @@ def main() -> int:
         }
         if status == "FAIL":
             failed.append(name)
+    return results, failed
 
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    json_out = _pop_flag(argv, "--json", has_value=True)
+    reg_order = _pop_flag(argv, "--registration-order")
+    prefix = _pop_flag(argv, "--prefix", has_value=True)
+    perms = _pop_flag(argv, "--perm", has_value=True)
+    seed = int(_pop_flag(argv, "--seed", has_value=True) or "5")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    import __spark_entry__ as e
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    n = e.entry(spark).count()
+    print(f"SMOKE entry(): {n} rows in {time.time() - t0:.1f}s -> {'OK' if n > 0 else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = list(qs) if reg_order else sorted(qs)
+    if only:
+        names = [n_ for n_ in names if n_ in only]
+    if prefix:
+        names = names[: int(prefix)]
+
+    if perms:
+        # Order-dependence sweep: same suite, N seeded shuffles, each in
+        # a fresh session (fresh SQLConf, shared JVM) so leaked confs
+        # from one permutation cannot mask or cause a failure in the
+        # next. A query red in one order and green in another is a
+        # session-state bug, not a data bug.
+        import random
+
+        failures_by_perm = {}
+        for p in range(int(perms)):
+            rng = random.Random(seed + p)
+            order = names[:]
+            rng.shuffle(order)
+            sess = spark.newSession()
+            print(f"\n=== perm {p} (seed {seed + p}) first 5: {order[:5]} ===")
+            _, failed = run_suite(sess, con, sf_dir, order, qs, oracles)
+            failures_by_perm[p] = failed
+        flaky = {n_ for fl in failures_by_perm.values() for n_ in fl}
+        print(f"\npermutation sweep: {len(failures_by_perm)} orders, failures: ")
+        for p, fl in failures_by_perm.items():
+            print(f"  perm {p}: {len(fl)}" + (f" {fl}" if fl else ""))
+        if json_out:
+            import json
+
+            with open(json_out, "w") as fh:
+                json.dump(
+                    {"seed": seed, "failures_by_perm": failures_by_perm}, fh, indent=2
+                )
+            print(f"wrote {json_out}")
+        return 1 if flaky else 0
+
+    results, failed = run_suite(spark, con, sf_dir, names, qs, oracles)
     if json_out:
         import json
 
