@@ -690,14 +690,15 @@ WITH bounds AS (
 ),
 b AS (
     SELECT least({HIST_BUCKETS - 1},
-                 CAST(floor((l_extendedprice - lo) / ((hi - lo) / {HIST_BUCKETS})) AS BIGINT)) AS bucket,
+                 CAST(floor((l_extendedprice - lo)
+                            / greatest((hi - lo) / {HIST_BUCKETS}, 1e-12)) AS BIGINT)) AS bucket,
            lo, hi
     FROM lineitem CROSS JOIN bounds
 ),
 h AS (SELECT bucket, lo, hi, count(*)::BIGINT AS n FROM b GROUP BY 1, 2, 3)
 SELECT bucket,
-       round(lo + bucket * ((hi - lo) / {HIST_BUCKETS}), 4) AS bucket_lo,
-       round(lo + (bucket + 1) * ((hi - lo) / {HIST_BUCKETS}), 4) AS bucket_hi,
+       round(lo + bucket * greatest((hi - lo) / {HIST_BUCKETS}, 1e-12), 4) AS bucket_lo,
+       round(lo + (bucket + 1) * greatest((hi - lo) / {HIST_BUCKETS}, 1e-12), 4) AS bucket_hi,
        n,
        round(n * 1.0 / sum(n) OVER (), 4) AS share
 FROM h
@@ -715,12 +716,20 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is a pure projection; the histogram itself is a partial
     agg shuffle to HIST_BUCKETS rows, and the share normalization runs
     as a window sum over that bucket-count-bounded relation
-    (whitelisted single-partition pattern)."""
+    (whitelisted single-partition pattern).
+
+    The width is floored at 1e-12 in BOTH engines: a degenerate corpus
+    where every price is equal would otherwise divide by zero — Spark
+    floor(x/0) yields null buckets while DuckDB errors on the cast, so
+    the engines would diverge exactly when the guard matters. With the
+    floor, both put every row in bucket 0."""
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
-    width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / HIST_BUCKETS, F.lit(1e-12)
+    )
     bucket = F.least(
         F.lit(HIST_BUCKETS - 1),
         F.floor((F.col("l_extendedprice") - F.col("lo")) / width),

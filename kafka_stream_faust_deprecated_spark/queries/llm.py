@@ -521,16 +521,28 @@ def _ann_bits(n: int) -> int:
     return min(ANN_BITS_MAX, max(ANN_BITS_MIN, math.ceil(math.log2(max(2, n))) + 2))
 
 
-#: Corpus row counts per (session, sf_dir) — parquet-metadata counts are
-#: cheap but still one Spark job each; the plan-build sizing reads them
-#: on every invocation, so repeated calls (bench warm+measured runs, the
-#: driver's suite) shouldn't re-pay the job. Deterministic for a fixed
-#: sf_dir: the fixture tables are immutable inputs.
+#: Corpus row counts per (session, sf_dir) — one cheap count job each
+#: (a full count unless parquet aggregate pushdown is on; "cheap" means
+#: column-pruned, not free). The plan-build sizing reads them on every
+#: invocation, so repeated calls (bench warm+measured runs, the driver's
+#: suite) shouldn't re-pay the job. Deterministic for a fixed sf_dir:
+#: the fixture tables are immutable inputs.
 _COUNT_MEMO: dict[tuple[str, str], int] = {}
 
 
+def _evict_dead_sessions(memo: dict, app_id: str) -> None:
+    """Drop memo entries from other Spark applications. In a long-lived
+    process spanning several sessions (pytest, notebooks) stale entries
+    would otherwise accumulate forever — and for the pair memo each one
+    pins a dead session's localCheckpoint DataFrame reference."""
+    for k in [k for k in memo if k[0] != app_id]:
+        del memo[k]
+
+
 def _embeddings_count(spark: SparkSession, df: DataFrame, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(_COUNT_MEMO, app_id)
+    key = (app_id, sf_dir)
     if key not in _COUNT_MEMO:
         _COUNT_MEMO[key] = df.count()
     return _COUNT_MEMO[key]
@@ -1699,7 +1711,9 @@ _SIMHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(_SIMHASH_PAIRS_MEMO, app_id)
+    key = (app_id, sf_dir)
     if key not in _SIMHASH_PAIRS_MEMO:
         _SIMHASH_PAIRS_MEMO[key] = (
             neardup_simhash(spark, sf_dir)

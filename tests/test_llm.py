@@ -40,33 +40,47 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
 @pytest.mark.parametrize(
     "sf_dir", [SF_DIR, "/root/testdata/sf0.1"], ids=["sf_small", "sf0.1"]
 )
-def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """Multiprobe sign-bucket ANN vs the exact top-3, at two corpus
-    sizes with NO hand retuning — the bucket width derives from the
-    corpus count (llm._ann_bits), so both SFs run the same code.
+def test_ann_recall_vs_bruteforce(spark, sf_dir, record_property):
+    """Both ANN families vs the exact top-3, at two corpus sizes with NO
+    hand retuning — bucket width / cell count derive from the corpus
+    count (llm._ann_bits / _ivf_k), so both SFs run the same code.
 
     The fixture embeddings are iid random (top-3 cosines ~0.4 — i.e. the
     expected maximum of n random cosines, no planted neighbor structure),
     which is the WORST case for any sublinear index: neighbors are barely
-    more bucket-collision-prone than strangers. 16 tables x auto-sized
-    bits with hamming<=1 multiprobe holds recall well above the 0.6
-    floor on both corpora, so bucket-key regressions (wrong hash, wrong
-    probe expansion, wrong join, wrong auto-width) fail loudly while
-    honest parameter variance does not."""
+    more bucket-collision-prone than strangers. Measured recall (also
+    recorded as a pytest property so the artifact documents what each
+    index's probe depth buys):
+
+    * LSH, 16 tables x auto bits, hamming<=2 multiprobe: 0.87-1.0 at
+      both SFs (the ~20% normalized bench cost of 2-flip probing vs
+      1-flip is the price of this floor; 1-flip decays below 0.6 once
+      auto-sizing passes ~10 bits — see round-4 measurements).
+    * IVF, k cells ~ 2*sqrt(n), nprobe = k/8: ~0.33 at both SFs — on
+      iid data a true neighbor's cell is only weakly correlated with
+      the query's top-nprobe cells, so scanning n/8 of the corpus buys
+      about a third of the exact hits. This is the honest structural
+      ceiling for random vectors, NOT a bug floor; clustered real
+      corpora (where k-means centroids capture actual structure) sit
+      far higher. The 0.2 assertion catches plan/key regressions.
+    """
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in get_query("knn_cosine_bruteforce").fn(spark, sf_dir).collect()
     }
-    ann = {
-        (r["query_id"], r["neighbor_id"])
-        for r in get_query("ann_cosine_lsh").fn(spark, sf_dir).collect()
-    }
     assert exact
-    recall = len(ann & exact) / len(exact)
-    assert recall >= 0.6, f"ANN recall collapsed: {recall}"
-    # ANN scores only bucket-sharing candidates -> never MORE results
-    # than the brute force per query
-    assert len(ann) <= len(exact)
+    floors = {"ann_cosine_lsh": 0.6, "ann_cosine_ivf": 0.2}
+    for name, floor in floors.items():
+        ann = {
+            (r["query_id"], r["neighbor_id"])
+            for r in get_query(name).fn(spark, sf_dir).collect()
+        }
+        recall = len(ann & exact) / len(exact)
+        record_property(f"recall[{name}@{sf_dir.rsplit('/', 1)[-1]}]", round(recall, 3))
+        assert recall >= floor, f"{name} recall collapsed: {recall} < {floor}"
+        # ANN scores only candidate subsets -> never MORE results than
+        # the brute force per query
+        assert len(ann) <= len(exact)
 
 
 def test_cluster_pairs_cross_partition_matches_local_cc(spark):
@@ -258,14 +272,15 @@ def test_pipeline_curate_single_corpus_scan(spark):
     pre-checkpoint plan directly via the private helpers
     _curate_token_stage/_curate_audit to inspect it.)
 
-    Note on counting: `explain("formatted")` reprints the cached
-    subplan under InMemoryTableScan nodes in the tree section but
-    deduplicates shared subplans to a single node id in the details
-    section, so the raw 'Scan parquet' substring count can be LOWER
-    than the 'InMemoryTableScan' count. The invariant is therefore
-    n_parquet <= n_cached: any EXTRA parquet scan beyond the reprints
-    would be an uncached corpus pass."""
+    Exact invariants (node-id-parsed from the formatted tree section,
+    not substring inequalities): node ids are unique per plan-operator
+    instance, and the cached token-stage subplan is reprinted under
+    every InMemoryTableScan with ITS OWN ids — so an uncached corpus
+    pass would surface as a SECOND distinct parquet node id. We assert
+    exactly one distinct id, appearing exactly once per
+    InMemoryTableScan reprint."""
     import io as _io
+    import re
     from contextlib import redirect_stdout
 
     from kafka_stream_faust_deprecated_spark.queries.llm import (
@@ -283,22 +298,49 @@ def test_pipeline_curate_single_corpus_scan(spark):
         plan = buf.getvalue()
     finally:
         tok.unpersist()
-    n_cached = plan.count("InMemoryTableScan")
-    n_parquet = plan.count("Scan parquet")
-    assert n_cached >= 4, plan
-    # every parquet scan must be a cache-fill reprint under an
-    # InMemoryTableScan; an EXTRA scan would be an uncached corpus pass
-    assert n_parquet <= n_cached, plan
+    tree = plan.split("\n\n", 1)[0]  # tree section: indented node lines
+    tree_lines = [ln for ln in tree.splitlines() if re.search(r"\(\d+\)", ln)]
+    parquet_occurrences = [
+        m.group(1)
+        for ln in tree_lines
+        if (m := re.search(r"Scan parquet\s*\((\d+)\)", ln))
+    ]
+    assert len(set(parquet_occurrences)) == 1, (
+        "expected exactly one distinct corpus scan node, got "
+        f"{set(parquet_occurrences)}\n{tree}"
+    )
+    n_cached = sum("InMemoryTableScan" in ln for ln in tree_lines)
+    assert n_cached >= 4, tree
+    # the single scan node appears exactly once per cache reprint —
+    # no standalone (uncached) repetition
+    assert len(parquet_occurrences) == n_cached, (
+        f"{len(parquet_occurrences)} scan reprints vs {n_cached} "
+        f"InMemoryTableScan nodes\n{tree}"
+    )
     # and the public entry releases every cache it took out itself.
     # localCheckpoint(eager=True) persists its checkpoint RDD by design
-    # (MEMORY_AND_DISK) and releases it only when the result is GC'd, so
-    # we assert no NEW persistent RDDs beyond that single checkpoint.
+    # (MEMORY_AND_DISK) and releases it only when the result is GC'd; the
+    # ONE allowed new persistent RDD must therefore BE a locally
+    # checkpointed RDD — a leaked .persist() would not be.
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def persistent_rdds():
+        out = {}
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2()
+        return out
+
+    before = set(persistent_rdds())
     out = pipeline_curate(spark, SF_DIR)
     assert out.count() > 0
-    leaked = jsc.getPersistentRDDs().size() - before
-    assert leaked <= 1, (
-        f"pipeline_curate leaked {leaked} cached stages "
+    new = {rid: rdd for rid, rdd in persistent_rdds().items() if rid not in before}
+    assert len(new) <= 1, (
+        f"pipeline_curate leaked {len(new)} cached stages "
         "(expected at most the localCheckpoint RDD)"
     )
+    for rid, rdd in new.items():
+        assert rdd.isLocallyCheckpointed(), (
+            f"persistent RDD {rid} is not the localCheckpoint RDD: {rdd.toString()}"
+        )
