@@ -244,3 +244,138 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_clusters") > 0)
     )
     return multi.unionByName(singles)
+
+
+#: Sequence-packing parameters: the token budget per pack (a training
+#: context window) and the shard fan-out that makes packing parallel.
+PACK_BUDGET = 1024
+PACK_SHARDS = 64
+
+
+@register(
+    "doc_pack_token_budget",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+           len(string_split({SQL_NORM}, ' ')) AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT *, sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, lang, shard::BIGINT AS shard, n_tok::BIGINT AS n_tok,
+       CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM c
+""",
+    tags=("E25",),
+)
+def doc_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget
+    pack (training context window) by its starting offset in a running
+    token count — the step that turns a curated corpus into fixed-size
+    training sequences. A doc whose cumulative start crosses a budget
+    boundary opens the next pack (docs are not split here; splitting is
+    a downstream flat-map over the pack members).
+
+    Scale shape: packing is inherently sequential, so the corpus is
+    sharded FIRST — (lang, doc_id % {PACK_SHARDS}) — and each shard
+    packs independently: one exchange on the composite shard key, then
+    a running-sum window whose partitions are corpus_size/shards rows.
+    Parallelism is the shard count (tune to cluster cores), not 1; a
+    global single-sequence pack would serialize the whole corpus
+    through one partition. The oracle runs the identical window in
+    DuckDB."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           127.0 / greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'),
+                            1e-12) AS scale
+    FROM e
+),
+q AS (
+    SELECT vec_id, scale,
+           list_transform(v, x -> abs(x - least(127.0, greatest(-127.0,
+                              floor(x * scale + 0.5))) / scale)) AS errs
+    FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_aggregate(errs, 'max'), 6) AS max_abs_err,
+       round(list_aggregate(errs, 'sum') / len(errs), 6) AS mean_abs_err
+FROM q
+""",
+    tags=("E24",),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale = 127/amax,
+    code = clamp(floor(x*scale + 0.5), ±127), reporting the scale and
+    the reconstruction error stats (max / mean absolute error) — the
+    compression step that shrinks an ANN index 4x before serving, with
+    the error report telling you whether recall will survive it.
+
+    Both engines round codes with the SAME explicit floor(x*s + 0.5)
+    expression rather than their built-in round() (whose half-way tie
+    rules differ), so code values — and therefore the error stats —
+    are bit-identical.
+
+    Scale shape: a pure two-projection pipeline over one scan — the
+    per-vector max, the scale, the error array, and its reductions are
+    all JVM array expressions with zero joins, zero shuffles, and
+    nothing corpus-sized on the driver. At 1B vectors this runs at
+    scan speed; the codes themselves (not materialized here) would be
+    written back as an array<tinyint> column in the same pass."""
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    amax = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    s = e.select("vec_id", "v", (F.lit(127.0) / amax).alias("scale"))
+
+    def _err(x):
+        code = F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)),
+            ),
+        )
+        return F.abs(x.cast("double") - code / F.col("scale"))
+
+    q = s.select("vec_id", "scale", F.transform(F.col("v"), _err).alias("errs"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"), 6
+        ).alias("mean_abs_err"),
+    )

@@ -849,6 +849,12 @@ def _ivf_centroids() -> list[tuple[int, list[float], float]]:
     return cents
 
 
+#: Parsed (centroid-array, norm-array) literal Columns per k — see
+#: _centroid_scores. Unbound expressions: safe to share across plans
+#: and sessions; bounded by the handful of distinct auto-sized k values.
+_CENT_LIT_MEMO: dict[int, tuple[Column, Column]] = {}
+
+
 def _centroid_scores(v: Column, k: int, *, normalize_v: bool) -> Column:
     """Array of ``v``'s k centroid cosines as ONE zero-shuffle projection.
 
@@ -869,15 +875,23 @@ def _centroid_scores(v: Column, k: int, *, normalize_v: bool) -> Column:
     The literals are built as ONE ``F.expr`` parse (``0.1234D`` double
     literals), not per-element ``F.lit`` calls — k*dim elements mean
     thousands of py4j round-trips per ``F.lit``, which dominated the
-    measured query time at k=64 (plan CONSTRUCTION, not execution)."""
-    cents = _ivf_centroids()[:k]
-    carr = F.expr(
-        "array(%s)"
-        % ",".join(
-            "array(%s)" % ",".join(f"{c!r}D" for c in comp) for _, comp, _ in cents
+    measured query time at k=64 (plan CONSTRUCTION, not execution).
+    The parsed literal Columns are memoized per k: they are unbound
+    Catalyst expressions, reusable across plans and sessions in the
+    same JVM."""
+    if k not in _CENT_LIT_MEMO:
+        cents = _ivf_centroids()[:k]
+        _CENT_LIT_MEMO[k] = (
+            F.expr(
+                "array(%s)"
+                % ",".join(
+                    "array(%s)" % ",".join(f"{c!r}D" for c in comp)
+                    for _, comp, _ in cents
+                )
+            ),
+            F.expr("array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents)),
         )
-    )
-    norms = F.expr("array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents))
+    carr, norms = _CENT_LIT_MEMO[k]
     denom = F.sqrt(dot(v, v)) if normalize_v else F.lit(1.0)
     return F.transform(
         carr,
