@@ -47,7 +47,8 @@ from kafka_stream_faust_deprecated_spark.registry import (  # noqa: E402
 #: sliding window, exact dedup, MinHash-LSH near-dup, brute-force knn,
 #: multi-table LSH ann, TF-IDF, quality scoring, k-means step,
 #: connected components, TPC-H join/agg, skew-salted join, SCD2 windows,
-#: and the end-to-end curation pipeline.
+#: the end-to-end curation pipeline, sharded sequence packing, and the
+#: int8 quantization audit.
 HEADLINE = (
     "flagship_sma_5row",
     "join_broadcast_dims_revenue",
@@ -69,6 +70,8 @@ HEADLINE = (
     "join_salted_skew",
     "scd2_customer_history",
     "pipeline_curate",
+    "doc_pack_token_budget",
+    "embedding_quantize_int8",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has
@@ -113,9 +116,14 @@ def main() -> None:
         tpch_totals.append(sum(_run_once(n, spark, sf_dir) for n in tpch_names))
     times[f"tpch_suite_{len(tpch_names)}q"] = round(min(tpch_totals), 3)
 
-    # Calibration divisor, re-timed AFTER the suite so it sees the same
-    # machine state the measured queries saw.
-    calib = _time_query(CALIBRATION_QUERY, spark, sf_dir)
+    # Calibration divisor. The sandbox's load drifts 2-4x WITHIN a run,
+    # so a single post-suite sample can misstate the machine state most
+    # queries actually saw; time the calibration query both before the
+    # suite (it is also a headline entry — reuse that sample) and after,
+    # publish both, and normalize by their mean.
+    calib_post = _time_query(CALIBRATION_QUERY, spark, sf_dir)
+    calib_pre = times[CALIBRATION_QUERY]
+    calib = round((calib_pre + calib_post) / 2, 3)
     normalized = {n: round(t / calib, 2) for n, t in times.items()}
 
     print(
@@ -127,6 +135,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "calibration_sec": calib,
+                "calibration_pre_sec": calib_pre,
+                "calibration_post_sec": calib_post,
                 "normalized": normalized,
             }
         )

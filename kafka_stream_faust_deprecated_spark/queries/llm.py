@@ -943,8 +943,9 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus count (_ivf_k/_ivf_nprobe: k ≈ 2·sqrt(n) clamped, nprobe
     = k/8), with the oracle deriving the identical values in SQL.
 
-    Scale shape — the corpus is scanned ONCE and `vec_id` never keys an
-    exchange:
+    Scale shape — the full corpus is scanned ONCE (the probe side
+    re-reads only the K filter-pruned query rows) and `vec_id` never
+    keys an exchange:
     * cell assignment is a zero-shuffle argmax projection over the
       folded literal centroid array (`_centroid_scores` — the round-4
       plan broadcast-joined centroids into an n*k fan-out ranked by a
@@ -968,16 +969,25 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
     nprobe = _ivf_nprobe(k)
-    sc = _centroid_scores(F.col("v"), k, normalize_v=False)
-    assign = e.select(
+    # Stage the score array as a materialized column BEFORE taking the
+    # argmax: HOFs run interpreted (no whole-stage codegen, no CSE), so
+    # inlining the 64-cosine expression into both array_position and
+    # array_max would evaluate it TWICE per row. The per-vector norm is
+    # computed once here too, so candidate scoring later costs ONE dot
+    # per pair instead of three.
+    scored0 = e.select(
+        "vec_id", "v", _centroid_scores(F.col("v"), k, normalize_v=False).alias("sc")
+    )
+    assign = scored0.select(
         "vec_id",
         "v",
-        (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
+        (F.array_position(F.col("sc"), F.array_max("sc")) - 1).cast("int").alias("cid"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
     )
     probe_cells = F.slice(
         F.array_sort(
             F.transform(
-                _centroid_scores(F.col("v"), k, normalize_v=False),
+                F.col("sc"),
                 lambda s, i: F.struct((-s).alias("neg_s"), i.cast("int").alias("cid")),
             )
         ),
@@ -987,16 +997,24 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         e.where(F.col("vec_id") < KNN_N_QUERIES)
         .select(
+            "vec_id", "v", _centroid_scores(F.col("v"), k, normalize_v=False).alias("sc")
+        )
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
             F.explode(probe_cells).alias("cell"),
         )
-        .select("qid", "qv", F.col("cell.cid").alias("cid"))
+        .select("qid", "qv", "qn", F.col("cell.cid").alias("cid"))
     )
     scored = (
         assign.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"), cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
     )
     wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
