@@ -28,6 +28,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Per-session memo of table DataFrames. A DataFrame here is an
+#: analyzed RELATION (schema + file listing), not data: re-reading the
+#: same immutable fixture table pays parquet footer + listing + (for
+#: the parallel variant) an RDD-conversion partition probe on EVERY
+#: query construction — ~0.2-0.4 s of py4j/driver work per call that a
+#: long-lived session (the driver runs ~50 queries in one) repays
+#: nothing for. Keyed by (session identity, app id); entries from any
+#: other session are evicted on access so a dead session's plans are
+#: never resurrected.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo_get(spark: SparkSession, sf_dir: str, name: str, parallel: bool):
+    sess_key = (id(spark), spark.sparkContext.applicationId)
+    for k in [k for k in _TABLE_MEMO if k[0] != sess_key]:
+        del _TABLE_MEMO[k]
+    return (sess_key, sf_dir, name, parallel), _TABLE_MEMO
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Schema comes from the footer; filters/projection on
     the returned DataFrame push down into this scan.
@@ -39,13 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key, memo = _memo_get(spark, sf_dir, name, False)
+    if key in memo:
+        return memo[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    memo[key] = df
+    return df
 
 
 def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,10 +84,14 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     splits and this is a no-op (no shuffle added); on the small local
     fixtures it is a sub-MB round-robin exchange that unlocks all cores.
     """
+    key, memo = _memo_get(spark, sf_dir, name, True)
+    if key in memo:
+        return memo[key]
     df = load_table(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    memo[key] = df
     return df
 
 

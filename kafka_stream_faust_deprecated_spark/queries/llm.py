@@ -849,18 +849,42 @@ def _ivf_centroids() -> list[tuple[int, list[float], float]]:
     return cents
 
 
-#: Parsed (centroid-array, norm-array) literal Columns per k — see
-#: _centroid_scores. Unbound expressions: safe to share across plans
-#: and sessions; bounded by the handful of distinct auto-sized k values.
-_CENT_LIT_MEMO: dict[int, tuple[Column, Column]] = {}
+#: SQL-text twin of ``functions.vectors.dot`` — the same sequential
+#: double-precision accumulation, composable into single-parse strings.
+_SQL_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0.0D, (acc, x) -> acc + x)"
+)
+
+#: Parsed-Column memo for the SQL-text expressions below. Two reasons,
+#: both measured: (1) building these expressions with the Column API
+#: costs ~1500 py4j round-trips per query construction (each lambda /
+#: arithmetic op is a gateway call; ~1.4 s on a loaded box — more than
+#: the query's execution); one ``F.expr`` parse is a single call.
+#: (2) The parsed Column is an unbound Catalyst expression, safe to
+#: share across plans and sessions in the same JVM, so repeat
+#: invocations (bench warm+measured, the driver suite) pay zero calls.
+_EXPR_MEMO: dict[str, Column] = {}
 
 
-def _centroid_scores(v: Column, k: int, *, normalize_v: bool) -> Column:
-    """Array of ``v``'s k centroid cosines as ONE zero-shuffle projection.
+def _memo_expr(sql: str) -> Column:
+    if sql not in _EXPR_MEMO:
+        _EXPR_MEMO[sql] = F.expr(sql)
+    return _EXPR_MEMO[sql]
+
+
+def _sql_norm_of(vname: str) -> str:
+    """SQL text for ``sqrt(dot(v, v))`` — the L2 norm, sequentially
+    accumulated exactly like the oracle's ``sqrt(list_dot_product)``."""
+    return f"sqrt({_SQL_DOT.format(a=vname, b=vname)})"
+
+
+def _centroid_scores(vname: str, k: int, *, norm_col: str | None = None) -> Column:
+    """Array of column ``vname``'s k centroid cosines as ONE
+    zero-shuffle projection (a single memoized ``F.expr``).
 
     The k centroid vectors and their norms are embedded as foldable
-    literals (Catalyst constant-folds the nested ``CreateArray`` of
-    literals into a single array constant before codegen), so centroid
+    ``0.1234D`` literals inside the expression text, so centroid
     assignment needs no join, no broadcast exchange, and no per-row
     fan-out: ``transform`` walks the literal array and emits k cosines
     per input row in place. Callers take ``array_max`` for the best
@@ -868,34 +892,20 @@ def _centroid_scores(v: Column, k: int, *, normalize_v: bool) -> Column:
     are 0..k-1 by construction, and first-occurrence semantics match
     the oracle's ``ORDER BY s DESC, cid`` tiebreak).
 
-    ``normalize_v=False`` skips the query-norm divisor — per-row argmax
-    is invariant to it (IVF cell assignment uses this form to mirror
-    the oracle exactly).
-
-    The literals are built as ONE ``F.expr`` parse (``0.1234D`` double
-    literals), not per-element ``F.lit`` calls — k*dim elements mean
-    thousands of py4j round-trips per ``F.lit``, which dominated the
-    measured query time at k=64 (plan CONSTRUCTION, not execution).
-    The parsed literal Columns are memoized per k: they are unbound
-    Catalyst expressions, reusable across plans and sessions in the
-    same JVM."""
-    if k not in _CENT_LIT_MEMO:
-        cents = _ivf_centroids()[:k]
-        _CENT_LIT_MEMO[k] = (
-            F.expr(
-                "array(%s)"
-                % ",".join(
-                    "array(%s)" % ",".join(f"{c!r}D" for c in comp)
-                    for _, comp, _ in cents
-                )
-            ),
-            F.expr("array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents)),
-        )
-    carr, norms = _CENT_LIT_MEMO[k]
-    denom = F.sqrt(dot(v, v)) if normalize_v else F.lit(1.0)
-    return F.transform(
-        carr,
-        lambda c, i: dot(v, c) / (F.element_at(norms, i + F.lit(1)) * denom),
+    ``norm_col`` names an ALREADY-COMPUTED query-norm column to divide
+    by (hoisted to a prior projection so it is evaluated once per row,
+    not once per centroid inside the lambda — HOFs are interpreted, no
+    CSE). Omit it where the argmax is all that matters: per-row argmax
+    is invariant to a positive per-row scale, and IVF's oracle uses the
+    unnormalized form exactly."""
+    cents = _ivf_centroids()[:k]
+    carr = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{c!r}D" for c in comp) for _, comp, _ in cents
+    )
+    norms = "array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents)
+    denom = f"({norms}[i] * {norm_col})" if norm_col else f"{norms}[i]"
+    return _memo_expr(
+        f"transform({carr}, (c, i) -> {_SQL_DOT.format(a=vname, b='c')} / {denom})"
     )
 
 
@@ -975,35 +985,27 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_max would evaluate it TWICE per row. The per-vector norm is
     # computed once here too, so candidate scoring later costs ONE dot
     # per pair instead of three.
-    scored0 = e.select(
-        "vec_id", "v", _centroid_scores(F.col("v"), k, normalize_v=False).alias("sc")
-    )
+    scored0 = e.select("vec_id", "v", _centroid_scores("v", k).alias("sc"))
     assign = scored0.select(
         "vec_id",
         "v",
-        (F.array_position(F.col("sc"), F.array_max("sc")) - 1).cast("int").alias("cid"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nn"),
-    )
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                F.col("sc"),
-                lambda s, i: F.struct((-s).alias("neg_s"), i.cast("int").alias("cid")),
-            )
-        ),
-        1,
-        nprobe,
+        _memo_expr("CAST(array_position(sc, array_max(sc)) - 1 AS INT)").alias("cid"),
+        _memo_expr(_sql_norm_of("v")).alias("nn"),
     )
     probes = (
         e.where(F.col("vec_id") < KNN_N_QUERIES)
-        .select(
-            "vec_id", "v", _centroid_scores(F.col("v"), k, normalize_v=False).alias("sc")
-        )
+        .select("vec_id", "v", _centroid_scores("v", k).alias("sc"))
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
-            F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
-            F.explode(probe_cells).alias("cell"),
+            _memo_expr(_sql_norm_of("v")).alias("qn"),
+            F.explode(
+                _memo_expr(
+                    "slice(array_sort(transform(sc, (s, i) ->"
+                    " named_struct('neg_s', -s, 'cid', CAST(i AS INT)))),"
+                    f" 1, {nprobe})"
+                )
+            ).alias("cell"),
         )
         .select("qid", "qv", "qn", F.col("cell.cid").alias("cid"))
     )
@@ -1013,7 +1015,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+            _memo_expr(f"({_SQL_DOT.format(a='qv', b='v')}) / (qn * nn)").alias("cos"),
         )
     )
     wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
@@ -1674,12 +1676,12 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("v")
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
-    scored = e.select(
-        "v", _centroid_scores(F.col("v"), k, normalize_v=True).alias("sc")
+    scored = e.select("v", _memo_expr(_sql_norm_of("v")).alias("vn")).select(
+        "v", _centroid_scores("v", k, norm_col="vn").alias("sc")
     )
     assign = scored.select(
         "v",
-        (F.array_position(F.col("sc"), F.array_max("sc")) - 1).cast("int").alias("cid"),
+        _memo_expr("CAST(array_position(sc, array_max(sc)) - 1 AS INT)").alias("cid"),
         F.array_max("sc").alias("s"),
     )
     cell = (
