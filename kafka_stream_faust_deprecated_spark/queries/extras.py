@@ -19,6 +19,8 @@ from kafka_stream_faust_deprecated_spark.io import load_table_parallel
 from kafka_stream_faust_deprecated_spark.queries.llm import SQL_NORM
 from kafka_stream_faust_deprecated_spark.registry import register
 
+DSIR_TARGET_LANG = "en"
+
 
 @register(
     "dedup_exact_keep_best",
@@ -378,4 +380,260 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"), 6
         ).alias("mean_abs_err"),
+    )
+
+
+#: Chunking parameters: tokens per training chunk and the stride between
+#: chunk starts (overlap = CHUNK_TOKENS - CHUNK_STRIDE).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+_SQL_CHUNK_SLICE = (
+    f"list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1, "
+    f"chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})"
+)
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks,
+           len(string_split({SQL_NORM}, ' ')) AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tok, toks,
+           unnest(generate_series(0,
+               CAST(floor((greatest(n_tok - {CHUNK_TOKENS}, 0)
+                           + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS INT)
+           )) AS chunk_id
+    FROM t
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       len({_SQL_CHUNK_SLICE})::BIGINT AS n_chunk_tok,
+       md5(array_to_string({_SQL_CHUNK_SLICE}, ' ')) AS chunk_hash
+FROM c
+""",
+    tags=("E25",),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the step that turns
+    variable-length curated documents into model-context-sized training
+    chunks ({CHUNK_TOKENS} tokens, stride {CHUNK_STRIDE}, so consecutive
+    chunks share the trailing tokens and no boundary context is lost).
+    Every token lands in at least one chunk; the last chunk of a doc may
+    run short. Emits (doc_id, chunk_id, token count, content hash) — a
+    downstream writer joins the hash-addressed chunk text back out.
+
+    Scale shape: tokenize + chunk-count + explode + slice is a single
+    zero-shuffle scan-projection pipeline (the explode fan-out is
+    ceil(doc_tokens/stride) rows per doc — the output's inherent size,
+    nothing quadratic), so at 100 TB this runs at scan speed with no
+    exchange at all. The per-chunk md5 keys any downstream exact-dedup
+    of chunks without rereading text."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tok")
+    )
+    last_chunk = F.floor(
+        (F.greatest(F.col("n_tok") - CHUNK_TOKENS, F.lit(0)) + (CHUNK_STRIDE - 1))
+        / float(CHUNK_STRIDE)
+    ).cast("int")
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+    )
+    ctoks = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(ctoks).cast("long").alias("n_chunk_tok"),
+        F.md5(F.concat_ws(" ", ctoks)).alias("chunk_hash"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, unnest(string_split({SQL_NORM}, ' ')) AS tok
+    FROM documents
+),
+v AS (
+    SELECT tok, count(*)::DOUBLE AS c_all,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::DOUBLE AS c_tgt
+    FROM t GROUP BY tok
+),
+tot AS (
+    SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt, count(*)::DOUBLE AS vsz FROM v
+),
+p AS (
+    SELECT tok, ln((c_tgt + 1) / (n_tgt + vsz)) - ln((c_all + 1) / (n_all + vsz)) AS lr
+    FROM v CROSS JOIN tot
+)
+SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+       round(avg(lr), 4) + 0.0 AS avg_log_ratio
+FROM t JOIN p USING (tok)
+GROUP BY doc_id, lang
+""",
+    tags=("E25",),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", reduced to unigram
+    features): per document, the mean log-likelihood ratio of its tokens
+    under an add-one-smoothed target-distribution unigram LM (here: the
+    '{DSIR_TARGET_LANG}' subset) vs the whole-corpus unigram LM. High
+    ratio = looks like the target domain; a downstream sampler resamples
+    proportional to exp(ratio). Complements doc_unigram_nll (absolute
+    fluency) with a RELATIVE domain-match signal.
+
+    Scale shape: both LMs come out of ONE token-keyed count shuffle over
+    a single corpus scan (the target counts are a conditional sum in the
+    same aggregate, not a second pass); the three normalizing totals
+    reduce the vocabulary-bounded relation to one broadcast row; scoring
+    re-joins tokens to the vocabulary on the token key (zipf-skewed, AQE
+    splits hot tokens) and reduces per doc. No all-pairs, no driver
+    state, and swapping in a real external target corpus only replaces
+    the c_tgt column's source."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    v = t.groupBy("tok").agg(
+        F.count("*").cast("double").alias("c_all"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("double").alias("c_tgt"),
+    )
+    tot = v.agg(
+        F.sum("c_all").alias("n_all"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").cast("double").alias("vsz"),
+    )
+    p = v.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + F.col("vsz")))
+            - F.log((F.col("c_all") + 1) / (F.col("n_all") + F.col("vsz")))
+        ).alias("lr"),
+    )
+    return (
+        t.join(p, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # + 0.0 folds IEEE -0.0 to 0.0 (a near-zero mean ratio can
+            # round to either sign of zero; both engines add it).
+            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+        )
+    )
+
+
+#: Within-cell cosine above which the higher-id vector is pruned.
+SEMDEDUP_COS = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _ANN_BITS_SQL,
+        _IVF_K_SQL,
+        _ivf_centroids,
+    )
+
+    values = ",\n      ".join(
+        f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
+        for cid, comp, norm in _ivf_centroids()
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
+nk AS (SELECT {_IVF_K_SQL} AS k),
+cents_all(cid, c, cn) AS (VALUES
+      {values}
+),
+cents AS (SELECT * FROM cents_all WHERE cid < (SELECT k FROM nk)),
+scores AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, c) / cn DESC, cid) AS rn
+    FROM e CROSS JOIN cents
+),
+m AS (
+    SELECT e.vec_id, s.cid, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
+    FROM e JOIN (SELECT vec_id, cid FROM scores WHERE rn = 1) s USING (vec_id)
+),
+removed AS (
+    SELECT DISTINCT hi.vec_id
+    FROM m hi JOIN m lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+    WHERE list_dot_product(hi.v, lo.v) / (hi.nrm * lo.nrm) > {SEMDEDUP_COS}
+)
+SELECT vec_id, cid::BIGINT AS cid
+FROM m WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+"""
+
+
+@register("semantic_dedup_semdedup", oracle=_semdedup_oracle(), tags=("E23", "E24"))
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup in the SemDeDup shape (Abbas et
+    al. 2023): assign every vector to its nearest k-means cell, compare
+    pairs ONLY within a cell, and prune a vector when a lower-id member
+    of its cell sits above cosine {SEMDEDUP_COS} (keep-lowest-id is the
+    deterministic survivor rule; survivors are therefore pairwise below
+    the threshold within every cell). Complements
+    neardup_embedding_cosine, whose LSH buckets optimize for high-recall
+    PAIR FINDING — SemDeDup's cells give a fixed O(sum cell^2) pruning
+    budget and a tunable dedup rate via k and the threshold.
+
+    Scale shape: cell assignment is the SAME zero-shuffle literal-array
+    argmax projection as ann_cosine_ivf (no join, no window over
+    vec_id); the only exchanges are the cid-keyed self-join (cells ~
+    n/k rows; k grows ~sqrt(n) via _ivf_k so per-cell pair work stays
+    ~n per cell-batch, AQE splits hot cells) and the final skinny
+    anti-join on vec_id. The full vectors cross the wire once per side
+    of the cell join — nothing all-pairs, nothing driver-side."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _SQL_DOT,
+        _centroid_scores,
+        _embeddings_count,
+        _ivf_k,
+        _memo_expr,
+        _sql_norm_of,
+    )
+
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    k = _ivf_k(_embeddings_count(spark, e, sf_dir))
+    scored = e.select("vec_id", "v", _centroid_scores("v", k).alias("sc"))
+    m = scored.select(
+        "vec_id",
+        "v",
+        _memo_expr("CAST(array_position(sc, array_max(sc)) - 1 AS INT)").alias("cid"),
+        _memo_expr(_sql_norm_of("v")).alias("nrm"),
+    )
+    hi = m.select(
+        F.col("vec_id").alias("hi_id"), F.col("v").alias("hv"),
+        "cid", F.col("nrm").alias("hn"),
+    )
+    lo = m.select(
+        F.col("vec_id").alias("lo_id"), F.col("v").alias("lv"),
+        "cid", F.col("nrm").alias("ln"),
+    )
+    removed = (
+        hi.join(lo, "cid")
+        .where(F.col("lo_id") < F.col("hi_id"))
+        .where(
+            _memo_expr(f"({_SQL_DOT.format(a='hv', b='lv')}) / (hn * ln)")
+            > SEMDEDUP_COS
+        )
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+    )
+    return m.join(removed, "vec_id", "left_anti").select(
+        "vec_id", F.col("cid").cast("long").alias("cid")
     )

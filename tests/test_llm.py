@@ -344,3 +344,79 @@ def test_pipeline_curate_single_corpus_scan(spark):
         assert rdd.isLocallyCheckpointed(), (
             f"persistent RDD {rid} is not the localCheckpoint RDD: {rdd.toString()}"
         )
+
+
+def test_chunk_overlap_tiles_every_document(spark):
+    """Chunking must tile each doc completely: chunk ids contiguous from
+    0, every non-last chunk exactly CHUNK_TOKENS long, and the last
+    chunk's end (start + length) landing exactly on the doc's token
+    count — no token dropped, none duplicated beyond the stride overlap."""
+    from kafka_stream_faust_deprecated_spark.queries.extras import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = get_query("doc_chunk_overlap").fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").count()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == docs, "every document must produce >= 1 chunk"
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c["n_chunk_tok"] == CHUNK_TOKENS, (doc_id, dict(c.asDict()))
+        last = chunks[-1]
+        n_tok = last["chunk_id"] * CHUNK_STRIDE + last["n_chunk_tok"]
+        if len(chunks) > 1:
+            # the last chunk starts before the previous one ends (overlap)
+            # and would NOT fit one more full stride
+            assert n_tok > (last["chunk_id"] - 1) * CHUNK_STRIDE + CHUNK_TOKENS
+        else:
+            assert n_tok <= CHUNK_TOKENS
+
+
+def test_dsir_target_language_scores_higher(spark):
+    """The importance weight exists to SELECT target-looking documents:
+    the mean log-likelihood ratio of actual target-language docs must
+    exceed the mean over the rest of the corpus."""
+    from kafka_stream_faust_deprecated_spark.queries.extras import DSIR_TARGET_LANG
+
+    rows = get_query("dsir_importance_weights").fn(spark, SF_DIR).collect()
+    tgt = [r["avg_log_ratio"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["avg_log_ratio"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_semdedup_survivors_pairwise_below_threshold(spark):
+    """The survivor rule guarantees no two surviving vectors in the same
+    cell sit above the cosine threshold (if hi survived, every lower-id
+    cell member above the threshold would have removed it). Verify with
+    exact numpy cosines, and verify the op actually prunes something on
+    the sf0.01 corpus (planted near-dups exist there)."""
+    import numpy as np
+
+    from kafka_stream_faust_deprecated_spark.queries.extras import SEMDEDUP_COS
+
+    sf = "/root/testdata/sf0.01"
+    surv = {
+        r["vec_id"]: r["cid"]
+        for r in get_query("semantic_dedup_semdedup").fn(spark, sf).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    assert set(surv) <= set(emb)
+    assert len(surv) < len(emb), "expected at least one semantic duplicate pruned"
+    by_cell: dict[int, list[int]] = {}
+    for vid, cid in surv.items():
+        by_cell.setdefault(cid, []).append(vid)
+    for cid, members in by_cell.items():
+        vs = np.stack([emb[v] / np.linalg.norm(emb[v]) for v in sorted(members)])
+        cos = vs @ vs.T
+        np.fill_diagonal(cos, 0.0)
+        worst = cos.max() if len(members) > 1 else 0.0
+        assert worst <= SEMDEDUP_COS + 1e-9, (cid, worst)

@@ -29,6 +29,7 @@ BNLJ_WHITELIST = {
     "tpch_q20_excess_supply": "broadcast side = the 1-row half-average threshold",
     "tpch_q22_global_sales_opportunity": "broadcast side = the 1-row global avg balance",
     "doc_unigram_nll": "broadcast side = the 1-row corpus token total",
+    "dsir_importance_weights": "broadcast side = the 1-row LM normalizer totals",
     "price_histogram": "broadcast side = the 1-row min/max bounds",
     "customer_rfm_segments": "broadcast side = the 1-row tercile cutoffs",
 }
@@ -50,6 +51,7 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
     "mixture_language_sampling": "share normalization windows: 1 row per language",
     "doc_unigram_nll": "global token-total aggregate: 1 row",
+    "dsir_importance_weights": "global LM-normalizer aggregate: 1 row",
     "price_histogram": "share normalization window: HIST_BUCKETS rows",
     "customer_rfm_segments": "global percentile aggregate: 1 row",
     "dedup_cluster_size_histogram": "global singleton-count aggregate: 1 row",
@@ -116,6 +118,11 @@ ZERO_SHUFFLE_CLAIM_WHITELIST: dict[str, str] = {
         "'no shuffle' refers to the singleton cluster_size literal; the "
         "label-propagation loop joins the contracted dup-graph keyed on "
         "node id — O(dup-graph), never O(corpus)"
+    ),
+    "semantic_dedup_semdedup": (
+        "'zero-shuffle' refers to the centroid-assignment projection; the "
+        "final survivor anti-join exchanges on vec_id but is column-pruned "
+        "to the skinny (vec_id, cid) pair — never the vectors"
     ),
 }
 
