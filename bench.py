@@ -72,6 +72,9 @@ HEADLINE = (
     "pipeline_curate",
     "doc_pack_token_budget",
     "embedding_quantize_int8",
+    "doc_chunk_overlap",
+    "dsir_importance_weights",
+    "semantic_dedup_semdedup",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has
