@@ -420,3 +420,20 @@ def test_semdedup_survivors_pairwise_below_threshold(spark):
         np.fill_diagonal(cos, 0.0)
         worst = cos.max() if len(members) > 1 else 0.0
         assert worst <= SEMDEDUP_COS + 1e-9, (cid, worst)
+
+
+def test_kmeans_training_improves_objective(spark):
+    """Three fed-back Lloyd iterations must beat one: the member-weighted
+    mean assignment cosine (the spherical k-means objective) after
+    training exceeds the single-step value from the same deterministic
+    init. Guards the literal-feedback loop actually converging rather
+    than re-running iteration 1 three times."""
+
+    def weighted_cos(name):
+        rows = get_query(name).fn(spark, SF_DIR).collect()
+        tot = sum(r["n_members"] for r in rows)
+        return sum(r["n_members"] * r["mean_cos"] for r in rows) / tot
+
+    one = weighted_cos("kmeans_lloyd_step")
+    three = weighted_cos("kmeans_train_3iter")
+    assert three > one + 0.05, (one, three)
