@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_stream_faust_deprecated_spark.functions.text import norm_text, tokens
+from kafka_stream_faust_deprecated_spark.functions.text import (
+    norm_text,
+    tokens,
+    word_shingles,
+)
 from kafka_stream_faust_deprecated_spark.io import load_table_parallel
 from kafka_stream_faust_deprecated_spark.queries.llm import SQL_NORM
 from kafka_stream_faust_deprecated_spark.registry import register
@@ -530,6 +534,76 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             # + 0.0 folds IEEE -0.0 to 0.0 (a near-zero mean ratio can
             # round to either sign of zero; both engines add it).
             (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+        )
+    )
+
+
+@register(
+    "source_shingle_overlap",
+    oracle=f"""
+WITH toks AS (SELECT source, string_split({SQL_NORM}, ' ') AS tk FROM documents),
+sh AS (
+    SELECT DISTINCT source,
+           unnest(list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+    FROM toks
+),
+tot AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+ov AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       round(n_shared * 1.0 / (ta.n + tb.n - n_shared), 4) AS jaccard
+FROM ov
+JOIN tot ta ON ta.source = source_a
+JOIN tot tb ON tb.source = source_b
+""",
+    tags=("E23", "E25"),
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level redundancy: the Jaccard similarity of each
+    source pair's distinct 3-word-shingle sets. The corpus-curation
+    signal for "these two crawls/feeds substantially restate each
+    other" — pairs containing planted near-dups surface with 2-4x the
+    background overlap — read before deciding which sources to
+    downweight or cross-deduplicate.
+
+    Scale shape: one corpus scan explodes shingles into a distinct
+    (source, shingle) relation (one exchange, map-side partial dedup,
+    cardinality bounded by source_count x shingle_vocab); the shingle-
+    keyed self-join fans out at most C(sources, 2) pairs per shingle —
+    sources are an O(10-100) catalog at any corpus size, so the join
+    output is vocab x a small constant, never document-pair-shaped.
+    Source totals are a catalog-bounded broadcast."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(tokens(F.col("text")))).alias("s")
+    ).distinct()
+    tot = sh.groupBy("source").agg(F.count("*").alias("n"))
+    ov = (
+        sh.select(F.col("source").alias("source_a"), "s")
+        .join(sh.select(F.col("source").alias("source_b"), "s"), "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
         )
     )
 

@@ -437,3 +437,15 @@ def test_kmeans_training_improves_objective(spark):
     one = weighted_cos("kmeans_lloyd_step")
     three = weighted_cos("kmeans_train_3iter")
     assert three > one + 0.05, (one, three)
+
+
+def test_source_overlap_surfaces_planted_redundancy(spark):
+    """Sources containing planted near-dup docs must stand out: the top
+    source-pair Jaccard should clearly exceed the background overlap
+    (median pair), else the signal is useless for downweighting."""
+    import statistics
+
+    rows = get_query("source_shingle_overlap").fn(spark, "/root/testdata/sf0.01").collect()
+    vals = sorted(r["jaccard"] for r in rows)
+    assert len(rows) > 1
+    assert vals[-1] > 2 * statistics.median(vals), (vals[-1], statistics.median(vals))
