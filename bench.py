@@ -24,6 +24,12 @@ plan unchanged since round 1) and publishes per-query times normalized
 by that divisor alongside the raw seconds — cross-round comparisons
 should read ``normalized`` (machine-independent plan cost) and treat
 ``queries`` as wall-clock ground truth for the machine at hand.
+
+Round 5 adds a SECOND divisor (``calibration_stages_sec`` /
+``normalized_stages``): a fixed 3-exchange pipeline. Scan-bound and
+stage-latency-bound queries scale differently with machine load, so
+single-stage entries are comparable under ``normalized`` and
+multi-stage (shuffle/join-heavy) entries under ``normalized_stages``.
 """
 
 from __future__ import annotations
@@ -75,6 +81,8 @@ HEADLINE = (
     "doc_chunk_overlap",
     "dsir_importance_weights",
     "semantic_dedup_semdedup",
+    "kmeans_train_3iter",
+    "source_shingle_overlap",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has
@@ -82,6 +90,31 @@ HEADLINE = (
 #: JVM health, not engine changes, so time(q)/time(calib) is comparable
 #: across rounds even when the sandbox is noisy.
 CALIBRATION_QUERY = "agg_pricing_summary"
+
+
+def _stage_calibration(spark, sf_dir: str) -> float:
+    """Second divisor: a FIXED 3-exchange pipeline (two chained
+    aggregations + an ordered head) over lineitem. The primary
+    calibration query is scan/compute-bound, so on an idle machine it
+    speeds up more than multi-stage queries whose wall clock is
+    dominated by per-stage scheduling latency — which made round 4-5
+    'normalized' ratios of shuffle-heavy entries look like regressions
+    when only the machine state changed. Ratios of multi-stage entries
+    should be read against THIS divisor (``normalized_stages``); the
+    plan below is frozen — do not edit, or cross-round ratios break."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+        .orderBy("n")
+    )
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def _run_once(name: str, spark, sf_dir: str) -> float:
@@ -129,6 +162,10 @@ def main() -> None:
     calib = round((calib_pre + calib_post) / 2, 3)
     normalized = {n: round(t / calib, 2) for n, t in times.items()}
 
+    _stage_calibration(spark, sf_dir)  # warm
+    calib_stages = round(min(_stage_calibration(spark, sf_dir) for _ in range(2)), 3)
+    normalized_stages = {n: round(t / calib_stages, 2) for n, t in times.items()}
+
     print(
         json.dumps(
             {
@@ -141,6 +178,8 @@ def main() -> None:
                 "calibration_pre_sec": calib_pre,
                 "calibration_post_sec": calib_post,
                 "normalized": normalized,
+                "calibration_stages_sec": calib_stages,
+                "normalized_stages": normalized_stages,
             }
         )
     )

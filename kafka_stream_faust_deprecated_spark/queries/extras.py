@@ -570,24 +570,44 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     background overlap — read before deciding which sources to
     downweight or cross-deduplicate.
 
-    Scale shape: one corpus scan explodes shingles into a distinct
-    (source, shingle) relation (one exchange, map-side partial dedup,
-    cardinality bounded by source_count x shingle_vocab); the shingle-
-    keyed self-join fans out at most C(sources, 2) pairs per shingle —
-    sources are an O(10-100) catalog at any corpus size, so the join
-    output is vocab x a small constant, never document-pair-shaped.
-    Source totals are a catalog-bounded broadcast."""
+    Scale shape — NO self-join, ONE corpus scan: the scan explodes
+    shingles into ``groupBy(shingle).collect_set(source)`` (a single
+    exchange with map-side partial set-merge; each set is bounded by
+    the source catalog, O(10-100) at any corpus size, the relation by
+    the shingle vocabulary). A pure array projection then emits every
+    ordered source pair INCLUDING the (a, a) self-pairs (<=
+    C(sources, 2) + sources structs per shingle), so one further
+    catalog²-bounded count aggregate yields the shared counts AND the
+    per-source totals (the a = b rows) together; only that tiny
+    relation is checkpointed for its two readers. The naive
+    shingle-keyed self-join recomputes the corpus explode on both
+    sides and fans out n_a x n_b rows per hot shingle before
+    filtering — measured 7.4 s vs 1.4 s at sf0.1."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(word_shingles(tokens(F.col("text")))).alias("s")
-    ).distinct()
-    tot = sh.groupBy("source").agg(F.count("*").alias("n"))
-    ov = (
-        sh.select(F.col("source").alias("source_a"), "s")
-        .join(sh.select(F.col("source").alias("source_b"), "s"), "s")
-        .where(F.col("source_a") < F.col("source_b"))
+    by_sh = (
+        docs.select(
+            "source", F.explode(word_shingles(tokens(F.col("text")))).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    # slice from i+1 (1-based) keeps element i itself: (a, a) marks the
+    # per-source shingle total, (a, b>a) the shared count.
+    pair_structs = F.expr(
+        "flatten(transform(srcs, (a, i) ->"
+        " transform(slice(srcs, i + 1, size(srcs)), b ->"
+        " named_struct('source_a', a, 'source_b', b))))"
+    )
+    counts = (
+        by_sh.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
+        .localCheckpoint(eager=False)
+    )
+    ov = counts.where(F.col("source_a") < F.col("source_b"))
+    tot = counts.where(F.col("source_a") == F.col("source_b")).select(
+        F.col("source_a").alias("source"), F.col("n_shared").alias("n")
     )
     ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
