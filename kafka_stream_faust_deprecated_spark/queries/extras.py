@@ -539,6 +539,54 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+c AS (
+    SELECT event_type, next_type, count(*)::BIGINT AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 4) AS p
+FROM c
+""",
+    tags=("E7", "E10"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (event_type -> next event_type) pair, the
+    observed count and the row-normalized transition probability —
+    the product-analytics primitive behind flow diagrams and
+    next-action prediction baselines, complementing funnel_conversion
+    (fixed path) with the full transition structure.
+
+    Scale shape: one exchange on user_id for the lead() window (the
+    sequence partitions are per-user event counts), then a
+    map-side-combinable count aggregate whose output is bounded by
+    event_type² — the row normalization window runs over that
+    catalog²-bounded relation, never the event log."""
+    ev = load_table_parallel(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
+    )
+
+
+@register(
     "source_shingle_overlap",
     oracle=f"""
 WITH toks AS (SELECT source, string_split({SQL_NORM}, ' ') AS tk FROM documents),
