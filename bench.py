@@ -83,6 +83,7 @@ HEADLINE = (
     "semantic_dedup_semdedup",
     "kmeans_train_3iter",
     "source_shingle_overlap",
+    "pipeline_prepare_training",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -538,6 +538,149 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Training-intake quality floor. Deliberately LOOSER than
+#: pipeline_curate's audit threshold (0.45, which this synthetic corpus
+#: almost never reaches — curate is the strict audit, intake is the
+#: recall-oriented gate): every other flag (language, token bounds,
+#: contamination, canonical) is reused from the audited stage verbatim.
+PREP_MIN_QUALITY = 0.33
+
+
+def _prepare_training_oracle() -> str:
+    """Chains the REGISTERED curate oracle (as a nested-WITH CTE) with
+    the chunking and packing stages, so the composed pipeline's oracle
+    can never drift from the standalone curate oracle's semantics."""
+    from kafka_stream_faust_deprecated_spark.registry import get_query
+
+    curate = get_query("pipeline_curate").oracle
+    keep = (
+        "c.lang_ok AND c.tok_ok AND c.cont_ok AND c.is_canonical "
+        f"AND c.quality >= {PREP_MIN_QUALITY}"
+    )
+    slice_ = (
+        f"list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1, "
+        f"chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})"
+    )
+    return f"""
+WITH curate AS ({curate}),
+dt AS (
+    SELECT d.doc_id, string_split({SQL_NORM}, ' ') AS toks,
+           len(string_split({SQL_NORM}, ' ')) AS n_tok
+    FROM documents d JOIN curate c ON c.doc_id = d.doc_id AND {keep}
+),
+ch AS (
+    SELECT doc_id, n_tok, toks,
+           unnest(generate_series(0,
+               CAST(floor((greatest(n_tok - {CHUNK_TOKENS}, 0)
+                           + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS INT)
+           )) AS chunk_id
+    FROM dt
+),
+cc AS (
+    SELECT doc_id, chunk_id, len({slice_}) AS n_chunk_tok,
+           doc_id % {PACK_SHARDS} AS shard
+    FROM ch
+),
+packed AS (
+    SELECT *, sum(n_chunk_tok) OVER (PARTITION BY shard
+                                     ORDER BY doc_id, chunk_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+    FROM cc
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       n_chunk_tok::BIGINT AS n_chunk_tok, shard::BIGINT AS shard,
+       CAST(floor((cum - n_chunk_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+@register(
+    "pipeline_prepare_training",
+    oracle=_prepare_training_oracle(),
+    tags=("E23", "E25"),
+)
+def pipeline_prepare_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data preparation flagship: curate (language
+    + token bounds + contamination + exact-dedup canonical from the
+    audited stage, quality at the PREP_MIN_QUALITY intake floor) ->
+    chunk the kept docs into {CHUNK_TOKENS}-token windows (stride
+    {CHUNK_STRIDE}) -> assign every chunk a pack id under the
+    {PACK_BUDGET}-token budget, sharded {PACK_SHARDS} ways. The output
+    is the (doc, chunk, shard, pack) manifest a writer would turn into
+    fixed-length training sequences — what an actual pretraining intake
+    job runs end to end.
+
+    Scale shape: reuses pipeline_curate's single persisted tokenize
+    stage for every curation signal AND the chunker (the retained-id
+    join reads the cache, not the parquet); chunk explode is a pure
+    projection; packing shards FIRST like doc_pack_token_budget so the
+    running-sum window parallelizes by shard. The oracle embeds the
+    registered curate oracle verbatim as a nested CTE, so the composed
+    semantics can never drift from the audited stage."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _curate_audit,
+        _curate_token_stage,
+    )
+
+    tok = _curate_token_stage(spark, sf_dir).persist()
+    try:
+        kept = (
+            _curate_audit(tok)
+            .where(
+                F.col("lang_ok")
+                & F.col("tok_ok")
+                & F.col("cont_ok")
+                & F.col("is_canonical")
+                & (F.col("quality") >= PREP_MIN_QUALITY)
+            )
+            .select("doc_id")
+        )
+        t = tok.join(kept, "doc_id").select(
+            "doc_id", F.col("tk").alias("toks"), F.size("tk").alias("n_tok")
+        )
+        last_chunk = F.floor(
+            (F.greatest(F.col("n_tok") - CHUNK_TOKENS, F.lit(0)) + (CHUNK_STRIDE - 1))
+            / float(CHUNK_STRIDE)
+        ).cast("int")
+        c = t.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+        )
+        cc = c.select(
+            "doc_id",
+            "chunk_id",
+            F.size(
+                F.slice(
+                    F.col("toks"),
+                    F.col("chunk_id") * CHUNK_STRIDE + 1,
+                    F.lit(CHUNK_TOKENS),
+                )
+            ).alias("n_chunk_tok"),
+            (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        )
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id", "chunk_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        result = cc.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("n_chunk_tok").cast("long").alias("n_chunk_tok"),
+            F.col("shard").cast("long").alias("shard"),
+            F.floor(
+                (F.sum("n_chunk_tok").over(w) - F.col("n_chunk_tok"))
+                / float(PACK_BUDGET)
+            )
+            .cast("long")
+            .alias("pack_id"),
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        tok.unpersist()
+
+
 @register(
     "event_transition_matrix",
     oracle="""
