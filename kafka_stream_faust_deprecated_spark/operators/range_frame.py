@@ -24,10 +24,18 @@ a RANGE frame over doubles, so probe rows (one per input row, at value
 a ROWS-frame running count of real rows at each probe is then exactly
 ``#{v' < v - w}`` within the bucket.
 
-Cost at scale: two bucket-hash shuffles (window partitioning + the
-final probe/real re-join on the row id) and one broadcast of the bucket
-offsets. No stage sees more than one bucket's rows per task, and skewed
-buckets split under AQE.
+Cost at scale: ONE bucket-hash shuffle — both window passes run over
+the same unioned (real + probe) relation with the same ``_bkt``
+partitioning (Spark reuses the exchange and only re-sorts between
+them): the RANGE frame counts reals at ``v' <= v`` (ties included
+regardless of sort position, so probes in the frame are harmless —
+they sum 0), the ROWS frame with probes ordered before equal reals
+counts reals strictly below each probe. Each row keeps the count that
+matters for its kind, and one id-keyed aggregate zips the real row's
+cntLE with its probe's cntLT — no self-join of the two count passes.
+Plus one broadcast of the bucket offsets and the final id-keyed join
+back onto the caller's rows. No stage sees more than one bucket's rows
+per task, and skewed buckets split under AQE.
 """
 
 from __future__ import annotations
@@ -74,19 +82,17 @@ def global_range_count(
         F.coalesce(F.sum("_n_reals").over(w_off), F.lit(0)).alias("_offset"),
     )
 
-    # cntLE for real rows: RANGE frame includes every tie at v' == v.
+    # Both passes over ONE relation, same _bkt partitioning (exchange
+    # reused, only the sort differs between the windows):
+    # cntLE on real rows: the RANGE frame includes every tie at
+    # v' == v — probes inside the frame sum 0, so their presence and
+    # their tie ordering cannot perturb the real count.
     w_le = (
         Window.partitionBy("_bkt")
         .orderBy("_v")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    cnt_le = (
-        reals.join(F.broadcast(offsets), "_bkt")
-        .withColumn("_cnt_le", F.col("_offset") + F.count(F.lit(1)).over(w_le))
-        .select(*id_cols, "_cnt_le")
-    )
-
-    # cntLT for probe rows: probes order BEFORE equal-valued reals
+    # cntLT on probe rows: probes order BEFORE equal-valued reals
     # (_probe DESC), so the ROWS-frame running count of reals seen
     # strictly before a probe is exactly #{v' < probe value}.
     w_lt = (
@@ -94,15 +100,19 @@ def global_range_count(
         .orderBy(F.col("_v").asc(), F.col("_probe").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cnt_lt = (
+    ann = (
         both.join(F.broadcast(offsets), "_bkt")
-        .withColumn("_running_reals", F.sum(1 - F.col("_probe")).over(w_lt))
-        .where(F.col("_probe") == 1)
-        .withColumn("_cnt_lt", F.col("_offset") + F.col("_running_reals"))
-        .select(*id_cols, "_cnt_lt")
+        .withColumn("_le_in_bkt", F.sum(1 - F.col("_probe")).over(w_le))
+        .withColumn("_lt_in_bkt", F.sum(1 - F.col("_probe")).over(w_lt))
     )
-
-    counts = cnt_le.join(cnt_lt, list(id_cols)).select(
-        *id_cols, (F.col("_cnt_le") - F.col("_cnt_lt")).alias(out_col)
+    # each id contributes exactly one real and one probe row; zip them
+    # with one id-keyed aggregate instead of a cnt_le x cnt_lt self-join
+    counts = ann.groupBy(*id_cols).agg(
+        (
+            F.max(F.when(F.col("_probe") == 0, F.col("_offset") + F.col("_le_in_bkt")))
+            - F.max(
+                F.when(F.col("_probe") == 1, F.col("_offset") + F.col("_lt_in_bkt"))
+            )
+        ).alias(out_col)
     )
     return df.join(counts, list(id_cols))
