@@ -1845,6 +1845,11 @@ def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        if not by_cid:
+            # empty corpus: no assignments, no means. Keep the previous
+            # centroids — an empty literal array would not even analyze
+            # — and let the final pass return its (empty) result.
+            continue
         cents = []
         for cid, d in sorted(by_cid.items()):
             comps = [d[p] for p in sorted(d)]
