@@ -24,11 +24,14 @@ from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 # record — never away from them. Rounds 1-3 sampled the relational/
 # scalars/analytic/temporal surface; round 4 rotated llm/tpch/scale to
 # the front for their first record (49/50 green). Round 5 rotates the
-# never-driver-checked tail in: extras (4 queries, previously registered
-# last and thus outside every sample) and analytic (whose newest
-# entries, price_histogram / approx_percentile_price, postdate the r1-3
-# records), followed by temporal/relational for re-confirmation.
-# flagship stays first — it's the entry query. The full 106-query
+# never-driver-checked tail in: extras (the r4 overflow four PLUS every
+# operator added during round 5 — chunking, DSIR, SemDeDup, source
+# overlap, transition matrix, prepare_training, and the k-means training
+# loop, relocated from llm so it lands inside the prefix) and analytic
+# (whose newest entries, price_histogram / approx_percentile_price,
+# postdate the r1-3 records), followed by tpch (so the repaired q12
+# gets its green row) and temporal/relational for re-confirmation.
+# flagship stays first — it's the entry query. The full registered
 # surface is still self-checked every round via scripts/driver_sim.py →
 # SELFCHECK_r{N}.json, and `--perm` sweeps shuffle the order to catch
 # session-conf order-dependence the fixed prefix could hide.

@@ -819,6 +819,25 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# k-means TRAINING loop (moved here from llm.py so the round-5 sampled
+# prefix covers it — the single-step kmeans_lloyd_step stays in llm)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column  # noqa: E402
+
+from kafka_stream_faust_deprecated_spark.queries.llm import (  # noqa: E402
+    _ANN_BITS_SQL,
+    _IVF_K_SQL,
+    _SQL_DOT,
+    _embeddings_count,
+    _ivf_centroids,
+    _ivf_k,
+    _memo_expr,
+    _sql_norm_of,
+)
+
+
 #: Within-cell cosine above which the higher-id vector is pruned.
 SEMDEDUP_COS = 0.35
 
@@ -921,4 +940,177 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.join(removed, "vec_id", "left_anti").select(
         "vec_id", F.col("cid").cast("long").alias("cid")
+    )
+
+#: Full-training iterations for kmeans_train_{n}iter. The cross-engine
+#: determinism contract for the loop: each iteration's cell means are
+#: rounded to 6 decimals BEFORE becoming the next iteration's centroids
+#: (both engines round half-away-from-zero, and the rounded decimal's
+#: nearest double is the literal both engines then score against), and
+#: every norm / dot product is the same sequential forward
+#: accumulation, so assignments stay bit-identical across iterations.
+KMEANS_TRAIN_ITERS = 3
+KMEANS_MEAN_DECIMALS = 6
+
+
+def _kmeans_train_oracle() -> str:
+    """Three chained Lloyd iterations as one SQL statement: each
+    ``a{i}`` assigns against the previous iteration's ``cents{i-1}``
+    relation, each ``m{i}`` is the rounded per-(cell, pos) mean, and
+    ``cents{i}`` rebuilds the centroid arrays with ``list(m ORDER BY
+    pos)`` — empty cells simply vanish from the relation, exactly as
+    they drop out of the collected means on the Spark side."""
+    values = ",\n      ".join(
+        f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
+        for cid, comp, norm in _ivf_centroids()
+    )
+    score = "list_dot_product(e.v, c.c) / (c.cn * e.vn)"
+    parts = [
+        f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+    FROM embeddings
+),
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
+nk AS (SELECT {_IVF_K_SQL} AS k),
+cents_all(cid, c, cn) AS (VALUES
+      {values}
+),
+cents0 AS (SELECT * FROM cents_all WHERE cid < (SELECT k FROM nk))"""
+    ]
+    for i in range(1, KMEANS_TRAIN_ITERS + 1):
+        parts.append(f"""
+a{i} AS (
+    SELECT vec_id, cid, s FROM (
+        SELECT e.vec_id, c.cid, {score} AS s,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {score} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents{i - 1} c
+    ) WHERE rn = 1
+),
+m{i} AS (
+    SELECT cid, pos, round(avg(x), {KMEANS_MEAN_DECIMALS}) AS m FROM (
+        SELECT a.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+        FROM a{i} a JOIN e USING (vec_id)
+    ) GROUP BY cid, pos
+)""")
+        if i < KMEANS_TRAIN_ITERS:
+            parts.append(f"""
+cents{i} AS (
+    SELECT cid, c, sqrt(list_dot_product(c, c)) AS cn
+    FROM (SELECT cid, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cid)
+)""")
+    last = KMEANS_TRAIN_ITERS
+    parts.append(f"""
+SELECT cid,
+       any_value(n_members) AS n_members,
+       any_value(mean_cos)  AS mean_cos,
+       round(sqrt(sum(m * m)), 4) AS new_norm
+FROM m{last}
+JOIN (
+    SELECT cid, count(*) AS n_members, round(avg(s), 4) AS mean_cos
+    FROM a{last} GROUP BY cid
+) USING (cid)
+GROUP BY cid""")
+    return ",".join(parts[:1] + [p for p in parts[1:-1]]) + parts[-1]
+
+
+def _scores_expr_for(cents: list[tuple[int, list[float], float]]) -> Column:
+    """Score-array projection for an ARBITRARY centroid set (the
+    training loop's per-iteration twin of `_centroid_scores`): k cosines
+    per row against constant-folded literals, divided by the hoisted
+    per-row norm column ``vn``. Not memoized — every iteration's text is
+    new."""
+    carr = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{c!r}D" for c in comp) for _, comp, _ in cents
+    )
+    norms = "array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents)
+    return F.expr(
+        f"transform({carr}, (c, i) -> {_SQL_DOT.format(a='v', b='c')}"
+        f" / ({norms}[i] * vn))"
+    )
+
+
+@register("kmeans_train_3iter", oracle=_kmeans_train_oracle(), tags=("E24",))
+def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means TRAINING loop ({KMEANS_TRAIN_ITERS} Lloyd
+    iterations), not just one step: assign -> recompute means -> feed
+    the means back as the next iteration's centroid literals. This is
+    the iterative-algorithm pattern (spark.ml's own KMeans loop): the
+    only driver-side state is the k x dim centroid matrix collected
+    from each iteration's (cid, pos, mean) aggregate — a few KB,
+    independent of corpus size — and each iteration is the SAME
+    zero-shuffle-assignment plan as kmeans_lloyd_step, so the loop
+    costs exactly iters x (one corpus scan + one O(k*dim)-combined
+    exchange). Cells that lose all members drop out (k may shrink);
+    survivors keep their cid so the argmax tiebreak stays aligned with
+    the oracle's ORDER BY cid.
+
+    The oracle replays the identical three iterations as chained SQL
+    CTEs — see KMEANS_TRAIN_ITERS for the rounding contract that keeps
+    the two engines' assignments bit-identical across iterations."""
+    e = (
+        load_table_parallel(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+        .select("vec_id", "v", _memo_expr(_sql_norm_of("v")).alias("vn"))
+    )
+    k = _ivf_k(_embeddings_count(spark, e, sf_dir))
+    cents = _ivf_centroids()[:k]
+
+    def _assign(cents_now):
+        cids = "array(%s)" % ",".join(str(cid) for cid, _, _ in cents_now)
+        return e.select(
+            "v",
+            _scores_expr_for(cents_now).alias("sc"),
+        ).select(
+            "v",
+            # [] is 0-based GetArrayItem; array_position is 1-based
+            F.expr(
+                f"{cids}[CAST(array_position(sc, array_max(sc)) - 1 AS INT)]"
+            ).alias("cid"),
+            F.array_max("sc").alias("s"),
+        )
+
+    for _ in range(KMEANS_TRAIN_ITERS - 1):
+        means = (
+            _assign(cents)
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), KMEANS_MEAN_DECIMALS).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        if not by_cid:
+            # empty corpus: no assignments, no means. Keep the previous
+            # centroids — an empty literal array would not even analyze
+            # — and let the final pass return its (empty) result.
+            continue
+        cents = []
+        for cid, d in sorted(by_cid.items()):
+            comps = [d[p] for p in sorted(d)]
+            # sequential forward accumulation == the oracle's
+            # sqrt(list_dot_product(c, c))
+            cents.append((cid, comps, sum(c * c for c in comps) ** 0.5))
+
+    cell = (
+        _assign(cents)
+        .select("cid", "s", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.round(F.avg("x"), KMEANS_MEAN_DECIMALS).alias("m"),
+            F.count("*").alias("n"),
+            F.avg("s").alias("ms"),
+        )
+    )
+    return (
+        cell.groupBy("cid")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.round(F.max(F.when(F.col("pos") == 0, F.col("ms"))), 4).alias("mean_cos"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm"),
+        )
+        .select("cid", "n_members", "mean_cos", "new_norm")
     )
