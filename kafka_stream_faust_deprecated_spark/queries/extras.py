@@ -1114,3 +1114,61 @@ def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cid", "n_members", "mean_cos", "new_norm")
     )
+
+
+@register(
+    "corpus_datacard",
+    oracle=f"""
+WITH t AS (
+    SELECT lang, source, n_chars,
+           len(string_split({SQL_NORM}, ' ')) AS n_tok
+    FROM documents
+),
+g AS (
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           round(avg(n_tok), 4) AS mean_tokens,
+           min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+    FROM t GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, n_tokens, mean_tokens, min_chars, max_chars,
+       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 4) AS token_share
+FROM g
+""",
+    tags=("E7", "E25"),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(language, source) datacard table every corpus release
+    ships: document and token counts, token-length stats, char bounds,
+    and each cell's share of total tokens — the at-a-glance composition
+    report that mixture_language_sampling's weights and
+    source_shingle_overlap's redundancy findings are read against.
+
+    Scale shape: one scan, one map-side-combinable aggregate to a
+    catalog-bounded (lang x source) relation; the share normalization
+    is a window over that bounded relation (whitelisted
+    single-partition pattern), never the corpus."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "source", "n_chars", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    g = t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_tokens",
+        "min_chars",
+        "max_chars",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 4).alias(
+            "token_share"
+        ),
+    )

@@ -50,6 +50,7 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q20_excess_supply": "global threshold aggregate: 1 row",
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
     "mixture_language_sampling": "share normalization windows: 1 row per language",
+    "corpus_datacard": "share normalization window: 1 row per (lang, source)",
     "doc_unigram_nll": "global token-total aggregate: 1 row",
     "dsir_importance_weights": "global LM-normalizer aggregate: 1 row",
     "price_histogram": "share normalization window: HIST_BUCKETS rows",
