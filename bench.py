@@ -130,6 +130,82 @@ def _time_query(name: str, spark, sf_dir: str, runs: int = 2) -> float:
     return round(min(_run_once(name, spark, sf_dir) for _ in range(runs)), 3)
 
 
+#: Streaming throughput fixture size: symbols x seconds of tick data.
+STREAM_SYMBOLS = 200
+STREAM_SECONDS = 300
+
+
+def _streaming_throughput(spark) -> dict:
+    """Drain a {STREAM_SYMBOLS}x{STREAM_SECONDS}-tick batch through the
+    REAL streaming SMA pipeline (file twin of the Kafka path: JSON
+    decode -> watermark -> 5s/1s hopping windows -> exactly-5 gate ->
+    emit) under one availableNow trigger, and report ticks/sec.
+
+    The reference's implied contract (BASELINE.md) is N ticks/sec
+    sustained with each 1 s evaluation tick finishing inside the second
+    — i.e. throughput >= the number of tracked symbols. The number
+    reported here is the single-node ceiling of the same pipeline
+    including stream startup, so engine-vs-reference reads as
+    ticks_per_sec vs N."""
+    import json as _json
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    from kafka_stream_faust_deprecated_spark.streaming.sma import (
+        build_file_sma_query,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    n = 0
+    with open(os.path.join(src, "ticks.ndjson"), "w") as fh:
+        for i in range(STREAM_SECONDS):
+            ts = (t0 + timedelta(seconds=i)).isoformat()
+            te = (t0 + timedelta(seconds=i + 1)).isoformat()
+            for s in range(STREAM_SYMBOLS):
+                fh.write(
+                    _json.dumps(
+                        {
+                            "symbol": f"S{s:04d}",
+                            "type": "stock",
+                            "start": ts,
+                            "end": te,
+                            "current_time": ts,
+                            "last_data_time": ts,
+                            "real_data_count": 1,
+                            "filled_data_count": 0,
+                            "real_or_filled": "real",
+                            "vwap_price_per_sec": 100.0 + (i * 7 + s) % 50,
+                            "size_per_sec": 1 + (i + s) % 9,
+                            "volume_till_now": 1000.0 + i,
+                            "yesterday_price": 100.0,
+                            "price_change_percentage": 0.5,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+    try:
+        t_start = time.perf_counter()
+        q = build_file_sma_query(
+            spark, src, os.path.join(root, "ckpt"), query_name="bench_sma"
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t_start
+        out_rows = spark.sql("SELECT count(*) FROM bench_sma").collect()[0][0]
+        return {
+            "ticks_in": n,
+            "rows_out": out_rows,
+            "sec": round(wall, 3),
+            "ticks_per_sec": round(n / wall),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -167,6 +243,8 @@ def main() -> None:
     calib_stages = round(min(_stage_calibration(spark, sf_dir) for _ in range(2)), 3)
     normalized_stages = {n: round(t / calib_stages, 2) for n, t in times.items()}
 
+    streaming = _streaming_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -181,6 +259,7 @@ def main() -> None:
                 "normalized": normalized,
                 "calibration_stages_sec": calib_stages,
                 "normalized_stages": normalized_stages,
+                "streaming": streaming,
             }
         )
     )
