@@ -1172,3 +1172,120 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+#: PageRank over the near-dup graph: damping, iterations, and the
+#: per-iteration rounding that keeps both engines' float sums aligned
+#: (neighbor contributions sum in nondeterministic order; ~1e-17 noise
+#: vs a 1e-10 grid never flips a rounded value).
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_DECIMALS = 10
+
+
+def _pagerank_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_oracle
+
+    d, r = PR_DAMPING, PR_DECIMALS
+    parts = [
+        f"""
+WITH pr_pairs AS (SELECT da, db FROM ({_simhash_oracle()})),
+edges AS (
+    SELECT da AS s, db AS t FROM pr_pairs
+    UNION ALL
+    SELECT db AS s, da AS t FROM pr_pairs
+),
+deg AS (SELECT s, count(*)::BIGINT AS c FROM edges GROUP BY s),
+nodes AS (SELECT DISTINCT s FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+p0 AS (SELECT s, 1.0 / nn.n AS p FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""
+c{i} AS (
+    SELECT e.t, sum(p{i - 1}.p / d.c) AS w
+    FROM edges e
+    JOIN p{i - 1} ON p{i - 1}.s = e.s
+    JOIN deg d ON d.s = e.s
+    GROUP BY e.t
+),
+p{i} AS (
+    SELECT nodes.s,
+           round({1 - d} / nn.n + {d} * coalesce(c{i}.w, 0.0), {r}) AS p
+    FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.t = nodes.s
+)""")
+    parts.append(f"""
+SELECT p{PR_ITERS}.s AS doc_id, deg.c AS degree,
+       round(p{PR_ITERS}.p, 6) AS pr_score
+FROM p{PR_ITERS} JOIN deg ON deg.s = p{PR_ITERS}.s""")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@register("dup_graph_pagerank", oracle=_pagerank_oracle(), tags=("E23",))
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the SimHash near-dup graph ({PR_ITERS} power
+    iterations, damping {PR_DAMPING}): an authority score for every
+    edge-incident document. Complements dedup_connected_components'
+    min-id canonical rule with a CONTENT-aware one — inside a dup
+    cluster the highest-rank copy is the one most corroborated by other
+    near-duplicates, which is what production dedup keeps when copies
+    differ in quality. Second iterative-algorithm family next to the
+    k-means training loop: here the feedback flows through DATA
+    (re-joined rank relation), not literals.
+
+    Scale shape: every relation is DUP-GRAPH-sized (<= 2x the candidate
+    pair count — the corpus never enters); each iteration is one
+    node-keyed join of the rank relation against the (memoized,
+    checkpointed) edge list plus a map-side-combinable contribution
+    aggregate. The node count enters as a broadcast 1-row aggregate,
+    not a driver scalar, so the whole loop stays one lazy plan."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_pairs
+
+    pairs = _simhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("da").alias("s"), F.col("db").alias("t")).unionByName(
+        pairs.select(F.col("db").alias("s"), F.col("da").alias("t"))
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("c"))
+    # Explicit co-partitioning: ONE node-keyed exchange sized to the
+    # cluster's parallelism (the graph is pair-cap-bounded — inheriting
+    # data-sized spark.sql.shuffle.partitions schedules hundreds of
+    # near-empty tasks per iteration), then every groupBy and every
+    # s/t-keyed join in the loop reuses a (key, dp) partitioning — the
+    # only other exchanges are the per-iteration dp-sized contribution
+    # repartitions. No persist/localCheckpoint: those execute through
+    # the RDD path where AQE cannot re-coalesce, and the lineage
+    # re-computation they would save is a handful of dp-task stages.
+    dp = spark.sparkContext.defaultParallelism
+    e2 = edges.repartition(dp, "s")
+    deg = e2.groupBy("s").agg(F.count("*").alias("c"))  # reuses (s, dp)
+    ed = e2.join(deg, "s")  # co-partitioned: no exchange
+    nodes = deg.select("s", "c")  # already one row per node
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    p = nodes.crossJoin(F.broadcast(nn)).select(
+        "s", (F.lit(1.0) / F.col("n")).alias("p")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(p, "s")  # both sides (s, dp): no exchange
+            .repartition(dp, "t")
+            .groupBy("t")
+            .agg(F.sum(F.col("p") / F.col("c")).alias("w"))
+        )
+        p = (
+            nodes.crossJoin(F.broadcast(nn))
+            # (s, dp) vs (t, dp): co-partitioned on the join keys
+            .join(contrib, nodes["s"] == contrib["t"], "left")
+            .select(
+                "s",
+                F.round(
+                    F.lit(1 - PR_DAMPING) / F.col("n")
+                    + PR_DAMPING * F.coalesce(F.col("w"), F.lit(0.0)),
+                    PR_DECIMALS,
+                ).alias("p"),
+            )
+        )
+    return p.join(deg, "s").select(
+        F.col("s").alias("doc_id"),
+        F.col("c").alias("degree"),
+        F.round("p", 6).alias("pr_score"),
+    )

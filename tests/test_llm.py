@@ -449,3 +449,18 @@ def test_source_overlap_surfaces_planted_redundancy(spark):
     vals = sorted(r["jaccard"] for r in rows)
     assert len(rows) > 1
     assert vals[-1] > 2 * statistics.median(vals), (vals[-1], statistics.median(vals))
+
+
+def test_pagerank_conserves_mass_and_orders_by_centrality(spark):
+    """An undirected dup graph has no dangling nodes, so total rank mass
+    stays 1 through every power iteration (up to the rounding grid);
+    and the highest-degree node must outrank the median node — the
+    property that makes the score usable as a canonical-copy signal."""
+    rows = get_query("dup_graph_pagerank").fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    total = sum(r["pr_score"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    by_deg = sorted(rows, key=lambda r: r["degree"])
+    top = by_deg[-1]
+    median = by_deg[len(by_deg) // 2]
+    assert top["pr_score"] > median["pr_score"], (dict(top.asDict()), dict(median.asDict()))

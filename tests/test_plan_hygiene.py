@@ -32,6 +32,7 @@ BNLJ_WHITELIST = {
     "dsir_importance_weights": "broadcast side = the 1-row LM normalizer totals",
     "price_histogram": "broadcast side = the 1-row min/max bounds",
     "customer_rfm_segments": "broadcast side = the 1-row tercile cutoffs",
+    "dup_graph_pagerank": "broadcast side = the 1-row node-count aggregate",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -51,6 +52,7 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
     "mixture_language_sampling": "share normalization windows: 1 row per language",
     "corpus_datacard": "share normalization window: 1 row per (lang, source)",
+    "dup_graph_pagerank": "global node-count aggregate: 1 row",
     "doc_unigram_nll": "global token-total aggregate: 1 row",
     "dsir_importance_weights": "global LM-normalizer aggregate: 1 row",
     "price_histogram": "share normalization window: HIST_BUCKETS rows",
