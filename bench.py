@@ -84,6 +84,9 @@ HEADLINE = (
     "kmeans_train_3iter",
     "source_shingle_overlap",
     "pipeline_prepare_training",
+    "event_transition_matrix",
+    "corpus_datacard",
+    "dup_graph_pagerank",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has
