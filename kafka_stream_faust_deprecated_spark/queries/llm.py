@@ -57,6 +57,7 @@ from kafka_stream_faust_deprecated_spark.functions.vectors import (
     lsh_bucket_strings_pandas,
     lsh_hyperplanes,
 )
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table_parallel
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -1216,10 +1217,10 @@ m AS (
 )
 SELECT doc_id,
        n_tokens::BIGINT       AS n_tokens,
-       round(ttr, 4)          AS ttr,
-       round(stop_ratio, 4)   AS stop_ratio,
-       round(punct_ratio, 4)  AS punct_ratio,
-       round(0.4 * ttr + 0.3 * stop_ratio + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality
+       (floor((ttr) * 10000.0 + 0.5) / 10000.0)          AS ttr,
+       (floor((stop_ratio) * 10000.0 + 0.5) / 10000.0)   AS stop_ratio,
+       (floor((punct_ratio) * 10000.0 + 0.5) / 10000.0)  AS punct_ratio,
+       (floor((0.4 * ttr + 0.3 * stop_ratio + 0.3 * least(n_tokens / 100.0, 1.0)) * 10000.0 + 0.5) / 10000.0) AS quality
 FROM m
 """,
     tags=("E25",),
@@ -1245,10 +1246,10 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("ttr", 4).alias("ttr"),
-        F.round("stop_ratio", 4).alias("stop_ratio"),
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round(
+        round_det(F.col("ttr"), 4).alias("ttr"),
+        round_det(F.col("stop_ratio"), 4).alias("stop_ratio"),
+        round_det(F.col("punct_ratio"), 4).alias("punct_ratio"),
+        round_det(
             0.4 * F.col("ttr")
             + 0.3 * F.col("stop_ratio")
             + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
@@ -2021,7 +2022,7 @@ grams AS (
 bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1'))
 SELECT c.doc_id AS doc_id,
        count(*)::BIGINT AS n_grams,
-       round(avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+       (floor((avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0)
            AS contamination
 FROM grams c LEFT JOIN bench b ON c.g = b.g
 WHERE c.source NOT IN ('src0', 'src1')
@@ -2057,7 +2058,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.round(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 4).alias(
+            round_det(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 4).alias(
                 "contamination"
             ),
         )
@@ -2085,12 +2086,13 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            len(tk) AS n_tokens,
-           round(0.4 * (CASE WHEN len(tk) > 0
+           (floor((0.4 * (CASE WHEN len(tk) > 0
                     THEN len(list_distinct(tk)) * 1.0 / len(tk) ELSE 0.0 END)
                + 0.3 * (CASE WHEN len(tk) > 0
                     THEN len(list_filter(tk, x -> x IN ({_SQL_STOPS}))) * 1.0 / len(tk)
                     ELSE 0.0 END)
-               + 0.3 * least(len(tk) / 100.0, 1.0), 4) AS quality
+               + 0.3 * least(len(tk) / 100.0, 1.0)) * 10000.0 + 0.5) / 10000.0)
+               AS quality
     FROM t
 ),
 grams AS (
@@ -2102,7 +2104,7 @@ grams AS (
 bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
 cont AS (
     SELECT c.doc_id,
-           round(avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+           (floor((avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0)
                AS contamination
     FROM grams c LEFT JOIN bench b ON c.g = b.g
     WHERE c.source NOT IN ('src0', 'src1')
@@ -2184,7 +2186,7 @@ def _curate_audit(tok: DataFrame) -> DataFrame:
     metrics = tok.select(
         "doc_id",
         F.size(tk).cast("long").alias("n_tokens"),
-        F.round(
+        round_det(
             0.4 * type_token_ratio(tk)
             + 0.3 * stopword_ratio(tk)
             + 0.3 * F.least(F.size(tk) / 100.0, F.lit(1.0)),
@@ -2198,7 +2200,7 @@ def _curate_audit(tok: DataFrame) -> DataFrame:
         .join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 4).alias(
+            round_det(F.avg(F.coalesce(F.col("hit"), F.lit(0))), 4).alias(
                 "contamination"
             )
         )

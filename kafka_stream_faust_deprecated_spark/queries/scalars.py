@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -164,12 +165,12 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        label,
        len(embedding)                                                       AS dim,
-       round(CAST(embedding[1] AS DOUBLE), 4)                               AS first_elem,
-       round(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 4)           AS vec_sum,
-       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4)           AS vec_max,
-       round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4)           AS vec_min,
+       (floor((CAST(embedding[1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0)                               AS first_elem,
+       (floor((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')) * 10000.0 + 0.5) / 10000.0)           AS vec_sum,
+       (floor((CAST(list_aggregate(embedding, 'max') AS DOUBLE)) * 10000.0 + 0.5) / 10000.0)           AS vec_max,
+       (floor((CAST(list_aggregate(embedding, 'min') AS DOUBLE)) * 10000.0 + 0.5) / 10000.0)           AS vec_min,
        len(list_filter(embedding, x -> x > 0))                              AS n_positive,
-       round(CAST(list_aggregate(list_transform(embedding, x -> x * x), 'sum') AS DOUBLE), 4)
+       (floor((list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 10000.0 + 0.5) / 10000.0)
                                                                             AS sq_norm
 FROM embeddings
 """,
@@ -178,25 +179,32 @@ FROM embeddings
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/element_at/aggregate/transform/filter over array<float>.
 
-    Higher-order functions run JVM-side per row — sums are sequential
-    left-to-right folds in both engines, so float results agree after
-    float->double promotion per element (we sum in float then round, as
-    DuckDB's list_aggregate('sum') keeps the list's FLOAT type)."""
+    Higher-order functions run JVM-side per row. Both engines fold the
+    sums sequentially over DOUBLE-promoted elements (DuckDB's plain
+    list_aggregate('sum') on a FLOAT list is NOT a pure float fold, so
+    per-element promotion is the only bit-exact cross-engine contract),
+    and rounding uses the explicit floor(x*1e4 + 0.5) form — the sf0.1
+    self-sweep caught both the float-accumulator drift and Spark's
+    shortest-decimal-repr midpoint rounding here."""
     e = load_table(spark, sf_dir, "embeddings")
-    acc0 = F.lit(0.0).cast("float")
     return e.select(
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
-        F.round(
-            F.aggregate("embedding", acc0, lambda a, x: a + x).cast("double"), 4
+        round_det(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
+        round_det(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
         ).alias("vec_sum"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
-        F.round(F.array_min("embedding").cast("double"), 4).alias("vec_min"),
+        round_det(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+        round_det(F.array_min("embedding").cast("double"), 4).alias("vec_min"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
-        F.round(
-            F.aggregate("embedding", acc0, lambda a, x: a + x * x).cast("double"), 4
+        round_det(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            ),
+            4,
         ).alias("sq_norm"),
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 from pyspark.sql import functions as F
@@ -29,8 +30,8 @@ from kafka_stream_faust_deprecated_spark.streaming.windows import (
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*)             AS n,
-       round(sum(value), 4) AS total_value,
-       round(avg(value), 4) AS avg_value
+       (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value,
+       (floor((avg(value)) * 10000.0 + 0.5) / 10000.0) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -53,7 +54,7 @@ WITH expanded AS (
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S')                 AS win_start,
        strftime(win_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
        count(*)             AS n,
-       round(sum(value), 4) AS total_value
+       (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value
 FROM expanded
 GROUP BY win_start
 """,
@@ -86,7 +87,7 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
        count(*)             AS n_events,
-       round(sum(value), 4) AS total_value
+       (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value
 FROM sess
 GROUP BY user_id, sess_id
 """,
@@ -106,7 +107,7 @@ SELECT l.event_id                               AS purchase_id,
        l.user_id                                AS user_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S')      AS purchase_ts,
        strftime(r.ts, '%Y-%m-%d %H:%M:%S')      AS click_ts,
-       round(l.value, 4)                        AS purchase_value
+       (floor((l.value) * 10000.0 + 0.5) / 10000.0)                        AS purchase_value
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND r.ts >= l.ts - INTERVAL 1 HOUR
@@ -133,7 +134,7 @@ def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        F.round(F.col("l.value"), 4).alias("purchase_value"),
+        round_det(F.col("l.value"), 4).alias("purchase_value"),
     )
 
 
@@ -144,7 +145,7 @@ SELECT e.event_id                          AS event_id,
        e.user_id                           AS user_id,
        c.c_name                            AS user_name,
        c.c_mktsegment                      AS segment,
-       round(e.value, 4)                   AS value
+       (floor((e.value) * 10000.0 + 0.5) / 10000.0)                   AS value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 WHERE e.event_type = 'purchase'
 """,
@@ -169,7 +170,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("c_name").alias("user_name"),
         F.col("c_mktsegment").alias("segment"),
-        F.round("value", 4).alias("value"),
+        round_det(F.col("value"), 4).alias("value"),
     )
 
 
@@ -188,9 +189,10 @@ grid AS (
 SELECT g.user_id                              AS user_id,
        strftime(g.h, '%Y-%m-%d %H:%M:%S')     AS hour_s,
        (b.v IS NULL)::INTEGER                 AS was_gap,
-       round(last_value(b.v IGNORE NULLS) OVER (
+       (floor((last_value(b.v IGNORE NULLS) OVER (
            PARTITION BY g.user_id ORDER BY g.h
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5)
+        / 10000.0) AS v_ffill
 FROM grid g LEFT JOIN base b ON g.user_id = b.user_id AND g.h = b.h
 """,
     tags=("E15", "E19"),
@@ -234,6 +236,6 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
             F.col("v").isNull().cast("int").alias("was_gap"),
-            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_ffill"),
+            round_det(F.last("v", ignorenulls=True).over(w), 4).alias("v_ffill"),
         )
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
+
 
 def _maybe_watermark(df: DataFrame, ts_col: str, delay: str | None) -> DataFrame:
     if df.isStreaming and delay is not None:
@@ -32,8 +34,8 @@ def tumbling_aggregate(
         df.groupBy(F.window(F.col(ts_col), size).alias("win"), *keys)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 4).alias("total_value"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            round_det(F.sum(value_col), 4).alias("total_value"),
+            round_det(F.avg(value_col), 4).alias("avg_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -60,7 +62,7 @@ def sliding_aggregate(
     df = _maybe_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), size, slide).alias("win"), *keys)
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value_col), 4).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), round_det(F.sum(value_col), 4).alias("total_value"))
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
@@ -88,7 +90,7 @@ def sessionize(
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 4).alias("total_value"),
+            round_det(F.sum(value_col), 4).alias("total_value"),
             F.min(ts_col).alias("first_ts"),
             F.max(ts_col).alias("last_ts"),
         )
