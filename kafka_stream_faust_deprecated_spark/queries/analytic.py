@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.operators.range_frame import (
     global_range_count,
@@ -41,8 +42,8 @@ SELECT o_orderkey,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
        ntile(4)       OVER w AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist()    OVER w, 6) AS cum_dist
+       (floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS pct_rank,
+       (floor((cume_dist()    OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cum_dist
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERDUMMY
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey)
@@ -67,8 +68,8 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            round_det(F.percent_rank().over(w), 6).alias("pct_rank"),
+            round_det(F.cume_dist().over(w), 6).alias("cum_dist"),
         )
     )
 
@@ -80,9 +81,9 @@ SELECT o_custkey,
        o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        o_totalprice,
-       round(lag(o_totalprice)  OVER w, 4)                         AS prev_price,
-       round(lead(o_totalprice) OVER w, 4)                         AS next_price,
-       round(o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0), 4) AS price_delta,
+       (floor((lag(o_totalprice)  OVER w) * 10000.0 + 0.5) / 10000.0)                         AS prev_price,
+       (floor((lead(o_totalprice) OVER w) * 10000.0 + 0.5) / 10000.0)                         AS next_price,
+       (floor((o_totalprice - COALESCE(lag(o_totalprice) OVER w, 0.0)) * 10000.0 + 0.5) / 10000.0) AS price_delta,
        datediff('day', lag(o_orderdate) OVER w, o_orderdate)       AS days_since_prev
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -98,11 +99,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_totalprice",
-        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
-        F.round(
-            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4
-        ).alias("price_delta"),
+        round_det(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        round_det(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        round_det(F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4).alias("price_delta"),
         F.datediff(
             F.col("o_orderdate"), F.lag("o_orderdate").over(w)
         ).alias("days_since_prev"),
@@ -115,12 +114,12 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey,
        o_orderkey,
        o_totalprice,
-       round(sum(o_totalprice) OVER (
+       (floor((sum(o_totalprice) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
-       round(avg(o_totalprice) OVER (
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS running_total,
+       (floor((avg(o_totalprice) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)          AS ma3,
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0)          AS ma3,
        count(*) OVER (
            ORDER BY o_totalprice
            RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)          AS n_within_5k
@@ -151,10 +150,8 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.round(
-            F.sum("o_totalprice").over(wseq.rowsBetween(Window.unboundedPreceding, 0)), 4
-        ).alias("running_total"),
-        F.round(F.avg("o_totalprice").over(wseq.rowsBetween(-2, 0)), 4).alias("ma3"),
+        round_det(F.sum("o_totalprice").over(wseq.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running_total"),
+        round_det(F.avg("o_totalprice").over(wseq.rowsBetween(-2, 0)), 4).alias("ma3"),
         F.col("n_within_5k"),
     )
 
@@ -171,7 +168,7 @@ SELECT r_name                                        AS region,
        CAST(GROUPING(r_name) AS INTEGER)             AS g_region,
        CAST(GROUPING(n_name) AS INTEGER)             AS g_nation,
        count(*)                                      AS n_customers,
-       round(sum(c_acctbal), 4)                      AS total_acctbal
+       (floor((sum(c_acctbal)) * 10000.0 + 0.5) / 10000.0)                      AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -197,7 +194,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("region").cast("int").alias("g_region"),
             F.grouping("nation").cast("int").alias("g_nation"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+            round_det(F.sum("c_acctbal"), 4).alias("total_acctbal"),
         )
         .select(
             "region", "nation", "g_region", "g_nation", "n_customers", "total_acctbal"
@@ -211,7 +208,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        o_orderpriority,
        count(*)                      AS n_orders,
-       round(avg(o_totalprice), 4)   AS avg_price
+       (floor((avg(o_totalprice)) * 10000.0 + 0.5) / 10000.0)   AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -223,7 +220,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        round_det(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
 
 
@@ -233,7 +230,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*)               AS n,
-       round(sum(value), 4)   AS total_value
+       (floor((sum(value)) * 10000.0 + 0.5) / 10000.0)   AS total_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (day), ())
 """,
@@ -249,7 +246,7 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
                count(*)             AS n,
-               round(sum(value), 4) AS total_value
+               (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value
         FROM ksfd_events_gs
         GROUP BY GROUPING SETS ((event_type), (day), ())
         """
@@ -270,7 +267,7 @@ WITH bands(band, lo, hi) AS (
 )
 SELECT b.band,
        count(*)                    AS n_orders,
-       round(sum(o_totalprice), 4) AS band_total
+       (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS band_total
 FROM orders o
 JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 GROUP BY b.band
@@ -294,7 +291,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("band_total"),
+            round_det(F.sum("o_totalprice"), 4).alias("band_total"),
         )
     )
 
@@ -305,7 +302,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.event_id                       AS purchase_id,
        p.user_id,
        count(c.event_id)                AS clicks_before,
-       round(COALESCE(sum(c.value), 0.0), 4) AS click_value
+       (floor((COALESCE(sum(c.value), 0.0)) * 10000.0 + 0.5) / 10000.0) AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON c.user_id = p.user_id
@@ -342,7 +339,7 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id", "user_id")
         .agg(
             F.count("c_id").alias("clicks_before"),
-            F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("click_value"),
+            round_det(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("click_value"),
         )
     )
 
@@ -367,7 +364,7 @@ SELECT p.event_id                                   AS purchase_id,
        p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S')          AS purchase_ts,
        strftime(s.ts, '%Y-%m-%d %H:%M:%S')          AS signup_ts,
-       round(s.value, 4)                            AS signup_value,
+       (floor((s.value) * 10000.0 + 0.5) / 10000.0)                            AS signup_value,
        datediff('second', s.ts, p.ts)               AS secs_since_signup
 FROM purchases p
 ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
@@ -432,7 +429,7 @@ def asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("signup_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
-        F.round("signup_value_raw", 4).alias("signup_value"),
+        round_det(F.col("signup_value_raw"), 4).alias("signup_value"),
         (F.unix_timestamp("ts") - F.unix_timestamp("signup_ts_raw")).alias(
             "secs_since_signup"
         ),
@@ -482,7 +479,7 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, event_type,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-       round(value, 4) AS value
+       (floor((value) * 10000.0 + 0.5) / 10000.0) AS value
 FROM (
     SELECT *, row_number() OVER (
         PARTITION BY user_id, event_type
@@ -510,7 +507,7 @@ def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-            F.round("value", 4).alias("value"),
+            round_det(F.col("value"), 4).alias("value"),
         )
     )
 
@@ -519,11 +516,11 @@ def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_summary",
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
-       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
-       round(median(l_quantity), 4)                   AS median_qty
+       (floor((quantile_cont(l_extendedprice, 0.25)) * 10000.0 + 0.5) / 10000.0) AS p25,
+       (floor((quantile_cont(l_extendedprice, 0.50)) * 10000.0 + 0.5) / 10000.0) AS median,
+       (floor((quantile_cont(l_extendedprice, 0.75)) * 10000.0 + 0.5) / 10000.0) AS p75,
+       (floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.5) / 10000.0) AS p99,
+       (floor((median(l_quantity)) * 10000.0 + 0.5) / 10000.0)                   AS median_qty
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -539,11 +536,11 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (rows-only + error-bound pytest) covers."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        round_det(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        round_det(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median"),
+        round_det(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        round_det(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        round_det(F.median("l_quantity"), 4).alias("median_qty"),
     )
 
 
@@ -555,9 +552,9 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_revenue",
     oracle="""
 SELECT o_orderpriority,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS total_f,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS total_o,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS total_p
+       (floor((coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)) * 100.0 + 0.5) / 100.0) AS total_f,
+       (floor((coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0)) * 100.0 + 0.5) / 100.0) AS total_o,
+       (floor((coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0)) * 100.0 + 0.5) / 100.0) AS total_p
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -576,9 +573,9 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice"))
         .select(
             "o_orderpriority",
-            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("total_f"),
-            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("total_o"),
-            F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("total_p"),
+            round_det(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("total_f"),
+            round_det(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("total_o"),
+            round_det(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("total_p"),
         )
     )
 
@@ -588,9 +585,9 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH wide AS (
     SELECT l_returnflag,
-           round(CAST(sum(l_quantity) AS DOUBLE), 2)  AS sum_qty,
-           round(sum(l_extendedprice), 2)             AS sum_price,
-           round(avg(l_discount), 6)                  AS avg_disc
+           (floor((CAST(sum(l_quantity) AS DOUBLE)) * 100.0 + 0.5) / 100.0)  AS sum_qty,
+           (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0)             AS sum_price,
+           (floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0)                  AS avg_disc
     FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM wide
@@ -608,9 +605,9 @@ def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     it composes with the upstream agg at no extra exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        round_det(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+        round_det(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        round_det(F.avg("l_discount"), 6).alias("avg_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
@@ -626,13 +623,13 @@ def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 2)                AS sd_price,
-           round(var_samp(l_quantity), 4)                        AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
-           round(covar_pop(l_quantity, l_extendedprice), 2)      AS covar_qty_price,
-           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+           (floor((stddev_samp(l_extendedprice)) * 100.0 + 0.5) / 100.0)                AS sd_price,
+           (floor((var_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0)                        AS var_qty,
+           (floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0)           AS corr_qty_price,
+           (floor((covar_pop(l_quantity, l_extendedprice)) * 100.0 + 0.5) / 100.0)      AS covar_qty_price,
+           (floor((regr_slope(l_extendedprice, l_quantity)) * 10000.0 + 0.5) / 10000.0)     AS slope,
+           (floor((regr_intercept(l_extendedprice, l_quantity)) * 100.0 + 0.5) / 100.0) AS intercept,
+           (floor((regr_r2(l_extendedprice, l_quantity)) * 1000000.0 + 0.5) / 1000000.0)        AS r2
     FROM lineitem GROUP BY l_returnflag
 ),
 mom AS (
@@ -651,8 +648,8 @@ cm AS (
     FROM mom
 )
 SELECT base.*,
-       round(m3 / (m2 ^ 1.5), 6)  AS skew_qty,
-       round(m4 / (m2 ^ 2) - 3, 6) AS kurt_qty
+       (floor((m3 / (m2 ^ 1.5)) * 1000000.0 + 0.5) / 1000000.0)  AS skew_qty,
+       (floor((m4 / (m2 ^ 2) - 3) * 1000000.0 + 0.5) / 1000000.0) AS kurt_qty
 FROM base JOIN cm USING (l_returnflag)
 """,
     tags=("E7", "E16"),
@@ -667,15 +664,15 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the *sample*-corrected estimators while Spark's are population."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
-        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        round_det(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        round_det(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        round_det(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        round_det(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        round_det(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        round_det(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        round_det(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        round_det(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        round_det(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
     )
 
 
@@ -697,10 +694,10 @@ b AS (
 ),
 h AS (SELECT bucket, lo, hi, count(*)::BIGINT AS n FROM b GROUP BY 1, 2, 3)
 SELECT bucket,
-       round(lo + bucket * greatest((hi - lo) / {HIST_BUCKETS}, 1e-12), 4) AS bucket_lo,
-       round(lo + (bucket + 1) * greatest((hi - lo) / {HIST_BUCKETS}, 1e-12), 4) AS bucket_hi,
+       (floor((lo + bucket * greatest((hi - lo) / {HIST_BUCKETS}, 1e-12)) * 10000.0 + 0.5) / 10000.0) AS bucket_lo,
+       (floor((lo + (bucket + 1) * greatest((hi - lo) / {HIST_BUCKETS}, 1e-12)) * 10000.0 + 0.5) / 10000.0) AS bucket_hi,
        n,
-       round(n * 1.0 / sum(n) OVER (), 4) AS share
+       (floor((n * 1.0 / sum(n) OVER ()) * 10000.0 + 0.5) / 10000.0) AS share
 FROM h
 """,
     tags=("E7",),
@@ -743,8 +740,8 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy()
     return h.select(
         "bucket",
-        F.round(F.col("lo") + F.col("bucket") * width, 4).alias("bucket_lo"),
-        F.round(F.col("lo") + (F.col("bucket") + 1) * width, 4).alias("bucket_hi"),
+        round_det(F.col("lo") + F.col("bucket") * width, 4).alias("bucket_lo"),
+        round_det(F.col("lo") + (F.col("bucket") + 1) * width, 4).alias("bucket_hi"),
         "n",
-        F.round(F.col("n") / F.sum("n").over(w_all), 4).alias("share"),
+        round_det(F.col("n") / F.sum("n").over(w_all), 4).alias("share"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.functions.text import (
     norm_text,
     tokens,
@@ -100,7 +101,7 @@ wau AS (
     FROM contrib GROUP BY win_day
 )
 SELECT dau.d AS d, dau.dau AS dau, wau.wau AS wau,
-       round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+       (floor((dau.dau * 1.0 / wau.wau) * 10000.0 + 0.5) / 10000.0) AS stickiness
 FROM dau JOIN wau USING (d)
 """,
     tags=("E7", "E19"),
@@ -131,7 +132,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "dau",
         "wau",
-        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        round_det(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
     )
 
 
@@ -142,7 +143,7 @@ WITH c AS (
     SELECT o_custkey,
            date_diff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE)))::BIGINT AS recd,
            count(*)::BIGINT AS freq,
-           round(sum(o_totalprice), 4) AS monetary
+           (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS monetary
     FROM orders GROUP BY 1
 ),
 cuts AS (
@@ -174,7 +175,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.groupBy("o_custkey").agg(
         F.unix_date(F.to_date(F.max("o_orderdate"))).cast("long").alias("recd"),
         F.count("*").alias("freq"),
-        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        round_det(F.sum("o_totalprice"), 4).alias("monetary"),
     )
     cuts = c.agg(
         F.percentile("recd", 0.33).alias("r1"),
@@ -332,9 +333,9 @@ q AS (
                               floor(x * scale + 0.5))) / scale)) AS errs
     FROM s
 )
-SELECT vec_id, round(scale, 6) AS scale,
-       round(list_aggregate(errs, 'max'), 6) AS max_abs_err,
-       round(list_aggregate(errs, 'sum') / len(errs), 6) AS mean_abs_err
+SELECT vec_id, (floor((scale) * 1000000.0 + 0.5) / 1000000.0) AS scale,
+       (floor((list_aggregate(errs, 'max')) * 1000000.0 + 0.5) / 1000000.0) AS max_abs_err,
+       (floor((list_aggregate(errs, 'sum') / len(errs)) * 1000000.0 + 0.5) / 1000000.0) AS mean_abs_err
 FROM q
 """,
     tags=("E24",),
@@ -379,11 +380,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = s.select("vec_id", "scale", F.transform(F.col("v"), _err).alias("errs"))
     return q.select(
         "vec_id",
-        F.round("scale", 6).alias("scale"),
-        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
-        F.round(
-            F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"), 6
-        ).alias("mean_abs_err"),
+        round_det(F.col("scale"), 6).alias("scale"),
+        round_det(F.array_max("errs"), 6).alias("max_abs_err"),
+        round_det(F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.size("errs"), 6).alias("mean_abs_err"),
     )
 
 
@@ -480,7 +479,7 @@ p AS (
     FROM v CROSS JOIN tot
 )
 SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
-       round(avg(lr), 4) + 0.0 AS avg_log_ratio
+       (floor((avg(lr)) * 10000.0 + 0.5) / 10000.0) + 0.0 AS avg_log_ratio
 FROM t JOIN p USING (tok)
 GROUP BY doc_id, lang
 """,
@@ -533,7 +532,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             # + 0.0 folds IEEE -0.0 to 0.0 (a near-zero mean ratio can
             # round to either sign of zero; both engines add it).
-            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+            (round_det(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
         )
     )
 
@@ -696,7 +695,7 @@ c AS (
     GROUP BY 1, 2
 )
 SELECT event_type, next_type, n,
-       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 4) AS p
+       (floor((n * 1.0 / sum(n) OVER (PARTITION BY event_type)) * 10000.0 + 0.5) / 10000.0) AS p
 FROM c
 """,
     tags=("E7", "E10"),
@@ -725,7 +724,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
+        round_det(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
     )
 
 
@@ -746,7 +745,7 @@ ov AS (
     GROUP BY 1, 2
 )
 SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
-       round(n_shared * 1.0 / (ta.n + tb.n - n_shared), 4) AS jaccard
+       (floor((n_shared * 1.0 / (ta.n + tb.n - n_shared)) * 10000.0 + 0.5) / 10000.0) AS jaccard
 FROM ov
 JOIN tot ta ON ta.source = source_a
 JOIN tot tb ON tb.source = source_b
@@ -811,10 +810,7 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             "n_a",
             "n_b",
-            F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                4,
-            ).alias("jaccard"),
+            round_det(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 4).alias("jaccard"),
         )
     )
 
@@ -1006,10 +1002,10 @@ cents{i} AS (
 SELECT cid,
        any_value(n_members) AS n_members,
        any_value(mean_cos)  AS mean_cos,
-       round(sqrt(sum(m * m)), 4) AS new_norm
+       (floor((sqrt(sum(m * m))) * 10000.0 + 0.5) / 10000.0) AS new_norm
 FROM m{last}
 JOIN (
-    SELECT cid, count(*) AS n_members, round(avg(s), 4) AS mean_cos
+    SELECT cid, count(*) AS n_members, (floor((avg(s)) * 10000.0 + 0.5) / 10000.0) AS mean_cos
     FROM a{last} GROUP BY cid
 ) USING (cid)
 GROUP BY cid""")
@@ -1109,8 +1105,8 @@ def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.groupBy("cid")
         .agg(
             F.max("n").alias("n_members"),
-            F.round(F.max(F.when(F.col("pos") == 0, F.col("ms"))), 4).alias("mean_cos"),
-            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm"),
+            round_det(F.max(F.when(F.col("pos") == 0, F.col("ms"))), 4).alias("mean_cos"),
+            round_det(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm"),
         )
         .select("cid", "n_members", "mean_cos", "new_norm")
     )
@@ -1127,12 +1123,12 @@ WITH t AS (
 g AS (
     SELECT lang, source, count(*)::BIGINT AS n_docs,
            sum(n_tok)::BIGINT AS n_tokens,
-           round(avg(n_tok), 4) AS mean_tokens,
+           (floor((avg(n_tok)) * 10000.0 + 0.5) / 10000.0) AS mean_tokens,
            min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
     FROM t GROUP BY 1, 2
 )
 SELECT lang, source, n_docs, n_tokens, mean_tokens, min_chars, max_chars,
-       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 4) AS token_share
+       (floor((n_tokens * 1.0 / sum(n_tokens) OVER ()) * 10000.0 + 0.5) / 10000.0) AS token_share
 FROM g
 """,
     tags=("E7", "E25"),
@@ -1155,7 +1151,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
-        F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+        round_det(F.avg("n_tok"), 4).alias("mean_tokens"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -1168,7 +1164,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_tokens",
         "min_chars",
         "max_chars",
-        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 4).alias(
+        round_det(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 4).alias(
             "token_share"
         ),
     )
@@ -1216,7 +1212,7 @@ p{i} AS (
 )""")
     parts.append(f"""
 SELECT p{PR_ITERS}.s AS doc_id, deg.c AS degree,
-       round(p{PR_ITERS}.p, 6) AS pr_score
+       (floor((p{PR_ITERS}.p) * 1000000.0 + 0.5) / 1000000.0) AS pr_score
 FROM p{PR_ITERS} JOIN deg ON deg.s = p{PR_ITERS}.s""")
     return ",".join(parts[:-1]) + parts[-1]
 
@@ -1287,5 +1283,5 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(deg, "s").select(
         F.col("s").alias("doc_id"),
         F.col("c").alias("degree"),
-        F.round("p", 6).alias("pr_score"),
+        round_det(F.col("p"), 6).alias("pr_score"),
     )

@@ -201,7 +201,7 @@ c AS (
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
-SELECT da, db, round(common * 1.0 / (x.ns + y.ns - common), 4) AS jac
+SELECT da, db, (floor((common * 1.0 / (x.ns + y.ns - common)) * 10000.0 + 0.5) / 10000.0) AS jac
 FROM c JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
 WHERE common * 1.0 / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
 """,
@@ -227,7 +227,7 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jac_raw", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
     )
     return jac.where(F.col("jac_raw") >= JACCARD_THRESHOLD).select(
-        "da", "db", F.round("jac_raw", 4).alias("jac")
+        "da", "db", round_det(F.col("jac_raw"), 4).alias("jac")
     )
 
 
@@ -257,7 +257,7 @@ c AS (
     JOIN sh y ON y.doc_id = db AND y.s = x.s
     GROUP BY da, db
 )
-SELECT da, db, round(common * 1.0 / (x.ns + y.ns - common), 4) AS jac
+SELECT da, db, (floor((common * 1.0 / (x.ns + y.ns - common)) * 10000.0 + 0.5) / 10000.0) AS jac
 FROM c JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
 WHERE common * 1.0 / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
 """,
@@ -345,7 +345,7 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         verified = _verified_jaccard(sets, cand)
         result = verified.where(F.col("jac") >= JACCARD_THRESHOLD).select(
-            "da", "db", F.round("jac", 4).alias("jac")
+            "da", "db", round_det(F.col("jac"), 4).alias("jac")
         )
         # Eager materialization of the (small) result lets the finally
         # block release the corpus-sized caches immediately; callers get
@@ -569,7 +569,7 @@ s AS (
     FROM q CROSS JOIN e
     WHERE e.vec_id <> qid
 )
-SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, round(cos, 4) AS cosine
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
 WHERE rn <= {KNN_K}
 """,
@@ -601,7 +601,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
             F.col("rn").alias("rnk"),
-            F.round("cos", 4).alias("cosine"),
+            round_det(F.col("cos"), 4).alias("cosine"),
         )
     )
 
@@ -673,7 +673,7 @@ s AS (
              / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cos
     FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid
 )
-SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, round(cos, 4) AS cosine
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
 WHERE rn <= {KNN_K}
 """
@@ -792,7 +792,7 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("qid").alias("query_id"),
                 F.col("nid").alias("neighbor_id"),
                 F.col("rn").alias("rnk"),
-                F.round("cos", 4).alias("cosine"),
+                round_det(F.col("cos"), 4).alias("cosine"),
             )
         )
         return result.localCheckpoint(eager=True)
@@ -940,7 +940,7 @@ s AS (
              / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))) AS cos
     FROM cand JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid
 )
-SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, round(cos, 4) AS cosine
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
 WHERE rn <= {KNN_K}
 """
@@ -1027,7 +1027,7 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
             F.col("rn").alias("rnk"),
-            F.round("cos", 4).alias("cosine"),
+            round_det(F.col("cos"), 4).alias("cosine"),
         )
     )
 
@@ -1052,7 +1052,7 @@ s AS (
              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
     FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb
 )
-SELECT va, vb, round(cos, 4) AS cosine
+SELECT va, vb, (floor((cos) * 10000.0 + 0.5) / 10000.0) AS cosine
 FROM s WHERE cos >= {EMB_NEARDUP_THRESHOLD}
 """
 
@@ -1101,7 +1101,7 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("va", "vb", cosine(F.col("xa"), F.col("xb")).alias("cos"))
         )
         result = scored.where(F.col("cos") >= EMB_NEARDUP_THRESHOLD).select(
-            "va", "vb", F.round("cos", 4).alias("cosine")
+            "va", "vb", round_det(F.col("cos"), 4).alias("cosine")
         )
         return result.localCheckpoint(eager=True)
     finally:
@@ -1122,8 +1122,8 @@ WITH t AS (
 SELECT lang, source,
        count(*)::BIGINT       AS n_docs,
        sum(n_tok)::BIGINT     AS total_tokens,
-       round(avg(n_tok), 4)   AS avg_tokens,
-       round(avg(n_chr), 4)   AS avg_chars,
+       (floor((avg(n_tok)) * 10000.0 + 0.5) / 10000.0)   AS avg_tokens,
+       (floor((avg(n_chr)) * 10000.0 + 0.5) / 10000.0)   AS avg_chars,
        max(n_tok)::BIGINT     AS max_tokens
 FROM t GROUP BY lang, source
 """,
@@ -1142,8 +1142,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
-        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chr"), 4).alias("avg_chars"),
+        round_det(F.avg("n_tok"), 4).alias("avg_tokens"),
+        round_det(F.avg("n_chr"), 4).alias("avg_chars"),
         F.max("n_tok").cast("long").alias("max_tokens"),
     )
 
@@ -1167,7 +1167,7 @@ WITH t AS (
 SELECT doc_id,
        n_ws::BIGINT  AS n_ws_tokens,
        n_bpe::BIGINT AS n_bpe_tokens,
-       round(n_bpe * 1.0 / greatest(n_ws, 1), 4) AS bpe_per_word
+       (floor((n_bpe * 1.0 / greatest(n_ws, 1)) * 10000.0 + 0.5) / 10000.0) AS bpe_per_word
 FROM t
 """,
     tags=("E25",),
@@ -1190,7 +1190,7 @@ def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_ws").cast("long").alias("n_ws_tokens"),
         F.col("n_bpe").cast("long").alias("n_bpe_tokens"),
-        F.round(F.col("n_bpe") / F.greatest(F.col("n_ws"), F.lit(1)), 4).alias(
+        round_det(F.col("n_bpe") / F.greatest(F.col("n_ws"), F.lit(1)), 4).alias(
             "bpe_per_word"
         ),
     )
@@ -1330,7 +1330,7 @@ scored AS (
     SELECT doc_id, term, tf, ln((n + 1.0) / (df + 1.0)) * tf AS score
     FROM tf JOIN df USING (term) CROSS JOIN n
 )
-SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS tfidf
+SELECT doc_id, term, tf::BIGINT AS tf, (floor((score) * 1000000.0 + 0.5) / 1000000.0) AS tfidf
 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
       FROM scored)
 WHERE rn <= 3
@@ -1357,7 +1357,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
-                F.round("score", 6).alias("tfidf"))
+                round_det(F.col("score"), 6).alias("tfidf"))
     )
 
 
@@ -1493,7 +1493,7 @@ tot AS (SELECT sum(c) AS n FROM v),
 p AS (SELECT tok, c / n AS p FROM v CROSS JOIN tot)
 SELECT doc_id,
        count(*)::BIGINT AS n_tokens,
-       round(-avg(ln(p)), 4) AS nll
+       (floor((-avg(ln(p))) * 10000.0 + 0.5) / 10000.0) AS nll
 FROM t JOIN p USING (tok)
 GROUP BY doc_id
 """,
@@ -1527,7 +1527,7 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(-F.avg(F.log("p")), 4).alias("nll"),
+            round_det(-F.avg(F.log("p")), 4).alias("nll"),
         )
     )
 
@@ -1551,9 +1551,9 @@ sh AS (
 ),
 z AS (SELECT sum(traw) AS zsum FROM sh)
 SELECT lang, n_docs, n_tokens,
-       round(share, 4)               AS share,
-       round(traw / zsum, 4)         AS target_share,
-       round((traw / zsum) / share, 4) AS sampling_weight
+       (floor((share) * 10000.0 + 0.5) / 10000.0)               AS share,
+       (floor((traw / zsum) * 10000.0 + 0.5) / 10000.0)         AS target_share,
+       (floor(((traw / zsum) / share) * 10000.0 + 0.5) / 10000.0) AS sampling_weight
 FROM sh CROSS JOIN z
 """,
     tags=("E25",),
@@ -1586,9 +1586,9 @@ def mixture_language_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        F.round("share", 4).alias("share"),
-        F.round(F.col("traw") / F.col("zsum"), 4).alias("target_share"),
-        F.round((F.col("traw") / F.col("zsum")) / F.col("share"), 4).alias(
+        round_det(F.col("share"), 4).alias("share"),
+        round_det(F.col("traw") / F.col("zsum"), 4).alias("target_share"),
+        round_det((F.col("traw") / F.col("zsum")) / F.col("share"), 4).alias(
             "sampling_weight"
         ),
     )
@@ -1634,10 +1634,10 @@ mean_vec AS (
 SELECT cid,
        any_value(n_members)  AS n_members,
        any_value(mean_cos)   AS mean_cos,
-       round(sqrt(sum(m * m)), 4) AS new_norm
+       (floor((sqrt(sum(m * m))) * 10000.0 + 0.5) / 10000.0) AS new_norm
 FROM mean_vec
 JOIN (
-    SELECT cid, count(*) AS n_members, round(avg(s), 4) AS mean_cos
+    SELECT cid, count(*) AS n_members, (floor((avg(s)) * 10000.0 + 0.5) / 10000.0) AS mean_cos
     FROM assign GROUP BY cid
 ) USING (cid)
 GROUP BY cid
@@ -1698,8 +1698,8 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.groupBy("cid")
         .agg(
             F.max("n").alias("n_members"),
-            F.round(F.max(F.when(F.col("pos") == 0, F.col("ms"))), 4).alias("mean_cos"),
-            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm"),
+            round_det(F.max(F.when(F.col("pos") == 0, F.col("ms"))), 4).alias("mean_cos"),
+            round_det(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("new_norm"),
         )
         .select("cid", "n_members", "mean_cos", "new_norm")
     )
@@ -1956,11 +1956,11 @@ g AS (
 )
 SELECT doc_id,
        len(tk)::BIGINT AS n_words,
-       round(1 - len(list_distinct(tk)) / len(tk), 4) AS dup_word_frac,
-       round(list_aggregate(list_transform(list_distinct(g2),
+       (floor((1 - len(list_distinct(tk)) / len(tk)) * 10000.0 + 0.5) / 10000.0) AS dup_word_frac,
+       (floor((list_aggregate(list_transform(list_distinct(g2),
                  d -> len(list_filter(g2, x -> x = d))), 'max')
-             / len(g2), 4) AS top2_frac,
-       round(1 - len(list_distinct(g3)) / len(g3), 4) AS dup3_frac
+             / len(g2)) * 10000.0 + 0.5) / 10000.0) AS top2_frac,
+       (floor((1 - len(list_distinct(g3)) / len(g3)) * 10000.0 + 0.5) / 10000.0) AS dup3_frac
 FROM g
 """,
     tags=("E25",),
@@ -1997,13 +1997,9 @@ def doc_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_words"),
-        F.round(
-            1 - F.size(F.array_distinct("tk")) / F.size("tk"), 4
-        ).alias("dup_word_frac"),
-        F.round(F.array_max(top2_counts) / F.size("g2"), 4).alias("top2_frac"),
-        F.round(
-            1 - F.size(F.array_distinct("g3")) / F.size("g3"), 4
-        ).alias("dup3_frac"),
+        round_det(1 - F.size(F.array_distinct("tk")) / F.size("tk"), 4).alias("dup_word_frac"),
+        round_det(F.array_max(top2_counts) / F.size("g2"), 4).alias("top2_frac"),
+        round_det(1 - F.size(F.array_distinct("g3")) / F.size("g3"), 4).alias("dup3_frac"),
     )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -37,7 +38,7 @@ from kafka_stream_faust_deprecated_spark.registry import register
 SELECT l_orderkey,
        l_linenumber,
        l_quantity,
-       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+       (floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0) AS net_price
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
   AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -58,7 +59,7 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        round_det(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
     )
 
 
@@ -94,13 +95,13 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        l_linestatus,
-       round(CAST(sum(l_quantity) AS DOUBLE), 4)                              AS sum_qty,
-       round(sum(l_extendedprice), 4)                                         AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)                      AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)        AS sum_charge,
-       round(avg(l_quantity), 4)                                              AS avg_qty,
-       round(avg(l_extendedprice), 4)                                         AS avg_price,
-       round(avg(l_discount), 4)                                              AS avg_disc,
+       (floor((CAST(sum(l_quantity) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0)                              AS sum_qty,
+       (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)                                         AS sum_base_price,
+       (floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0)                      AS sum_disc_price,
+       (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000.0 + 0.5) / 10000.0)        AS sum_charge,
+       (floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0)                                              AS avg_qty,
+       (floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)                                         AS avg_price,
+       (floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0)                                              AS avg_disc,
        count(*)                                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -119,13 +120,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= "2000-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(net), 4).alias("sum_disc_price"),
-            F.round(F.sum(net * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_det(F.sum("l_quantity"), 4).alias("sum_qty"),
+            round_det(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            round_det(F.sum(net), 4).alias("sum_disc_price"),
+            round_det(F.sum(net * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            round_det(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_det(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_det(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -137,8 +138,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        count(*)                         AS n_orders,
        count(DISTINCT o_custkey)        AS n_customers,
-       round(min(o_totalprice), 4)      AS min_price,
-       round(max(o_totalprice), 4)      AS max_price
+       (floor((min(o_totalprice)) * 10000.0 + 0.5) / 10000.0)      AS min_price,
+       (floor((max(o_totalprice)) * 10000.0 + 0.5) / 10000.0)      AS max_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -151,8 +152,8 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.min("o_totalprice"), 4).alias("min_price"),
-        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        round_det(F.min("o_totalprice"), 4).alias("min_price"),
+        round_det(F.max("o_totalprice"), 4).alias("max_price"),
     )
 
 
@@ -167,7 +168,7 @@ SELECT c.c_custkey,
        c.c_name,
        c.c_mktsegment,
        count(*)                        AS n_orders,
-       round(sum(o.o_totalprice), 4)   AS total_spent
+       (floor((sum(o.o_totalprice)) * 10000.0 + 0.5) / 10000.0)   AS total_spent
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 WHERE o.o_orderstatus = 'F'
@@ -185,7 +186,7 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+            round_det(F.sum("o_totalprice"), 4).alias("total_spent"),
         )
     )
 
@@ -195,7 +196,7 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey,
        count(o.o_orderkey)                          AS n_big_orders,
-       round(COALESCE(sum(o.o_totalprice), 0.0), 4) AS big_total
+       (floor((COALESCE(sum(o.o_totalprice), 0.0)) * 10000.0 + 0.5) / 10000.0) AS big_total
 FROM customer c
 LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
   ON o.o_custkey = c.c_custkey
@@ -213,7 +214,7 @@ def join_left_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_big_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("big_total"),
+            round_det(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("big_total"),
         )
     )
 
@@ -260,7 +261,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name                                               AS nation,
        r.r_name                                               AS region,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)  AS revenue,
+       (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0)  AS revenue,
        count(*)                                               AS n_lineitems
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -291,7 +292,7 @@ def join_broadcast_dims_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            round_det(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -448,7 +449,7 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_grouped_agg",
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,
+       (floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS w_avg_price,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -478,7 +479,7 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"),
+        round_det(wavg("l_extendedprice", "l_quantity"), 4).alias("w_avg_price"),
         cnt("l_quantity").alias("n"),
     )
 
@@ -487,10 +488,9 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_grouped_map_zscore",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_returnflag,
-       round((l_extendedprice
+       (floor(((l_extendedprice
               - avg(l_extendedprice)    OVER (PARTITION BY l_returnflag))
-             / stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag),
-             4) AS z_price
+             / stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag)) * 10000.0 + 0.5) / 10000.0) AS z_price
 FROM lineitem
 """,
     tags=("E22",),
@@ -529,9 +529,9 @@ def pandas_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery_orders",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice,
-       round(o_totalprice
+       (floor((o_totalprice
              - (SELECT avg(o2.o_totalprice) FROM orders o2
-                WHERE o2.o_custkey = o.o_custkey) + 1e-6, 2) AS above_cust_avg
+                WHERE o2.o_custkey = o.o_custkey) + 1e-6) * 100.0 + 0.5) / 100.0) AS above_cust_avg
 FROM orders o
 WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
                       WHERE o2.o_custkey = o.o_custkey)
@@ -551,7 +551,7 @@ def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The +1e-6 nudge before rounding: per-customer averages of 2-decimal
     prices land exactly on half-cent boundaries (sum/n with small n),
-    where the two engines' last-bit summation order flips round(x, 2)
+    where the two engines' last-bit summation order flips (floor((x) * 100.0 + 0.5) / 100.0)
     either way; the epsilon moves both engines off the tie
     consistently and is 4 orders below the reported precision."""
     o = load_table(spark, sf_dir, "orders")
@@ -568,7 +568,7 @@ def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round(F.col("o_totalprice") - F.col("cust_avg") + F.lit(1e-6), 2).alias(
+            round_det(F.col("o_totalprice") - F.col("cust_avg") + F.lit(1e-6), 2).alias(
                 "above_cust_avg"
             ),
         )

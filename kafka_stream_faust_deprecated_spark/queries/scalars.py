@@ -117,18 +117,18 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey,
        l_linenumber,
-       round(l_extendedprice, 1)                        AS price_round1,
+       (floor((l_extendedprice) * 10.0 + 0.5) / 10.0)                        AS price_round1,
        abs(l_discount - 0.05)                           AS disc_dev,
        CAST(floor(l_quantity) AS BIGINT)                AS qty_floor,
        CAST(ceil(l_extendedprice / 1000) AS BIGINT)     AS price_k_ceil,
-       round(pow(l_quantity, 2), 4)                     AS qty_sq,
-       round(sqrt(l_extendedprice), 4)                  AS price_sqrt,
-       round(ln(l_extendedprice), 4)                    AS price_ln,
-       round(log10(l_extendedprice), 4)                 AS price_log10,
+       (floor((pow(l_quantity, 2)) * 10000.0 + 0.5) / 10000.0)                     AS qty_sq,
+       (floor((sqrt(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)                  AS price_sqrt,
+       (floor((ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)                    AS price_ln,
+       (floor((log10(l_extendedprice)) * 10000.0 + 0.5) / 10000.0)                 AS price_log10,
        CAST(l_quantity AS BIGINT) % 7                   AS qty_mod7,
        CASE WHEN l_discount > 0 THEN 1 ELSE 0 END       AS sign_disc,
-       round(greatest(l_tax, l_discount), 4)            AS max_rate,
-       round(least(l_tax, l_discount), 4)               AS min_rate
+       (floor((greatest(l_tax, l_discount)) * 10000.0 + 0.5) / 10000.0)            AS max_rate,
+       (floor((least(l_tax, l_discount)) * 10000.0 + 0.5) / 10000.0)               AS min_rate
 FROM lineitem
 WHERE l_orderkey < 500
 """,
@@ -140,18 +140,18 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_round1"),
+        round_det(F.col("l_extendedprice"), 1).alias("price_round1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
-        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
-        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        round_det(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        round_det(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        round_det(F.log("l_extendedprice"), 4).alias("price_ln"),
+        round_det(F.log10("l_extendedprice"), 4).alias("price_log10"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
         F.when(F.col("l_discount") > 0, F.lit(1)).otherwise(0).alias("sign_disc"),
-        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
-        F.round(F.least("l_tax", "l_discount"), 4).alias("min_rate"),
+        round_det(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+        round_det(F.least("l_tax", "l_discount"), 4).alias("min_rate"),
     )
 
 
@@ -246,7 +246,7 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_agg_by_key",
     oracle="""
 SELECT event_type,
-       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       (floor((avg(CAST(json_extract(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0) AS avg_k,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
        count(*) AS n
 FROM events
@@ -260,7 +260,7 @@ def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"),
+        round_det(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -350,8 +350,8 @@ SELECT doc_id,
        length(text)                                         AS n_chars,
        length(regexp_replace(text, '[^A-Z]', '', 'g'))      AS n_upper,
        length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces,
-       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-             / greatest(length(text), 1), 4)                AS upper_ratio
+       (floor((length(regexp_replace(text, '[^A-Z]', '', 'g'))
+             / greatest(length(text), 1)) * 10000.0 + 0.5) / 10000.0)                AS upper_ratio
 FROM documents
 """,
     tags=("E22", "E25"),
@@ -381,9 +381,7 @@ def pandas_scalar_textfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         n_upper("text").alias("n_upper"),
         n_spaces("text").alias("n_spaces"),
-        F.round(
-            n_upper("text") / F.greatest(F.length("text"), F.lit(1)), 4
-        ).alias("upper_ratio"),
+        round_det(n_upper("text") / F.greatest(F.length("text"), F.lit(1)), 4).alias("upper_ratio"),
     )
 
 
@@ -477,7 +475,7 @@ SELECT l_orderkey,
        CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
             THEN 'discounted' ELSE 'full_price' END   AS price_class,
        CASE WHEN l_discount = 0.0 THEN NULL
-            ELSE round(l_extendedprice * l_discount, 4) END AS rebate,
+            ELSE (floor((l_extendedprice * l_discount) * 10000.0 + 0.5) / 10000.0) END AS rebate,
        (nullif(l_discount, 0.0) IS NULL)::INTEGER     AS is_full_price
 FROM lineitem
 WHERE l_orderkey < 1000
@@ -503,7 +501,7 @@ def null_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("l_discount") == 0.0, F.lit(None).cast("double")
         )
-        .otherwise(F.round(F.col("l_extendedprice") * F.col("l_discount"), 4))
+        .otherwise(round_det(F.col("l_extendedprice") * F.col("l_discount"), 4))
         .alias("rebate"),
         disc_null.isNull().cast("int").alias("is_full_price"),
     )

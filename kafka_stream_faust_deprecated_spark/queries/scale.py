@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -59,7 +60,7 @@ WITH dim(event_type, weight) AS (
 )
 SELECT e.event_type                         AS event_type,
        count(*)                             AS n,
-       round(sum(e.value * d.weight), 4)    AS weighted_value
+       (floor((sum(e.value * d.weight)) * 10000.0 + 0.5) / 10000.0)    AS weighted_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1
 """,
@@ -86,7 +87,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(dim_salted.hint("shuffle_hash"), ["event_type", "salt"])
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+        round_det(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
     )
 
 
@@ -96,14 +97,14 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH chg AS (
     SELECT o_custkey,
            max(o_orderdate)            AS change_date,
-           round(sum(o_totalprice), 2) AS new_balance
+           (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS new_balance
     FROM orders
     GROUP BY 1
 )
 SELECT c.c_custkey                  AS c_custkey,
        c.c_name                     AS c_name,
        c.c_mktsegment               AS c_mktsegment,
-       round(c.c_acctbal, 2)        AS acctbal,
+       (floor((c.c_acctbal) * 100.0 + 0.5) / 100.0)        AS acctbal,
        '1990-01-01'                 AS valid_from,
        coalesce(strftime(ch.change_date, '%Y-%m-%d'), '9999-12-31') AS valid_to,
        CASE WHEN ch.change_date IS NULL THEN 1 ELSE 0 END           AS is_current
@@ -137,7 +138,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("change_date"),
-            F.round(F.sum("o_totalprice"), 2).alias("new_balance"),
+            round_det(F.sum("o_totalprice"), 2).alias("new_balance"),
         )
     )
     base = cust.join(chg, cust.c_custkey == chg.o_custkey, "left")
@@ -145,7 +146,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         "c_mktsegment",
-        F.round("c_acctbal", 2).alias("acctbal"),
+        round_det(F.col("c_acctbal"), 2).alias("acctbal"),
         F.lit("1990-01-01").alias("valid_from"),
         F.coalesce(
             F.date_format("change_date", "yyyy-MM-dd"), F.lit("9999-12-31")
@@ -180,8 +181,8 @@ p AS (SELECT e.user_id, min(e.ts) AS t2
 SELECT (SELECT count(*) FROM s) AS n_signup,
        (SELECT count(*) FROM c) AS n_click_after_signup,
        (SELECT count(*) FROM p) AS n_purchase_after_click,
-       round((SELECT count(*) FROM p) * 1.0
-             / greatest((SELECT count(*) FROM s), 1), 4) AS conversion
+       (floor(((SELECT count(*) FROM p) * 1.0
+             / greatest((SELECT count(*) FROM s), 1)) * 10000.0 + 0.5) / 10000.0) AS conversion
 """,
     tags=("E7", "funnel"),
 )
@@ -224,11 +225,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_signup",
         "n_click_after_signup",
         "n_purchase_after_click",
-        F.round(
-            F.col("n_purchase_after_click")
-            / F.greatest(F.col("n_signup"), F.lit(1)),
-            4,
-        ).alias("conversion"),
+        round_det(F.col("n_purchase_after_click")
+            / F.greatest(F.col("n_signup"), F.lit(1)), 4).alias("conversion"),
     )
 
 
@@ -253,7 +251,7 @@ SELECT r.cohort_date AS cohort_date,
        r.day_offset  AS day_offset,
        r.n_active    AS n_active,
        s.n_cohort    AS n_cohort,
-       round(r.n_active * 1.0 / s.n_cohort, 4) AS retention
+       (floor((r.n_active * 1.0 / s.n_cohort) * 10000.0 + 0.5) / 10000.0) AS retention
 FROM ret r JOIN sizes s USING (cohort_date)
 """,
     tags=("E7", "E15"),
@@ -286,5 +284,5 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"),
         "n_active",
         "n_cohort",
-        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+        round_det(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -44,7 +45,7 @@ def _rev():
     oracle="""
 SELECT l.l_orderkey                                        AS l_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -74,7 +75,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(round_det(F.sum(_rev()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
         .select(
@@ -123,7 +124,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle="""
 SELECT n.n_name AS n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey   = o.o_custkey
 JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
@@ -165,14 +166,14 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(round_det(F.sum(_rev()), 4).alias("revenue"))
     )
 
 
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+SELECT (floor((sum(l_extendedprice * l_discount)) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -193,7 +194,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+        round_det(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
             "revenue"
         )
     )
@@ -205,7 +206,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n1.n_name                   AS supp_nation,
        n2.n_name                   AS cust_nation,
        year(l.l_shipdate)          AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey  = l.l_suppkey
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -254,7 +255,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-    ).agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+    ).agg(round_det(F.sum(_rev()), 4).alias("revenue"))
 
 
 @register(
@@ -263,7 +264,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_custkey     AS c_custkey,
        c.c_name        AS c_name,
        n.n_name        AS n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey  = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -294,7 +295,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(round_det(F.sum(_rev()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -333,10 +334,10 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "tpch_q14_promo_revenue",
     oracle="""
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+SELECT (floor((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
                               ELSE 0 END)
-              / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+              / sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS promo_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -358,7 +359,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
+            round_det(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
                 / F.sum(rev),
@@ -381,8 +382,8 @@ SELECT c.c_name                            AS c_name,
        c.c_custkey                         AS c_custkey,
        o.o_orderkey                        AS o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(o.o_totalprice, 2)            AS o_totalprice,
-       round(b.total_qty, 2)               AS total_qty
+       (floor((o.o_totalprice) * 100.0 + 0.5) / 100.0)            AS o_totalprice,
+       (floor((b.total_qty) * 100.0 + 0.5) / 100.0)               AS total_qty
 FROM big b
 JOIN orders o   ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey  = c.c_custkey
@@ -411,8 +412,8 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("total_qty", 2).alias("total_qty"),
+            round_det(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            round_det(F.col("total_qty"), 2).alias("total_qty"),
         )
     )
 
@@ -422,7 +423,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH supply AS (
     SELECT l_partkey, l_suppkey,
-           round(avg(l_extendedprice / l_quantity), 4) AS price
+           (floor((avg(l_extendedprice / l_quantity)) * 10000.0 + 0.5) / 10000.0) AS price
     FROM lineitem GROUP BY 1, 2
 ),
 eu AS (
@@ -432,7 +433,7 @@ eu AS (
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'EUROPE'
 )
-SELECT round(e.s_acctbal, 2) AS s_acctbal,
+SELECT (floor((e.s_acctbal) * 100.0 + 0.5) / 100.0) AS s_acctbal,
        e.s_name              AS s_name,
        e.n_name              AS n_name,
        p.p_partkey           AS p_partkey,
@@ -495,9 +496,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.repartition("p_partkey")
         .groupBy("p_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name", "p_name")
         .agg(
-            F.round(
-                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
-            ).alias("price")
+            round_det(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("price")
         )
     )
     w = Window.partitionBy("p_partkey")
@@ -505,7 +504,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("min_price", F.min("price").over(w))
         .where(F.col("price") == F.col("min_price"))
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            round_det(F.col("s_acctbal"), 2).alias("s_acctbal"),
             "s_name",
             "n_name",
             "p_partkey",
@@ -521,9 +520,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     oracle="""
 SELECT year(o.o_orderdate)::INT AS o_year,
-       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+       (floor((sum(CASE WHEN sn.n_name = 'NATION_3'
                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+             / sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS mkt_share
 FROM lineitem l
 JOIN part p     ON p.p_partkey  = l.l_partkey
 JOIN supplier s ON s.s_suppkey  = l.l_suppkey
@@ -572,7 +571,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_rkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
+            round_det(
                 F.sum(F.when(F.col("sn_name") == "NATION_3", rev).otherwise(0.0))
                 / F.sum(rev),
                 4,
@@ -587,8 +586,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT sn.n_name            AS nation,
        year(o.o_orderdate)::INT AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+       (floor((sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity)) * 10000.0 + 0.5) / 10000.0) AS profit
 FROM lineitem l
 JOIN part p     ON p.p_partkey    = l.l_partkey
 JOIN supplier s ON s.s_suppkey    = l.l_suppkey
@@ -622,7 +621,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .agg(round_det(F.sum(profit), 4).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -639,7 +638,7 @@ WITH val AS (
     GROUP BY 1
 )
 SELECT p_key              AS l_partkey,
-       round(value, 4)    AS value
+       (floor((value) * 10000.0 + 0.5) / 10000.0)    AS value
 FROM val
 WHERE value > (SELECT 0.001 * sum(value) FROM val)
 ORDER BY value DESC, l_partkey
@@ -666,7 +665,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         val.join(F.broadcast(total))
         .where(F.col("value") > 0.001 * F.col("tot"))
-        .select("l_partkey", F.round("value", 4).alias("value"))
+        .select("l_partkey", round_det(F.col("value"), 4).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
     )
 
@@ -728,7 +727,7 @@ def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFra
     "tpch_q15_top_supplier",
     oracle="""
 WITH rev AS (
-    SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+    SELECT l_suppkey, (floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS total_rev
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY 1
@@ -752,7 +751,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+        round_det(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "total_rev"
         )
     )
@@ -825,7 +824,7 @@ WITH pa AS (
     SELECT l_partkey, 0.2 * avg(l_quantity) AS q_thresh
     FROM lineitem GROUP BY 1
 )
-SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT (floor((sum(l.l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN pa    ON pa.l_partkey = l.l_partkey
@@ -849,14 +848,14 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         pruned.join(F.broadcast(pa), F.col("pa_key") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("q_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(round_det(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 
 @register(
     "tpch_q19_disjunctive_revenue",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+SELECT (floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -887,9 +886,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .where(disj)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            round_det(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
         )
     )
 
@@ -1027,7 +1024,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_nationkey AS cntry,
        count(*)      AS numcust,
-       round(sum(c.c_acctbal), 4) AS totacctbal
+       (floor((sum(c.c_acctbal)) * 10000.0 + 0.5) / 10000.0) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND c.c_nationkey < 10
@@ -1064,7 +1061,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            round_det(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("cntry")
     )
