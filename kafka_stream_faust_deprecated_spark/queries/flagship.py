@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -62,8 +63,8 @@ SELECT
     strftime(win_start, '%Y-%m-%d %H:%M:%S') AS start,
     strftime(win_end, '%Y-%m-%d %H:%M:%S') AS "end",
     '5_MA_data' AS ma_type,
-    round(COALESCE(sum_of_vwap / NULLIF(count_of_vwap, 0), 0.0), 4) AS sma_value,
-    round(COALESCE(sum_of_vwap, 0.0), 4) AS sum_of_vwap,
+    (floor((COALESCE(sum_of_vwap / NULLIF(count_of_vwap, 0), 0.0)) * 10000.0 + 0.5) / 10000.0) AS sma_value,
+    (floor((COALESCE(sum_of_vwap, 0.0)) * 10000.0 + 0.5) / 10000.0) AS sum_of_vwap,
     count_of_vwap,
     window_data_count,
     real_data_count,
@@ -118,14 +119,11 @@ def flagship_sma_5row(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("start"),
         F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("end"),
         F.lit("5_MA_data").alias("ma_type"),  # S15
-        F.round(
-            F.coalesce(  # S12 guarded division
+        round_det(F.coalesce(  # S12 guarded division
                 F.col("sum_of_vwap") / F.nullif(F.col("count_of_vwap"), F.lit(0)),
                 F.lit(0.0),
-            ),
-            4,
-        ).alias("sma_value"),
-        F.round(F.coalesce(F.col("sum_of_vwap"), F.lit(0.0)), 4).alias("sum_of_vwap"),
+            ), 4).alias("sma_value"),
+        round_det(F.coalesce(F.col("sum_of_vwap"), F.lit(0.0)), 4).alias("sum_of_vwap"),
         "count_of_vwap",
         "window_data_count",
         "real_data_count",

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_faust_deprecated_spark.functions.rounding import round_det
 from kafka_stream_faust_deprecated_spark.io import file_tick_source, kafka_sink, kafka_tick_source
 
 #: The literal output tag (faust_app/ma_agg.py:66).
@@ -101,13 +102,10 @@ def sma_aggregate(
         F.lit(MA_TYPE_TAG).alias("MA_type"),  # S15
         F.date_format("start_ts", iso).alias("start"),
         F.date_format("end_ts", iso).alias("end"),
-        F.round(
-            F.coalesce(  # S12 guarded division (ma_agg.py:70)
+        round_det(F.coalesce(  # S12 guarded division (ma_agg.py:70)
                 F.col("sum_of_vwap_raw") / F.nullif(F.col("count_of_vwap"), F.lit(0)),
                 F.lit(0.0),
-            ),
-            10,
-        ).alias("sma_value"),
+            ), 10).alias("sma_value"),
         F.coalesce(F.col("sum_of_vwap_raw"), F.lit(0.0)).alias("sum_of_vwap"),
         "count_of_vwap",
         "window_data_count",
