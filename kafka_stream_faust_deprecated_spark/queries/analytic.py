@@ -230,15 +230,24 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*)               AS n,
-       (floor((sum(value)) * 10000.0 + 0.5) / 10000.0)   AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)   AS total_value
 FROM events
-GROUP BY GROUPING SETS ((event_type), (day), ())
+GROUP BY GROUPING SETS ((event_type), (strftime(date_trunc('day', ts), '%Y-%m-%d')), ())
 """,
     tags=("E9",),
 )
 def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL: per-type totals, per-day totals,
-    and the grand total in one shuffle."""
+    and the grand total in one shuffle.
+
+    Determinism hardening (round 6): the ``day`` expression is inlined
+    into the grouping set in BOTH engines — alias resolution inside
+    ``GROUP BY GROUPING SETS`` is the one construct whose rules differ
+    across engine versions — and ``value`` (a 2-decimal column) is
+    summed as DECIMAL(18,2), which is exact and order-independent, so
+    the double cast of the total is bit-identical regardless of
+    partial-aggregation order in either engine.
+    """
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("ksfd_events_gs")
     return spark.sql(
@@ -246,9 +255,9 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
                count(*)             AS n,
-               (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM ksfd_events_gs
-        GROUP BY GROUPING SETS ((event_type), (day), ())
+        GROUP BY GROUPING SETS ((event_type), (date_format(date_trunc('day', ts), 'yyyy-MM-dd')), ())
         """
     )
 

@@ -118,26 +118,45 @@ def run_suite(spark, con, sf_dir: str, ordered_names, qs, oracles):
                 "spark_rows": len(srows), "oracle_rows": None, "err": f"duckdb: {ex}"[:300],
             }
             continue
-        status, detail = "OK", ""
+        status, detail, diff = "OK", "", None
         schema_match = sorted(scols) == sorted(dcols)
         rows_match = len(srows) == len(drows)
         hash_match = False
         if not schema_match:
             status, detail = "FAIL", f"cols spark={scols} duck={dcols}"
-        elif not rows_match:
-            status, detail = "FAIL", f"rows spark={len(srows)} duck={len(drows)}"
         else:
             sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
-            hash_match = sm == dm
+            hash_match = rows_match and sm == dm
             if not hash_match:
-                diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
-                status, detail = "FAIL", f"values differ, e.g. {diffs}"
+                # Symmetric difference of the normalized multisets — the
+                # actual differing rows, so a red row is diagnosable from
+                # the artifact alone (VERDICT r5 "What's wrong" #2).
+                from collections import Counter
+
+                cs, cd = Counter(sm), Counter(dm)
+                only_s = [list(t) for t in (cs - cd).elements()][:20]
+                only_d = [list(t) for t in (cd - cs).elements()][:20]
+                diff = {
+                    "cols_sorted": sorted(scols),
+                    "spark_only": only_s,
+                    "oracle_only": only_d,
+                }
+                status = "FAIL"
+                if not rows_match:
+                    detail = f"rows spark={len(srows)} duck={len(drows)}"
+                else:
+                    detail = (
+                        f"values differ; spark-only={only_s[:3]} "
+                        f"oracle-only={only_d[:3]}"
+                    )
         print(f"{status:5s} {name}: {len(srows)} rows in {time.time() - t0:.1f}s {detail}")
         results[name] = {
             "rows_match": rows_match, "schema_match": schema_match,
             "hash_match": hash_match, "spark_rows": len(srows),
             "oracle_rows": len(drows), "err": detail or None,
         }
+        if diff is not None:
+            results[name]["diff"] = diff
         if status == "FAIL":
             failed.append(name)
     return results, failed
