@@ -95,6 +95,50 @@ def lsh_table_buckets(
     )
 
 
+def centroid_argmax_pandas(centroids: list[list[float]], norms: list[float]):
+    """Arrow-vectorized nearest-centroid assignment: the INDEX (0-based
+    position in ``centroids``) of the max-cosine centroid per vector,
+    via one dense (batch x dim) @ (dim x k) BLAS matmul per Arrow batch.
+
+    This is the hot kernel of IVF cell assignment / k-means Lloyd
+    iterations / SemDeDup: the interpreted ``transform`` formulation
+    (k zip_with+aggregate dots per row, no codegen, no CSE) costs
+    k x dim interpreter steps per row; one matmul does the same flops
+    in BLAS, ~100x cheaper at k=64, dim=64 (same argument as
+    ``lsh_bucket_strings_pandas``).
+
+    Determinism contract: only the ARGMAX leaves this function — never a
+    score value — so the BLAS-vs-sequential accumulation-order
+    difference (~1e-13 relative) can matter only if two DISTINCT
+    centroids score within reorder error of each other, which for
+    md5-random or k-means-mean centroids is the same
+    astronomically-unlikely near-tie class the LSH sign bits already
+    accept (see ``lsh_bucket_strings_pandas``'s caveat); the sf0.01
+    oracle hash-match pins it on the platform under test. Callers that
+    OUTPUT a score value must recompute the winner's score with the
+    sequential JVM dot (one dot per row — cheap) so emitted values stay
+    bit-identical with the oracle.
+
+    Ties broken by FIRST occurrence (``np.argmax``) = lowest index,
+    matching the oracles' ``ORDER BY s DESC, cid``. The per-row norm is
+    not applied — a positive per-row scale never changes the argmax.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat_c = np.array(centroids, dtype=np.float64).T  # dim x k
+    inv_norms = 1.0 / np.array(norms, dtype=np.float64)  # k
+
+    @pandas_udf("int")
+    def cidx(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        scores = (mat @ mat_c) * inv_norms
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return cidx
+
+
 def lsh_bucket_strings_pandas(
     n_tables: int, bits_per_table: int, dim: int, bits_stride: int | None = None
 ):

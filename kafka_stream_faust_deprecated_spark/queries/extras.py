@@ -820,8 +820,6 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix covers it — the single-step kmeans_lloyd_step stays in llm)
 # ---------------------------------------------------------------------------
 
-from pyspark.sql import Column  # noqa: E402
-
 from kafka_stream_faust_deprecated_spark.queries.llm import (  # noqa: E402
     _ANN_BITS_SQL,
     _IVF_K_SQL,
@@ -831,6 +829,7 @@ from kafka_stream_faust_deprecated_spark.queries.llm import (  # noqa: E402
     _ivf_k,
     _memo_expr,
     _sql_norm_of,
+    _winner_score_sql,
 )
 
 
@@ -889,17 +888,20 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAIR FINDING — SemDeDup's cells give a fixed O(sum cell^2) pruning
     budget and a tunable dedup rate via k and the threshold.
 
-    Scale shape: cell assignment is the SAME zero-shuffle literal-array
-    argmax projection as ann_cosine_ivf (no join, no window over
-    vec_id); the only exchanges are the cid-keyed self-join (cells ~
+    Scale shape: cell assignment is the SAME zero-shuffle BLAS-matmul
+    argmax as ann_cosine_ivf (`centroid_argmax_pandas` — no join, no
+    window over vec_id); the only exchanges are the cid-keyed self-join (cells ~
     n/k rows; k grows ~sqrt(n) via _ivf_k so per-cell pair work stays
     ~n per cell-batch, AQE splits hot cells) and the final skinny
     anti-join on vec_id. The full vectors cross the wire once per side
     of the cell join — nothing all-pairs, nothing driver-side."""
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        centroid_argmax_pandas,
+    )
     from kafka_stream_faust_deprecated_spark.queries.llm import (
         _SQL_DOT,
-        _centroid_scores,
         _embeddings_count,
+        _ivf_centroids,
         _ivf_k,
         _memo_expr,
         _sql_norm_of,
@@ -909,11 +911,14 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("v")
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
-    scored = e.select("vec_id", "v", _centroid_scores("v", k).alias("sc"))
-    m = scored.select(
+    cents = _ivf_centroids()[:k]
+    cidx = centroid_argmax_pandas(
+        [comp for _, comp, _ in cents], [norm for _, _, norm in cents]
+    )
+    m = e.select(
         "vec_id",
         "v",
-        _memo_expr("CAST(array_position(sc, array_max(sc)) - 1 AS INT)").alias("cid"),
+        cidx("v").alias("cid"),  # cid == position: centroid cids are 0..k-1
         _memo_expr(_sql_norm_of("v")).alias("nrm"),
     )
     hi = m.select(
@@ -1012,20 +1017,6 @@ GROUP BY cid""")
     return ",".join(parts[:1] + [p for p in parts[1:-1]]) + parts[-1]
 
 
-def _scores_expr_for(cents: list[tuple[int, list[float], float]]) -> Column:
-    """Score-array projection for an ARBITRARY centroid set (the
-    training loop's per-iteration twin of `_centroid_scores`): k cosines
-    per row against constant-folded literals, divided by the hoisted
-    per-row norm column ``vn``. Not memoized — every iteration's text is
-    new."""
-    carr = "array(%s)" % ",".join(
-        "array(%s)" % ",".join(f"{c!r}D" for c in comp) for _, comp, _ in cents
-    )
-    norms = "array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents)
-    return F.expr(
-        f"transform({carr}, (c, i) -> {_SQL_DOT.format(a='v', b='c')}"
-        f" / ({norms}[i] * vn))"
-    )
 
 
 @register("kmeans_train_3iter", oracle=_kmeans_train_oracle(), tags=("E24",))
@@ -1055,17 +1046,23 @@ def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids()[:k]
 
     def _assign(cents_now):
+        # BLAS-matmul argmax position (centroid_argmax_pandas); cells
+        # that lost all members vanish, so map position -> surviving
+        # cid via a literal lookup, and re-derive the winner's score
+        # with ONE sequential JVM dot (oracle accumulation order — the
+        # BLAS scores never leave the UDF).
+        from kafka_stream_faust_deprecated_spark.functions.vectors import (
+            centroid_argmax_pandas,
+        )
+
+        cidx = centroid_argmax_pandas(
+            [comp for _, comp, _ in cents_now], [norm for _, _, norm in cents_now]
+        )
         cids = "array(%s)" % ",".join(str(cid) for cid, _, _ in cents_now)
-        return e.select(
+        return e.select("v", "vn", cidx("v").alias("cidx")).select(
             "v",
-            _scores_expr_for(cents_now).alias("sc"),
-        ).select(
-            "v",
-            # [] is 0-based GetArrayItem; array_position is 1-based
-            F.expr(
-                f"{cids}[CAST(array_position(sc, array_max(sc)) - 1 AS INT)]"
-            ).alias("cid"),
-            F.array_max("sc").alias("s"),
+            F.expr(f"{cids}[cidx]").alias("cid"),
+            F.expr(_winner_score_sql(cents_now, idx_col="cidx")).alias("s"),
         )
 
     for _ in range(KMEANS_TRAIN_ITERS - 1):

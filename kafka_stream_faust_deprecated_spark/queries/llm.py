@@ -52,6 +52,7 @@ from kafka_stream_faust_deprecated_spark.functions.text import (
     word_shingles,
 )
 from kafka_stream_faust_deprecated_spark.functions.vectors import (
+    centroid_argmax_pandas,
     cosine,
     dot,
     lsh_bucket_strings_pandas,
@@ -910,6 +911,33 @@ def _centroid_scores(vname: str, k: int, *, norm_col: str | None = None) -> Colu
     )
 
 
+def _winner_score_sql(
+    cents: list[tuple[int, list[float], float]],
+    *,
+    idx_col: str = "cid",
+    norm_col: str = "vn",
+) -> str:
+    """SQL text for the WINNING centroid's cosine, recomputed with the
+    sequential JVM dot against the literal centroid matrix indexed by
+    ``idx_col`` (the 0-based position returned by
+    ``centroid_argmax_pandas``).
+
+    Output score values must match the oracle's sequential
+    ``list_dot_product`` accumulation bit-for-bit, so the BLAS path can
+    only pick the winner — this expression re-derives its score with
+    ONE sequential dot per row (vs k dots in the pre-round-6
+    all-scores formulation). ``[]`` is 0-based GetArrayItem over a
+    constant-folded literal array."""
+    carr = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{c!r}D" for c in comp) for _, comp, _ in cents
+    )
+    norms = "array(%s)" % ",".join(f"{norm!r}D" for _, _, norm in cents)
+    return (
+        f"({_SQL_DOT.format(a='v', b=f'{carr}[{idx_col}]')})"
+        f" / ({norms}[{idx_col}] * {norm_col})"
+    )
+
+
 def _ivf_oracle() -> str:
     values = ",\n      ".join(
         f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
@@ -957,10 +985,15 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the full corpus is scanned ONCE (the probe side
     re-reads only the K filter-pruned query rows) and `vec_id` never
     keys an exchange:
-    * cell assignment is a zero-shuffle argmax projection over the
-      folded literal centroid array (`_centroid_scores` — the round-4
-      plan broadcast-joined centroids into an n*k fan-out ranked by a
-      `row_number over partitionBy(vec_id)` shuffle);
+    * cell assignment is a zero-shuffle argmax projection: one Arrow
+      batch -> one (batch x dim) @ (dim x k) BLAS matmul
+      (`centroid_argmax_pandas`, the centroid matrix a closure
+      constant) — round 5's interpreted `transform` HOF had the same
+      plan shape but paid k x dim interpreter steps per row (the
+      round-4 plan before it broadcast-joined centroids into an n*k
+      fan-out ranked by a `row_number over partitionBy(vec_id)`
+      shuffle); only the argmax leaves the UDF, so every EMITTED
+      cosine still uses the oracle's sequential accumulation;
     * the top-nprobe probe cells are computed only on the K-row query
       side with pure array ops (score array -> sort_array of
       (-s, cid) structs -> slice -> explode), so no window and no
@@ -980,17 +1013,17 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
     nprobe = _ivf_nprobe(k)
-    # Stage the score array as a materialized column BEFORE taking the
-    # argmax: HOFs run interpreted (no whole-stage codegen, no CSE), so
-    # inlining the 64-cosine expression into both array_position and
-    # array_max would evaluate it TWICE per row. The per-vector norm is
-    # computed once here too, so candidate scoring later costs ONE dot
-    # per pair instead of three.
-    scored0 = e.select("vec_id", "v", _centroid_scores("v", k).alias("sc"))
-    assign = scored0.select(
+    cents = _ivf_centroids()[:k]
+    # Corpus-side cell assignment: BLAS matmul argmax (cid == position,
+    # centroid cids are 0..k-1). The per-vector norm is hoisted here so
+    # candidate scoring later costs ONE sequential dot per pair.
+    cidx = centroid_argmax_pandas(
+        [comp for _, comp, _ in cents], [norm for _, _, norm in cents]
+    )
+    assign = e.select(
         "vec_id",
         "v",
-        _memo_expr("CAST(array_position(sc, array_max(sc)) - 1 AS INT)").alias("cid"),
+        cidx("v").alias("cid"),
         _memo_expr(_sql_norm_of("v")).alias("nn"),
     )
     probes = (
@@ -1656,14 +1689,18 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the iterated kernel of IVF index builds and embedding-
     space dedup/diversity analysis at 100 TB:
-    * assignment: the k centroids are a folded literal array in the
-      projection itself (no join, no broadcast exchange); each row
-      computes its k cosines with one `transform` over that literal and
-      takes the argmax via `array_max`/`array_position` — zero shuffle,
-      zero per-row fan-out (the round-4 plan broadcast-joined the
+    * assignment: one (batch x dim) @ (dim x k) BLAS matmul per Arrow
+      batch (`centroid_argmax_pandas`; centroid matrix is a closure
+      constant) — zero shuffle, zero per-row fan-out; only the argmax
+      leaves the UDF, and the winner's cosine `s` (which feeds the
+      EMITTED mean_cos) is re-derived with ONE sequential JVM dot
+      against the literal centroid matrix, so values keep the oracle's
+      accumulation order (the round-4 plan broadcast-joined the
       centroids into n*k rows carrying the full vector and ranked them
       with a `row_number() over partitionBy(vec_id)` shuffle, executed
-      twice — O(n*k*dim) bytes over the wire at 1B vectors);
+      twice — O(n*k*dim) bytes over the wire at 1B vectors; round 5's
+      interpreted `transform` HOF fixed the shape but paid k x dim
+      interpreter steps per row);
     * recompute: ONE pass — posexplode to (cid, pos, x) carrying the
       assignment cosine, partial->final agg keyed on (cid, pos) (the
       shuffle carries O(k * dim) pre-combined rows per map task, NOT
@@ -1677,14 +1714,15 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("v")
     )
     k = _ivf_k(_embeddings_count(spark, e, sf_dir))
-    scored = e.select("v", _memo_expr(_sql_norm_of("v")).alias("vn")).select(
-        "v", _centroid_scores("v", k, norm_col="vn").alias("sc")
+    cents = _ivf_centroids()[:k]
+    cidx = centroid_argmax_pandas(
+        [comp for _, comp, _ in cents], [norm for _, _, norm in cents]
     )
-    assign = scored.select(
+    assign = e.select(
         "v",
-        _memo_expr("CAST(array_position(sc, array_max(sc)) - 1 AS INT)").alias("cid"),
-        F.array_max("sc").alias("s"),
-    )
+        _memo_expr(_sql_norm_of("v")).alias("vn"),
+        cidx("v").alias("cid"),  # cid == position: centroid cids are 0..k-1
+    ).select("v", "cid", _memo_expr(_winner_score_sql(cents)).alias("s"))
     cell = (
         assign.select("cid", "s", F.posexplode("v").alias("pos", "x"))
         .groupBy("cid", "pos")
