@@ -2,11 +2,19 @@
 
 Runs one representative query per operator family at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE compact JSON line:
 
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...,
-     "calibration_sec": ..., "normalized": {name: ratio, ...}}
+     "calibration_sec": ..., "calibration_stages_sec": ...,
+     "streaming": {provider: {...}, ...}}
+
+The printed line is kept SMALL (raw data only — the driver captures a
+bounded stdout tail, and round 5's line outgrew it, costing the round
+its parsed perf record); the derived ``normalized`` /
+``normalized_stages`` dicts are written to ``BENCH_SELF.json``
+(override with $SPARK_GRAFT_BENCH_SELF), committed per-round as
+BENCH_SELF_r{N}.json.
 
 Each query is forced end-to-end with a noop sink write (full
 materialization of every output row on the executors, nothing collected
@@ -138,7 +146,12 @@ STREAM_SYMBOLS = 200
 STREAM_SECONDS = 300
 
 
-def _streaming_throughput(spark) -> dict:
+def _streaming_throughput(
+    spark,
+    backend: str = "rocksdb",
+    symbols: int = STREAM_SYMBOLS,
+    seconds: int = STREAM_SECONDS,
+) -> dict:
     """Drain a {STREAM_SYMBOLS}x{STREAM_SECONDS}-tick batch through the
     REAL streaming SMA pipeline (file twin of the Kafka path: JSON
     decode -> watermark -> 5s/1s hopping windows -> exactly-5 gate ->
@@ -149,7 +162,12 @@ def _streaming_throughput(spark) -> dict:
     — i.e. throughput >= the number of tracked symbols. The number
     reported here is the single-node ceiling of the same pipeline
     including stream startup, so engine-vs-reference reads as
-    ticks_per_sec vs N."""
+    ticks_per_sec vs N.
+
+    ``backend`` selects the state-store provider (``rocksdb`` — the
+    engine default, disk-backed — or ``hdfs`` — executor heap) so the
+    backend choice is perf-justified in the committed record, not just
+    golden-tested."""
     import json as _json
     import shutil
     import tempfile
@@ -165,10 +183,10 @@ def _streaming_throughput(spark) -> dict:
     t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
     n = 0
     with open(os.path.join(src, "ticks.ndjson"), "w") as fh:
-        for i in range(STREAM_SECONDS):
+        for i in range(seconds):
             ts = (t0 + timedelta(seconds=i)).isoformat()
             te = (t0 + timedelta(seconds=i + 1)).isoformat()
-            for s in range(STREAM_SYMBOLS):
+            for s in range(symbols):
                 fh.write(
                     _json.dumps(
                         {
@@ -191,14 +209,18 @@ def _streaming_throughput(spark) -> dict:
                     + "\n"
                 )
                 n += 1
+    from kafka_stream_faust_deprecated_spark.session import configure_state_store
+
+    qname = f"bench_sma_{backend}"
     try:
+        configure_state_store(spark, backend)
         t_start = time.perf_counter()
         q = build_file_sma_query(
-            spark, src, os.path.join(root, "ckpt"), query_name="bench_sma"
+            spark, src, os.path.join(root, "ckpt"), query_name=qname
         )
         q.awaitTermination()
         wall = time.perf_counter() - t_start
-        out_rows = spark.sql("SELECT count(*) FROM bench_sma").collect()[0][0]
+        out_rows = spark.sql(f"SELECT count(*) FROM {qname}").collect()[0][0]
         return {
             "ticks_in": n,
             "rows_out": out_rows,
@@ -206,6 +228,7 @@ def _streaming_throughput(spark) -> dict:
             "ticks_per_sec": round(n / wall),
         }
     finally:
+        configure_state_store(spark, "rocksdb")  # restore engine default
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -246,26 +269,50 @@ def main() -> None:
     calib_stages = round(min(_stage_calibration(spark, sf_dir) for _ in range(2)), 3)
     normalized_stages = {n: round(t / calib_stages, 2) for n, t in times.items()}
 
-    streaming = _streaming_throughput(spark)
+    # One streaming entry per state-store provider (rocksdb is the
+    # engine default; hdfs the heap-backed alternative) so the backend
+    # choice carries a measured justification. Each backend gets a tiny
+    # warmup drain first: the first streaming query of a session pays
+    # stream-machinery startup (source listing threads, state-store
+    # provider init) that otherwise lands entirely on whichever backend
+    # runs first — round 6's first dual run mismeasured rocksdb 3x
+    # slower purely from ordering.
+    streaming = {}
+    for b in ("rocksdb", "hdfs"):
+        _streaming_throughput(spark, b, symbols=10, seconds=20)  # warm
+        streaming[b] = _streaming_throughput(spark, b)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "calibration_sec": calib,
-                "calibration_pre_sec": calib_pre,
-                "calibration_post_sec": calib_post,
-                "normalized": normalized,
-                "calibration_stages_sec": calib_stages,
-                "normalized_stages": normalized_stages,
-                "streaming": streaming,
-            }
-        )
+    # The driver captures a bounded tail of stdout; round 5's line grew
+    # past it (3 per-query dicts + streaming ~5 KB) and BENCH_r05.json
+    # recorded ``parsed: null``. Contract since round 6: the PRINTED line
+    # carries only the raw data the driver needs (queries + calibration
+    # scalars + streaming, compact separators); the derived normalized
+    # dicts go to a side artifact committed per-round as
+    # BENCH_SELF_r{N}.json.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "calibration_sec": calib,
+        "calibration_pre_sec": calib_pre,
+        "calibration_post_sec": calib_post,
+        "calibration_stages_sec": calib_stages,
+        "streaming": streaming,
+    }
+    self_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SELF",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
     )
+    with open(self_path, "w") as fh:
+        json.dump(
+            {**compact, "normalized": normalized, "normalized_stages": normalized_stages},
+            fh,
+            indent=1,
+        )
+
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
