@@ -52,21 +52,34 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-5 prefix (~50): flagship(1) + extras(4) + analytic(17) +
-# tpch(21) + temporal(6) = 49 — the never-sampled tail gets its first
-# record, and tpch stays in so the hardened q12 gets a green driver row.
-# llm rotates out on its r4 record (the round-5 kmeans/IVF rewrites are
-# oracle-checked in SELFCHECK_r5).
+# Round-6 prefix (~50): flagship first, then the queries whose
+# IMPLEMENTATION changed this round pinned in (the hardened
+# grouping_sets_events — r5's one red row — and the four
+# BLAS-argmax-rewritten centroid consumers), then the modules whose
+# last driver record PREDATES the round-5 rounding conversion
+# (commit b9df45a rewrote every rounded expression in relational/
+# scalars/llm; temporal's record is also r1-r3): flagship(1) +
+# pins(5) + relational(16) + scalars(13) + temporal(6) = 41, with
+# llm's head filling the remaining ~9 slots. extras/analytic/tpch
+# rotate out on their fresh r5 records (VERDICT r5 task #6).
 _promote(
     (
         "flagship",
-        "extras",
-        "analytic",
-        "tpch",
-        "temporal",
         "relational",
         "scalars",
+        "temporal",
         "llm",
+        "analytic",
+        "extras",
+        "tpch",
         "scale",
-    )
+    ),
+    pin_first=(
+        "flagship_sma_5row",
+        "grouping_sets_events",
+        "ann_cosine_ivf",
+        "kmeans_lloyd_step",
+        "semantic_dedup_semdedup",
+        "kmeans_train_3iter",
+    ),
 )
