@@ -8,6 +8,8 @@ batch contract (feature shape, determinism, explicit codec gating).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -77,10 +79,30 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir, record_property):
         }
         recall = len(ann & exact) / len(exact)
         record_property(f"recall[{name}@{sf_dir.rsplit('/', 1)[-1]}]", round(recall, 3))
+        _record_recall(name, sf_dir.rsplit("/", 1)[-1], round(recall, 3))
         assert recall >= floor, f"{name} recall collapsed: {recall} < {floor}"
         # ANN scores only candidate subsets -> never MORE results than
         # the brute force per query
         assert len(ann) <= len(exact)
+
+
+def _record_recall(name: str, sf: str, recall: float) -> None:
+    """Merge the measured recall into the COMMITTED RECALL.json artifact
+    (repo root) so the index auto-sizing has a pinned quality record at
+    bench scale, not just a transient pytest property (VERDICT r5 #8).
+    Plans and fixtures are deterministic, so re-runs rewrite identical
+    values and the committed file only changes when the index does."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        data = {}
+    data[f"{name}@{sf}"] = recall
+    with open(path, "w") as fh:
+        json.dump(dict(sorted(data.items())), fh, indent=1)
 
 
 def test_cluster_pairs_cross_partition_matches_local_cc(spark):
