@@ -81,5 +81,8 @@ _promote(
         "kmeans_lloyd_step",
         "semantic_dedup_semdedup",
         "kmeans_train_3iter",
+        # new in round 6 — first driver record
+        "doc_quality_gopher",
+        "doc_boilerplate_ngrams",
     ),
 )

@@ -1282,3 +1282,208 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("degree"),
         round_det(F.col("p"), 6).alias("pr_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E25 — Gopher-style rule filtering + boilerplate n-gram coverage (round 6)
+# ---------------------------------------------------------------------------
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1, scaled to the
+#: fixture corpus' 10-100-token synthetic documents where the paper's
+#: 50-word floor would reject half the corpus for no signal).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_TTR = 0.2
+
+from kafka_stream_faust_deprecated_spark.functions.text import (  # noqa: E402
+    STOPWORDS,
+    type_token_ratio,
+)
+from kafka_stream_faust_deprecated_spark.queries.llm import _SQL_STOPS  # noqa: E402
+
+
+@register(
+    "doc_quality_gopher",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {SQL_NORM} AS nrm, string_split({SQL_NORM}, ' ') AS tk
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(tk) AS n_words,
+           (length(nrm) - (len(tk) - 1)) * 1.0 / len(tk) AS mwl,
+           len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(tk) AS alpha_frac,
+           len(list_filter(list_distinct(tk), x -> x IN ({_SQL_STOPS}))) AS stop_hits,
+           len(list_distinct(tk)) * 1.0 / len(tk) AS ttr
+    FROM t WHERE len(tk) > 0
+)
+SELECT doc_id,
+       n_words::BIGINT                                        AS n_words,
+       (floor((mwl) * 10000.0 + 0.5) / 10000.0)               AS mean_word_len,
+       (floor((alpha_frac) * 10000.0 + 0.5) / 10000.0)        AS alpha_frac,
+       stop_hits::BIGINT                                      AS stop_hits,
+       (floor((ttr) * 10000.0 + 0.5) / 10000.0)               AS ttr,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS words_ok,
+       (mwl BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX})    AS mwl_ok,
+       (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC})                AS alpha_ok,
+       (stop_hits >= {GOPHER_MIN_STOP_HITS})                  AS stop_ok,
+       (ttr >= {GOPHER_MIN_TTR})                              AS ttr_ok,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mwl BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+        AND ttr >= {GOPHER_MIN_TTR})                          AS gopher_ok
+FROM m
+""",
+    tags=("E25",),
+)
+def doc_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021): word
+    count bounds, mean word length bounds, alphabetic-word fraction,
+    distinct-stopword floor, and a type-token-ratio floor, each emitted
+    as its own audit column plus the conjunction — the rule-suite shape
+    MassiveText/RefinedWeb-class pipelines run before any model-based
+    scoring. Complements doc_quality_score (weighted score) with
+    hard pass/fail gates.
+
+    Scale shape: ONE corpus scan, zero exchanges — every rule is a
+    projection over the row's own token array (mean word length derives
+    from the normalized text's length minus its space count, avoiding a
+    per-token aggregate entirely). At 100 TB this pipelines into the
+    scan with predicate pushdown intact; the rule columns write back to
+    the lakehouse as a plain audit table."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("nrm"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    tk = F.col("tk")
+    n = F.size(tk)
+    mwl = (F.length("nrm") - (n - F.lit(1))) / n
+    alpha_frac = F.size(F.filter(tk, lambda x: x.rlike("[a-z]"))) / n
+    stop_hits = F.size(
+        F.filter(F.array_distinct(tk), lambda x: x.isin(*STOPWORDS))
+    )
+    ttr = type_token_ratio(tk)
+    m = t.where(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        round_det(mwl, 4).alias("mean_word_len"),
+        round_det(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        round_det(ttr, 4).alias("ttr"),
+        mwl.alias("_mwl"),
+        alpha_frac.alias("_af"),
+        ttr.alias("_ttr"),
+    )
+    words_ok = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    mwl_ok = F.col("_mwl").between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+    alpha_ok = F.col("_af") >= GOPHER_MIN_ALPHA_FRAC
+    stop_ok = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    ttr_ok = F.col("_ttr") >= GOPHER_MIN_TTR
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        "ttr",
+        words_ok.alias("words_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        ttr_ok.alias("ttr_ok"),
+        (words_ok & mwl_ok & alpha_ok & stop_ok & ttr_ok).alias("gopher_ok"),
+    )
+
+
+#: A 3-gram is boilerplate when it appears in >= max(3, n_docs/200)
+#: distinct documents — corpus-derived like _ivf_k, so both engines
+#: compute the identical threshold from count(*).
+BOILER_MIN_DOCS_FLOOR = 3
+BOILER_DOCS_DIVISOR = 200
+BOILER_HI_FRAC = 0.5
+
+
+@register(
+    "doc_boilerplate_ngrams",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+k AS (
+    SELECT greatest({BOILER_MIN_DOCS_FLOOR},
+                    CAST(count(*) AS BIGINT) // {BOILER_DOCS_DIVISOR}) AS min_docs
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+    FROM t
+),
+df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g),
+b AS (SELECT g FROM df WHERE nd >= (SELECT min_docs FROM k))
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       (floor((avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) AS boiler_frac,
+       (avg(CASE WHEN b.g IS NOT NULL THEN 1.0 ELSE 0.0 END) > {BOILER_HI_FRAC}) AS hi_boiler
+FROM g LEFT JOIN b USING (g)
+GROUP BY doc_id
+""",
+    tags=("E23", "E25"),
+)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: a 3-gram appearing in many
+    DISTINCT documents (headers, footers, templated phrases) is
+    boilerplate; each document reports how much of it is covered by
+    such grams — the CCNet/RefinedWeb-style repeated-content signal
+    that exact/near dedup misses because no two documents are globally
+    similar. The document-frequency threshold derives from the corpus
+    count (max({BOILER_MIN_DOCS_FLOOR}, n_docs/{BOILER_DOCS_DIVISOR})),
+    so both engines compute it identically at any SF. Documents with
+    fewer than 3 tokens have no grams and drop out in both engines.
+
+    Scale shape: gram instances are exploded ONCE from a single corpus
+    scan; document frequency is a gram-keyed two-phase distinct+count
+    (map-side combined — the gram vocabulary, not the instance count,
+    crosses the wire in the final phase); the frequent-gram set is tiny
+    by construction (frequency >= n_docs/200 caps it at 200 *
+    grams-per-doc entries) and broadcasts back onto the instance
+    relation, so the only other exchange is the doc_id-keyed coverage
+    aggregate. Nothing self-joins and no corpus-row key ever partitions
+    a window."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    min_docs = max(BOILER_MIN_DOCS_FLOOR, n_docs // BOILER_DOCS_DIVISOR)
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")))).alias("g")
+    )
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_boiler"),
+            round_det(F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double")), 4).alias(
+                "boiler_frac"
+            ),
+            (F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double")) > BOILER_HI_FRAC).alias(
+                "hi_boiler"
+            ),
+        )
+    )
