@@ -95,6 +95,7 @@ HEADLINE = (
     "event_transition_matrix",
     "corpus_datacard",
     "dup_graph_pagerank",
+    "doc_boilerplate_ngrams",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has
