@@ -16,6 +16,7 @@ from kafka_stream_faust_deprecated_spark.streaming.sinks import (
     read_upsert_table,
     upsert_latest_sink,
 )
+from kafka_stream_faust_deprecated_spark.streaming.metrics import ProgressRecorder
 
 __all__ = [
     "sma_aggregate",
@@ -30,4 +31,5 @@ __all__ = [
     "read_sink",
     "upsert_latest_sink",
     "read_upsert_table",
+    "ProgressRecorder",
 ]
