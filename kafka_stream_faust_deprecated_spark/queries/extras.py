@@ -1460,8 +1460,10 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so the only other exchange is the doc_id-keyed coverage
     aggregate. Nothing self-joins and no corpus-row key ever partitions
     a window."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import _table_count
+
     docs = load_table_parallel(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = _table_count(spark, docs, sf_dir, "documents")
     min_docs = max(BOILER_MIN_DOCS_FLOOR, n_docs // BOILER_DOCS_DIVISOR)
     grams = docs.select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")))).alias("g")

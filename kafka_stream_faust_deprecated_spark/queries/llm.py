@@ -541,13 +541,22 @@ def _evict_dead_sessions(memo: dict, app_id: str) -> None:
         del memo[k]
 
 
-def _embeddings_count(spark: SparkSession, df: DataFrame, sf_dir: str) -> int:
+def _table_count(
+    spark: SparkSession, df: DataFrame, sf_dir: str, table: str
+) -> int:
+    """Session-memoized row count of a fixture table — index sizing
+    (ANN bits, IVF k, boilerplate thresholds) reads it once per
+    (session, sf_dir, table), not once per query construction."""
     app_id = spark.sparkContext.applicationId
     _evict_dead_sessions(_COUNT_MEMO, app_id)
-    key = (app_id, sf_dir)
+    key = (app_id, f"{sf_dir}::{table}")
     if key not in _COUNT_MEMO:
         _COUNT_MEMO[key] = df.count()
     return _COUNT_MEMO[key]
+
+
+def _embeddings_count(spark: SparkSession, df: DataFrame, sf_dir: str) -> int:
+    return _table_count(spark, df, sf_dir, "embeddings")
 
 
 #: The same derivation as ``_ann_bits`` as a DuckDB scalar expression, so
