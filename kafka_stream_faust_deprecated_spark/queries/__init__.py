@@ -84,5 +84,6 @@ _promote(
         # new in round 6 — first driver record
         "doc_quality_gopher",
         "doc_boilerplate_ngrams",
+        "dedup_incremental_ingest",
     ),
 )

@@ -232,6 +232,52 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_bands(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): the LSH band table — the whole K-hash MinHash
+    signature is a projection (``array_min(transform())`` per hash
+    function, no explode, no groupBy; min over the distinct shingle set
+    equals min over raw shingles, so semantics match the oracle), then
+    one bounded explode to B = {MINHASH_B} band rows per document.
+    Callers persist the result when more than one join branch reads it."""
+
+    def _minhash(i: int):
+        # single-arg closure, not a default-arg lambda: a 2-param lambda
+        # would be treated as Spark's (element, index) transform form
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = sets.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), _minhash(i)))
+                for i in range(MINHASH_K)
+            ]
+        ).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "",
+                                *[
+                                    F.element_at("sig", b * MINHASH_R + j + 1)
+                                    for j in range(MINHASH_R)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(MINHASH_B)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
 @register(
     "neardup_minhash_lsh",
     oracle=f"""
@@ -295,43 +341,7 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columnar batches costs one size() per row instead.
     cached = _doc_shingle_sets(spark, sf_dir).persist()
     sets = cached.where(F.size("sh") > 0)
-
-    def _minhash(i: int):
-        # single-arg closure, not a default-arg lambda: a 2-param lambda
-        # would be treated as Spark's (element, index) transform form
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    sig = sets.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), _minhash(i)))
-                for i in range(MINHASH_K)
-            ]
-        ).alias("sig"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "",
-                                *[
-                                    F.element_at("sig", b * MINHASH_R + j + 1)
-                                    for j in range(MINHASH_R)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(MINHASH_B)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh").persist()
+    bands = _minhash_bands(sets).persist()
     try:
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
@@ -352,6 +362,157 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # block release the corpus-sized caches immediately; callers get
         # a lineage-free DataFrame that never recomputes the pipeline.
         return result.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
+        cached.unpersist()
+
+
+# --- Incremental ingest dedup ----------------------------------------------
+
+#: The "today's batch" split: docs with doc_id % 10 >= 8 are the
+#: incoming 20%; the rest are the already-curated corpus. A pure
+#: function of doc_id, so both engines derive the identical split at
+#: any SF with no extra fixture.
+INGEST_MOD = 10
+INGEST_INC_MIN = 8
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+hx AS (
+    SELECT doc_id, md5({SQL_NORM}) AS h,
+           (doc_id % {INGEST_MOD} >= {INGEST_INC_MIN}) AS inc
+    FROM documents
+),
+exh AS (SELECT h, min(doc_id) AS m FROM hx WHERE NOT inc GROUP BY h),
+exact AS (SELECT i.doc_id, e.m FROM hx i LEFT JOIN exh e USING (h) WHERE i.inc),
+rest AS (SELECT doc_id FROM exact WHERE m IS NULL),
+mh AS (
+    SELECT doc_id, t.i, min(md5(t.i::VARCHAR || '|' || s)) AS h
+    FROM sh CROSS JOIN range({MINHASH_K}) t(i)
+    GROUP BY doc_id, t.i
+),
+bands AS (
+    SELECT doc_id, i // {MINHASH_R} AS band, md5(string_agg(h, '' ORDER BY i)) AS bh
+    FROM mh GROUP BY doc_id, i // {MINHASH_R}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bands a JOIN rest r ON a.doc_id = r.doc_id
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              AND b.doc_id % {INGEST_MOD} < {INGEST_INC_MIN}
+),
+n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+c AS (
+    SELECT da, db, count(*) AS common
+    FROM cand
+    JOIN sh x ON x.doc_id = da
+    JOIN sh y ON y.doc_id = db AND y.s = x.s
+    GROUP BY da, db
+),
+v AS (
+    SELECT da, db, common * 1.0 / (x.ns + y.ns - common) AS jr
+    FROM c JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
+    WHERE common * 1.0 / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
+),
+best AS (
+    SELECT da, db, jr FROM (
+        SELECT *, row_number() OVER (PARTITION BY da ORDER BY db) AS rn FROM v
+    ) WHERE rn = 1
+)
+SELECT doc_id, 'exact_dup' AS status, m AS matched_doc_id, NULL::DOUBLE AS jac
+FROM exact WHERE m IS NOT NULL
+UNION ALL
+SELECT da, 'near_dup', db, (floor((jr) * 10000.0 + 0.5) / 10000.0) FROM best
+UNION ALL
+SELECT r.doc_id, 'new', NULL, NULL
+FROM rest r LEFT JOIN best ON best.da = r.doc_id WHERE best.da IS NULL
+""",
+    tags=("E23",),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: classify an INCOMING batch against the
+    EXISTING corpus without re-deduplicating the corpus — the shape a
+    production pipeline runs per crawl/feed delivery. Each incoming doc
+    (doc_id % {INGEST_MOD} >= {INGEST_INC_MIN}, the deterministic 20%
+    "today's batch" split) is labeled ``exact_dup`` (content hash
+    already in the corpus, with the canonical match id), ``near_dup``
+    (MinHash-LSH candidate verified at Jaccard >=
+    {JACCARD_THRESHOLD}, lowest-id match kept), or ``new``.
+    Batch-internal duplicates are a separate concern
+    (dedup_exact_keep_best over the batch alone).
+
+    Scale shape — the asymmetric version of neardup_minhash_lsh's
+    index: the exact pass is ONE exchange on the 32-byte content hash
+    (existing side pre-aggregated to hash -> min id; at 100 TB that
+    relation is the persisted dedup index, not a recompute); the band
+    table is built once from the shared persisted shingle stage and
+    read by both join branches; candidate generation joins the
+    BATCH-sized band rows (broadcast-semi-filtered to non-exact
+    incoming docs) against existing band rows on (band, bh) — work
+    scales with batch x collision rate, never corpus²; verification
+    broadcasts the surviving pairs into the cached shingle sets
+    exactly like every other dedup verify stage; the best-match window
+    partitions on incoming doc_id over the tiny verified relation. In
+    production the existing corpus' hash index and band table are
+    written once and re-read per ingest, which this plan mirrors by
+    persisting them for the query's lifetime."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    hx = docs.select(
+        "doc_id",
+        F.md5(norm_text(F.col("text"))).alias("h"),
+        (F.col("doc_id") % INGEST_MOD >= INGEST_INC_MIN).alias("inc"),
+    )
+    exh = hx.where(~F.col("inc")).groupBy("h").agg(F.min("doc_id").alias("m"))
+    exact = hx.where(F.col("inc")).join(exh, "h", "left").select("doc_id", "m")
+    exact_dup = exact.where(F.col("m").isNotNull()).select(
+        "doc_id",
+        F.lit("exact_dup").alias("status"),
+        F.col("m").alias("matched_doc_id"),
+        F.lit(None).cast("double").alias("jac"),
+    )
+    rest = exact.where(F.col("m").isNull()).select("doc_id")
+
+    cached = _doc_shingle_sets(spark, sf_dir).persist()
+    bands = _minhash_bands(cached.where(F.size("sh") > 0)).persist()
+    try:
+        inc_b = bands.join(F.broadcast(rest), "doc_id")
+        ex_b = bands.where(F.col("doc_id") % INGEST_MOD < INGEST_INC_MIN)
+        cand = (
+            inc_b.alias("a")
+            .join(
+                ex_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh")),
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+        )
+        ver = _verified_jaccard(cached.where(F.size("sh") > 0), cand).where(
+            F.col("jac") >= JACCARD_THRESHOLD
+        )
+        w = Window.partitionBy("da").orderBy("db")
+        best = ver.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        near = best.select(
+            F.col("da").alias("doc_id"),
+            F.lit("near_dup").alias("status"),
+            F.col("db").alias("matched_doc_id"),
+            round_det(F.col("jac"), 4).alias("jac"),
+        )
+        new = (
+            rest.join(best.select(F.col("da").alias("doc_id")), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit("new").alias("status"),
+                F.lit(None).cast("long").alias("matched_doc_id"),
+                F.lit(None).cast("double").alias("jac"),
+            )
+        )
+        return (
+            exact_dup.unionByName(near).unionByName(new).localCheckpoint(eager=True)
+        )
     finally:
         bands.unpersist()
         cached.unpersist()

@@ -23,6 +23,7 @@ def test_round6_pins_lead_registration_order():
         "kmeans_train_3iter",
         "doc_quality_gopher",
         "doc_boilerplate_ngrams",
+        "dedup_incremental_ingest",
     ):
         assert names.index(changed) < 50, f"{changed} outside sampled prefix"
 
