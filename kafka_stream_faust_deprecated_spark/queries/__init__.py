@@ -85,5 +85,6 @@ _promote(
         "doc_quality_gopher",
         "doc_boilerplate_ngrams",
         "dedup_incremental_ingest",
+        "table_profile_orders",
     ),
 )

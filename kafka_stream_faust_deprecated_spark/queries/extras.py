@@ -1489,3 +1489,94 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E7 — one-pass table profiling (round 6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_profile_orders",
+    oracle="""
+WITH a AS (
+    SELECT count(*) AS n,
+           count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+           CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+           count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+           CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+           count(o_orderstatus) AS c3, count(DISTINCT o_orderstatus) AS d3,
+           min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+           count(o_totalprice) AS c4, count(DISTINCT o_totalprice) AS d4,
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
+           count(o_orderdate) AS c5, count(DISTINCT o_orderdate) AS d5,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn5,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx5,
+           count(o_orderpriority) AS c6, count(DISTINCT o_orderpriority) AS d6,
+           min(o_orderpriority) AS mn6, max(o_orderpriority) AS mx6
+    FROM orders
+)
+SELECT 'o_orderkey' AS column_name, (n - c1)::BIGINT AS n_nulls, d1::BIGINT AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM a
+UNION ALL SELECT 'o_custkey', (n - c2)::BIGINT, d2::BIGINT, mn2, mx2 FROM a
+UNION ALL SELECT 'o_orderstatus', (n - c3)::BIGINT, d3::BIGINT, mn3, mx3 FROM a
+UNION ALL SELECT 'o_totalprice', (n - c4)::BIGINT, d4::BIGINT, mn4, mx4 FROM a
+UNION ALL SELECT 'o_orderdate', (n - c5)::BIGINT, d5::BIGINT, mn5, mx5 FROM a
+UNION ALL SELECT 'o_orderpriority', (n - c6)::BIGINT, d6::BIGINT, mn6, mx6 FROM a
+""",
+    tags=("E7",),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders`` — per column: null count,
+    exact distinct count, and canonical min/max representations (ints
+    via string cast, the 2-decimal price via DECIMAL(18,2), timestamps
+    via explicit format — every representation deterministic in both
+    engines). The data-quality report a lakehouse pipeline materializes
+    per table per ingest.
+
+    Scale shape: a single aggregation pass. Multiple exact COUNT
+    DISTINCTs plan as one Expand (rows x #distinct-columns) feeding a
+    map-side-combined partial agg — the standard profiling shape; at
+    100 TB the drop-in cheapening is ``approx_count_distinct`` per
+    column (one pass, no Expand), traded here for the exact value the
+    cross-engine oracle can verify. The stack to one-row-per-column
+    runs on the single aggregated row."""
+    o = load_table_parallel(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    cols = [
+        ("o_orderkey", lambda c: F.min(c).cast("string"), lambda c: F.max(c).cast("string")),
+        ("o_custkey", lambda c: F.min(c).cast("string"), lambda c: F.max(c).cast("string")),
+        ("o_orderstatus", F.min, F.max),
+        (
+            "o_totalprice",
+            lambda c: F.min(c).cast("decimal(18,2)").cast("string"),
+            lambda c: F.max(c).cast("decimal(18,2)").cast("string"),
+        ),
+        (
+            "o_orderdate",
+            lambda c: F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss"),
+            lambda c: F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss"),
+        ),
+        ("o_orderpriority", F.min, F.max),
+    ]
+    aggs = [n.alias("n")]
+    for name, mn, mx in cols:
+        aggs += [
+            F.count(name).alias(f"c_{name}"),
+            F.countDistinct(name).alias(f"d_{name}"),
+            mn(name).alias(f"mn_{name}"),
+            mx(name).alias(f"mx_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                (F.col("n") - F.col(f"c_{name}")).cast("long").alias("n_nulls"),
+                F.col(f"d_{name}").cast("long").alias("n_distinct"),
+                F.col(f"mn_{name}").alias("min_repr"),
+                F.col(f"mx_{name}").alias("max_repr"),
+            )
+            for name, _, _ in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

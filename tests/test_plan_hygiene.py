@@ -58,6 +58,7 @@ SINGLE_PARTITION_WHITELIST = {
     "price_histogram": "share normalization window: HIST_BUCKETS rows",
     "customer_rfm_segments": "global percentile aggregate: 1 row",
     "dedup_cluster_size_histogram": "global singleton-count aggregate: 1 row",
+    "table_profile_orders": "global profiling aggregate: 1 partial row per task",
 }
 
 

@@ -24,6 +24,7 @@ def test_round6_pins_lead_registration_order():
         "doc_quality_gopher",
         "doc_boilerplate_ngrams",
         "dedup_incremental_ingest",
+        "table_profile_orders",
     ):
         assert names.index(changed) < 50, f"{changed} outside sampled prefix"
 
