@@ -12,6 +12,7 @@ Stream: the reference's only I/O is Kafka JSON (faust_app/ma_agg.py:40,44).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -234,3 +235,56 @@ def binary_file_source(
     if max_bytes is not None:
         df = df.where(F.col("length") <= max_bytes)
     return df
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+    partition_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every lakehouse
+    runs after streaming/incremental ingest: rewrite a parquet directory
+    into ~``target_file_mb`` files so later scans see a few well-sized
+    row groups instead of thousands of per-micro-batch fragments (each
+    small file costs a scan task, a footer read, and a listing entry; at
+    100 TB the listing alone dominates).
+
+    File count derives from the ACTUAL bytes on disk (metadata listing,
+    no data read), then one round-robin repartition writes the data back
+    — a single full shuffle, which is the point: compaction IS a
+    rewrite, and round-robin gives equal-size output files regardless of
+    key skew. With ``partition_cols`` the repartition keys on those
+    columns instead so each hive partition directory compacts into its
+    own files (skewed partitions still split via AQE). Returns a small
+    audit dict {files_before, bytes, files_target, rows}; correctness
+    (row-for-row equality) is the caller's/test's assertion.
+
+    On a real deployment this runs table-by-table behind a manifest
+    swap or as part of an OPTIMIZE job; here it is the engine primitive
+    plus its invariants, test-pinned in tests/test_io_formats.py.
+    """
+    import glob as _glob
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    if partition_cols:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        out = df.repartition(n_target)
+        writer = out.write.mode("overwrite")
+    writer.parquet(dst_dir)
+    return {
+        "files_before": len(files),
+        "bytes": total_bytes,
+        "files_target": n_target,
+        "rows": spark.read.parquet(dst_dir).count(),
+    }

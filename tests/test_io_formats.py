@@ -118,3 +118,49 @@ def test_binary_file_source_feeds_multimodal_extract(spark, tmp_path):
         assert r["n_bytes"] == len(raw)
         assert r["content_hash"] == hashlib.md5(raw).hexdigest()
         assert len(r["feature"]) == 4
+
+
+def test_compact_parquet_preserves_content_and_reduces_files(spark, tmp_path):
+    """Fragmented parquet dir (one file per write) -> compact_parquet ->
+    same content fingerprint, file count collapsed to the byte-derived
+    target, and the audit dict reports the real before/after numbers."""
+    import glob
+
+    from kafka_stream_faust_deprecated_spark.io import compact_parquet
+
+    o = load_table(spark, SF_DIR, "orders")
+    src = str(tmp_path / "fragmented")
+    # simulate micro-batch ingest: 24 tiny files
+    o.repartition(24).write.mode("overwrite").parquet(src)
+    n_src = len(glob.glob(src + "/*.parquet"))
+    assert n_src >= 24
+
+    dst = str(tmp_path / "compacted")
+    audit = compact_parquet(spark, src, dst, target_file_mb=128)
+    n_dst = len(glob.glob(dst + "/*.parquet"))
+    assert audit["files_before"] == n_src
+    assert audit["files_target"] == 1  # tiny fixture << 128 MB
+    assert n_dst == 1
+    assert audit["rows"] == o.count()
+    assert _fingerprint(spark.read.parquet(dst)) == _fingerprint(o)
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    """partition_cols compaction rewrites into hive partition dirs with
+    per-partition files, content preserved."""
+    import glob
+
+    from kafka_stream_faust_deprecated_spark.io import compact_parquet
+
+    o = load_table(spark, SF_DIR, "orders")
+    src = str(tmp_path / "frag2")
+    o.repartition(12).write.mode("overwrite").parquet(src)
+    dst = str(tmp_path / "by_status")
+    audit = compact_parquet(
+        spark, src, dst, target_file_mb=128, partition_cols=("o_orderstatus",)
+    )
+    statuses = {r["o_orderstatus"] for r in o.select("o_orderstatus").distinct().collect()}
+    dirs = {p.rsplit("=", 1)[-1] for p in glob.glob(dst + "/o_orderstatus=*")}
+    assert dirs == statuses
+    assert audit["rows"] == o.count()
+    assert _fingerprint(spark.read.parquet(dst)) == _fingerprint(o)
