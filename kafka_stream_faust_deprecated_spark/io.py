@@ -166,7 +166,7 @@ def decode_events(json_df: DataFrame) -> DataFrame:
     return (
         json_df.select(F.from_json("json", EVENT_JSON_SCHEMA).alias("r"))
         .select("r.*")
-        .withColumn("ts", F.to_timestamp("ts"))
+        .withColumn("ts", F.try_to_timestamp("ts"))
     )
 
 
@@ -174,12 +174,46 @@ def decode_ticks(json_df: DataFrame) -> DataFrame:
     """JSON string -> typed columns + parsed event-time ``ts``.
 
     The ISO-8601 parse replicates ``datetime.fromisoformat(event.current_time)``
-    (faust_app/ma_agg.py:87) but JVM-side and vectorized.
+    (faust_app/ma_agg.py:87) but JVM-side and vectorized — via
+    ``try_to_timestamp``, because under ANSI mode (Spark 4 default) a
+    plain ``to_timestamp`` THROWS on one malformed payload and fails the
+    whole micro-batch, turning a single bad producer message into an
+    outage (the reference has exactly this failure mode: fromisoformat
+    raises per event). Malformed rows parse to null ts and never enter
+    a window; use ``decode_ticks_audited`` to count and route them.
     """
     return (
         json_df.select(F.from_json("json", STOCK_TICK_SCHEMA).alias("r"))
         .select("r.*")
-        .withColumn("ts", F.to_timestamp("current_time"))
+        .withColumn("ts", F.try_to_timestamp("current_time"))
+    )
+
+
+def decode_ticks_audited(json_df: DataFrame) -> DataFrame:
+    """``decode_ticks`` with a quarantine flag instead of silent nulls.
+
+    ``from_json`` is PERMISSIVE: a syntactically broken payload yields a
+    null struct, and a well-formed payload missing required fields
+    yields nulls in those columns — either way the bare decoder's rows
+    silently vanish later (null event time never enters a window). A
+    production ingest wants them COUNTED and ROUTED: this variant keeps
+    the raw payload column and adds ``_malformed`` (unparseable, or
+    missing symbol/current_time — the reference would have thrown in
+    ``datetime.fromisoformat``, faust_app/ma_agg.py:87). Callers split
+    on the flag: good rows continue to the pipeline, bad rows go to a
+    dead-letter sink with their original bytes. Pure projection — same
+    single-pass cost as decode_ticks."""
+    parsed = json_df.select("json", F.from_json("json", STOCK_TICK_SCHEMA).alias("r"))
+    malformed = (
+        F.col("r").isNull()
+        | F.col("r.symbol").isNull()
+        | F.col("r.current_time").isNull()
+        | F.try_to_timestamp(F.col("r.current_time")).isNull()
+    )
+    return (
+        parsed.withColumn("_malformed", malformed)
+        .select("json", "_malformed", "r.*")
+        .withColumn("ts", F.try_to_timestamp("current_time"))
     )
 
 
