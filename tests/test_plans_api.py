@@ -1,0 +1,32 @@
+"""exchange_census / assert_census: the plan-introspection engine API."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.plans import assert_census, exchange_census
+from tests.conftest import SF_DIR
+
+
+def test_census_counts_keyed_exchange_and_broadcast(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    joined = agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+    census = exchange_census(joined)
+    assert census["data"] == 1
+    assert census["data_keys"] == ["o_custkey"]
+    assert census["broadcast"] == 1
+    assert census["shim"] == 0
+
+
+def test_assert_census_guards(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    assert_census(agg, max_data=1)  # passes
+    with pytest.raises(AssertionError, match="keyed exchanges"):
+        assert_census(agg, max_data=0)
+    with pytest.raises(AssertionError, match="forbidden key"):
+        assert_census(agg, forbid_keys=("o_custkey",))
