@@ -30,3 +30,24 @@ def test_assert_census_guards(spark):
         assert_census(agg, max_data=0)
     with pytest.raises(AssertionError, match="forbidden key"):
         assert_census(agg, forbid_keys=("o_custkey",))
+
+
+def test_flagship_census_pinned(spark):
+    """The flagship plan is ONE user_id exchange — a second keyed
+    exchange appearing is a plan regression, caught here not on the
+    cluster."""
+    from kafka_stream_faust_deprecated_spark.registry import get_query
+
+    df = get_query("flagship_sma_5row").fn(spark, SF_DIR)
+    c = assert_census(df, max_data=1, forbid_keys=("event_id",))
+    assert c["data_keys"] == ["user_id"]
+
+
+def test_ivf_census_forbids_corpus_row_exchange(spark):
+    """ann_cosine_ivf's only keyed exchange is the skinny qid top-K
+    window; vec_id keying any exchange would mean the round-4
+    n*k fan-out shape crept back."""
+    from kafka_stream_faust_deprecated_spark.registry import get_query
+
+    df = get_query("ann_cosine_ivf").fn(spark, SF_DIR)
+    assert_census(df, forbid_keys=("vec_id",))
