@@ -96,6 +96,7 @@ HEADLINE = (
     "corpus_datacard",
     "dup_graph_pagerank",
     "doc_boilerplate_ngrams",
+    "dedup_incremental_ingest",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has
