@@ -89,6 +89,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         # Semantics
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI on, EXPLICITLY (it is the Spark 4 default, but the engine
+        # depends on it, so pin it against ambient config): arithmetic
+        # overflow and bad casts THROW instead of silently corrupting —
+        # at 100 TB a silent long-sum wraparound is unfindable. The flip
+        # side is handled at the edges: ingestion parses untrusted
+        # fields with try_* functions (io.decode_ticks), so one bad
+        # payload can't fail a micro-batch.
+        .config("spark.sql.ansi.enabled", "true")
         # Adaptive execution: coalesce small shuffle partitions, split
         # skewed ones, demote/promote join strategies at runtime.
         .config("spark.sql.adaptive.enabled", "true")
