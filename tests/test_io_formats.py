@@ -164,3 +164,25 @@ def test_compact_parquet_partitioned_layout(spark, tmp_path):
     assert dirs == statuses
     assert audit["rows"] == o.count()
     assert _fingerprint(spark.read.parquet(dst)) == _fingerprint(o)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across ingest batches (a later batch adds a column)
+    reads back as the union schema with nulls for early batches —
+    mergeSchema is the engine's documented evolution pattern; without it
+    the footer of a single random file wins and the new column silently
+    disappears."""
+    o = load_table(spark, SF_DIR, "orders")
+    root = str(tmp_path / "evolving")
+    o.select("o_orderkey", "o_totalprice").write.parquet(root + "/batch=1")
+    o.select(
+        "o_orderkey", "o_totalprice", F.lit("en").alias("region_code")
+    ).write.parquet(root + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "region_code", "batch"}
+    n = o.count()
+    assert merged.count() == 2 * n
+    # early-batch rows surface the new column as null, not as an error
+    assert merged.where("batch = 1 AND region_code IS NULL").count() == n
+    assert merged.where("batch = 2 AND region_code = 'en'").count() == n
