@@ -450,9 +450,11 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is the persisted dedup index, not a recompute); the band
     table is built once from the shared persisted shingle stage and
     read by both join branches; candidate generation joins the
-    BATCH-sized band rows (broadcast-semi-filtered to non-exact
-    incoming docs) against existing band rows on (band, bh) — work
-    scales with batch x collision rate, never corpus²; verification
+    BATCH-sized band rows (batch-side filter, exact dups removed by a
+    skinny doc_id anti-join — never a broadcast of batch ids, since at
+    100 TB the batch is itself huge) against existing band rows on
+    (band, bh) — work scales with batch x collision rate, never
+    corpus²; verification
     broadcasts the surviving pairs into the cached shingle sets
     exactly like every other dedup verify stage; the best-match window
     partitions on incoming doc_id over the tiny verified relation. In
@@ -478,7 +480,17 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _doc_shingle_sets(spark, sf_dir).persist()
     bands = _minhash_bands(cached.where(F.size("sh") > 0)).persist()
     try:
-        inc_b = bands.join(F.broadcast(rest), "doc_id")
+        # Incoming band rows = batch-side filter minus the exact dups —
+        # an ANTI-join on the skinny exact-match id list, NOT a
+        # broadcast of the batch's ids: at 100 TB the incoming batch is
+        # itself huge (a whole crawl), so nothing batch-sized may be
+        # assumed driver/broadcast-safe. The only broadcast in this
+        # plan stays the verified-candidate set, which LSH keeps rare
+        # by construction.
+        exact_ids = exact.where(F.col("m").isNotNull()).select("doc_id")
+        inc_b = bands.where(
+            F.col("doc_id") % INGEST_MOD >= INGEST_INC_MIN
+        ).join(exact_ids, "doc_id", "left_anti")
         ex_b = bands.where(F.col("doc_id") % INGEST_MOD < INGEST_INC_MIN)
         cand = (
             inc_b.alias("a")
