@@ -140,7 +140,19 @@ def _run_once(name: str, spark, sf_dir: str) -> float:
 
 def _time_query(name: str, spark, sf_dir: str, runs: int = 2) -> float:
     _run_once(name, spark, sf_dir)  # warm
-    return round(min(_run_once(name, spark, sf_dir) for _ in range(runs)), 3)
+    times = [_run_once(name, spark, sf_dir) for _ in range(runs)]
+    # The sandbox's CPU is time-shared and can starve this process for
+    # tens of seconds; when that window covers every measured run the
+    # recorded minimum is load, not plan cost (round 6 saw a 1.4 s
+    # query record 31 s twice this way). Wildly disagreeing samples
+    # mean the minimum is still suspect — take up to 2 extra samples
+    # until the spread tightens. Still min-of-actual-runs, just with a
+    # variance-triggered sample count.
+    extra = 0
+    while extra < 2 and max(times) / max(min(times), 1e-9) > 3.0:
+        times.append(_run_once(name, spark, sf_dir))
+        extra += 1
+    return round(min(times), 3)
 
 
 #: Streaming throughput fixture size: symbols x seconds of tick data.
