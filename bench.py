@@ -254,9 +254,22 @@ def main() -> None:
     # JVM / codegen / parquet-footer warmup so q1 doesn't pay startup.
     load_table(spark, sf_dir, "lineitem").count()
 
-    times: dict[str, float] = {}
+    # Interleaved measurement passes: warm everything, then two full
+    # passes over the suite, per-query minimum ACROSS passes. Round 6
+    # observed the sandbox starving this process for 30+ s — long
+    # enough to cover both back-to-back samples of one query (a 1.4 s
+    # entry recorded 31 s twice); with whole-suite interleaving a
+    # window that long lands on DIFFERENT queries in each pass, so the
+    # cross-pass minimum stays a plan-cost measurement.
     for name in HEADLINE:
-        times[name] = _time_query(name, spark, sf_dir)
+        _run_once(name, spark, sf_dir)  # warm
+    passes = [
+        {name: _run_once(name, spark, sf_dir) for name in HEADLINE}
+        for _ in range(2)
+    ]
+    times: dict[str, float] = {
+        name: round(min(p[name] for p in passes), 3) for name in HEADLINE
+    }
 
     # Whole-TPC-H aggregate entry: one warm pass then two measured passes
     # over every registered tpch_* query (min of the two pass totals) —
