@@ -86,5 +86,6 @@ _promote(
         "doc_boilerplate_ngrams",
         "dedup_incremental_ingest",
         "table_profile_orders",
+        "minhash_estimate_calibration",
     ),
 )

@@ -232,28 +232,32 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(sets: DataFrame) -> DataFrame:
-    """(doc_id, band, bh): the LSH band table — the whole K-hash MinHash
-    signature is a projection (``array_min(transform())`` per hash
-    function, no explode, no groupBy; min over the distinct shingle set
-    equals min over raw shingles, so semantics match the oracle), then
-    one bounded explode to B = {MINHASH_B} band rows per document.
-    Callers persist the result when more than one join branch reads it."""
+def _minhash_sig_expr():
+    """The K-hash MinHash signature as ONE array column expression over
+    the shingle-set column ``sh`` — a pure projection
+    (``array_min(transform())`` per hash function, no explode, no
+    groupBy; min over the distinct shingle set equals min over raw
+    shingles, so semantics match the oracle's per-(doc, i) GROUP BY)."""
 
     def _minhash(i: int):
         # single-arg closure, not a default-arg lambda: a 2-param lambda
         # would be treated as Spark's (element, index) transform form
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
-    sig = sets.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), _minhash(i)))
-                for i in range(MINHASH_K)
-            ]
-        ).alias("sig"),
+    return F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _minhash(i)))
+            for i in range(MINHASH_K)
+        ]
     )
+
+
+def _minhash_bands(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): the LSH band table — the signature projection
+    (`_minhash_sig_expr`) followed by one bounded explode to
+    B = {MINHASH_B} band rows per document. Callers persist the result
+    when more than one join branch reads it."""
+    sig = sets.select("doc_id", _minhash_sig_expr().alias("sig"))
     return sig.select(
         "doc_id",
         F.explode(
@@ -361,6 +365,123 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Eager materialization of the (small) result lets the finally
         # block release the corpus-sized caches immediately; callers get
         # a lineage-free DataFrame that never recomputes the pipeline.
+        return result.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
+        cached.unpersist()
+
+
+@register(
+    "minhash_estimate_calibration",
+    oracle=f"""
+WITH {SQL_SHINGLES},
+mh AS (
+    SELECT doc_id, t.i, min(md5(t.i::VARCHAR || '|' || s)) AS h
+    FROM sh CROSS JOIN range({MINHASH_K}) t(i)
+    GROUP BY doc_id, t.i
+),
+bands AS (
+    SELECT doc_id, i // {MINHASH_R} AS band, md5(string_agg(h, '' ORDER BY i)) AS bh
+    FROM mh GROUP BY doc_id, i // {MINHASH_R}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.da, c.db,
+           sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) * 1.0 / {MINHASH_K} AS e
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.da
+    JOIN mh y ON y.doc_id = c.db AND y.i = x.i
+    GROUP BY 1, 2
+),
+n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+c2 AS (
+    SELECT da, db, count(*) AS common
+    FROM cand
+    JOIN sh x ON x.doc_id = da
+    JOIN sh y ON y.doc_id = db AND y.s = x.s
+    GROUP BY da, db
+),
+ex AS (
+    SELECT da, db, common * 1.0 / (x.ns + y.ns - common) AS jr
+    FROM c2 JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
+)
+SELECT e.da AS da, e.db AS db,
+       (floor((e.e) * 10000.0 + 0.5) / 10000.0)            AS jac_est,
+       (floor((ex.jr) * 10000.0 + 0.5) / 10000.0)          AS jac_exact,
+       (floor((abs(e.e - ex.jr)) * 10000.0 + 0.5) / 10000.0) AS abs_err
+FROM est e JOIN ex ON e.da = ex.da AND e.db = ex.db
+""",
+    tags=("E8", "E23"),
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of the {MINHASH_K} signature slots that
+    agree) next to the EXACT shingle-set Jaccard and the absolute
+    error — the audit a pipeline owner reads before trusting the
+    signature width (E[est] = J, sd = sqrt(J(1-J)/K) ~ 0.14 at K=12,
+    J=0.8: a 12-hash signature is a candidate FILTER, not a
+    measurement, which is exactly why every dedup here verifies
+    candidates exactly).
+
+    Scale shape: identical to neardup_minhash_lsh through candidate
+    generation (signatures are a pure projection over the persisted
+    shingle stage; one (band, bh) exchange); both the estimate (one
+    zip_with over the two K-slot signatures) and the exact jaccard
+    (array_intersect of the two shingle sets) are computed in a single
+    projection after broadcasting the rare candidate pairs into the
+    cached per-doc relation — no explode, no per-slot join (the
+    oracle's per-(pair, i) join is the SQL spelling of the same
+    comparison)."""
+    cached = (
+        _doc_shingle_sets(spark, sf_dir)
+        .where(F.size("sh") > 0)
+        .select("doc_id", "sh", _minhash_sig_expr().alias("sig"))
+        .persist()
+    )
+    bands = _minhash_bands(cached).persist()
+    try:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+        )
+        da = cached.select(
+            F.col("doc_id").alias("da"), F.col("sh").alias("sa"), F.col("sig").alias("ga")
+        )
+        db = cached.select(
+            F.col("doc_id").alias("db"), F.col("sh").alias("sb"), F.col("sig").alias("gb")
+        )
+        pairs = (
+            F.broadcast(cand)
+            .join(da, "da")
+            .join(db, "db")
+            .withColumn(
+                "e",
+                F.size(F.filter(F.zip_with("ga", "gb", lambda x, y: x == y), lambda m: m))
+                / F.lit(float(MINHASH_K)),
+            )
+            .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+            .withColumn(
+                "jr", F.col("common") / (F.size("sa") + F.size("sb") - F.col("common"))
+            )
+        )
+        result = pairs.select(
+            "da",
+            "db",
+            round_det(F.col("e"), 4).alias("jac_est"),
+            round_det(F.col("jr"), 4).alias("jac_exact"),
+            round_det(F.abs(F.col("e") - F.col("jr")), 4).alias("abs_err"),
+        )
         return result.localCheckpoint(eager=True)
     finally:
         bands.unpersist()

@@ -25,6 +25,7 @@ def test_round6_pins_lead_registration_order():
         "doc_boilerplate_ngrams",
         "dedup_incremental_ingest",
         "table_profile_orders",
+        "minhash_estimate_calibration",
     ):
         assert names.index(changed) < 50, f"{changed} outside sampled prefix"
 
