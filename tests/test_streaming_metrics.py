@@ -78,3 +78,55 @@ def test_snapshot_df_empty_safe(spark):
     df = rec.snapshot_df(spark)
     assert df.count() == 0
     assert "state_rows_total" in df.columns
+
+
+def test_state_eviction_visible_in_progress(spark, tmp_path):
+    """Keyspace-bounded state, proven from the engine's own progress
+    stream: three files of DISJOINT time ranges drain through the SMA
+    pipeline; as the watermark passes each range, its window state is
+    evicted, so the final progress event reports a fraction of the peak
+    state instead of the sum of everything ever created (the
+    reference's defaultdict grows forever, faust_app/ma_agg.py:42)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for fi, base in enumerate((0, 1000, 2000)):
+        ticks = [
+            make_tick(s, base + i, 10.0, 1, True)
+            for s in ("AAA", "BBB")
+            for i in range(60)
+        ]
+        p = src / f"f{fi}.json"
+        write_ndjson(ticks, str(p))
+        t = time.time() - 100 + fi * 10
+        os.utime(p, (t, t))
+    rec = ProgressRecorder().attach(spark)
+    try:
+        q = (
+            sma_aggregate(decode_ticks(
+                spark.readStream.format("text")
+                .option("maxFilesPerTrigger", "1")
+                .load(str(src))
+                .selectExpr("value AS json")
+            ))
+            .writeStream.format("memory")
+            .queryName("sma_evict_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        deadline = time.time() + 30
+        while time.time() < deadline and len(rec.batches("sma_evict_test")) < 4:
+            time.sleep(0.5)
+        rows = rec.batches("sma_evict_test")
+        assert len(rows) >= 4, f"expected 3 data batches + watermark commit, got {len(rows)}"
+        peak = max(r["state_rows_total"] for r in rows)
+        final = rows[-1]["state_rows_total"]
+        # Peak holds ~2 files' windows; the final commit keeps only the
+        # last range's unfinalizable tail. 3x headroom = eviction real.
+        assert peak > 0 and final * 3 < peak, (peak, final)
+        # The watermark walked through all three ranges.
+        assert rows[-1]["watermark"] >= "2024-01-01T00:34"
+    finally:
+        rec.detach(spark)
