@@ -23,7 +23,10 @@ to the driver) — the number measures the plan, not driver serialization.
 Each query runs three times — one warm-up (JVM codegen / broadcast
 threads / Python workers), then two measured runs of which the MINIMUM
 is recorded — so round-over-round deltas compare plans, not cold-start
-or GC noise.
+or GC noise. The two measured runs are INTERLEAVED as whole-suite
+passes (pass A over every query, then pass B): the sandbox can starve
+this process for 30+ s, long enough to cover both back-to-back samples
+of one query, but not the same query in two separated passes.
 
 Machine-noise calibration: round 3 showed every headline query drifting
 1.3-1.75x on a loaded sandbox, swamping real plan deltas. The bench
