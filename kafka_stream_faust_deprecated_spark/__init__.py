@@ -25,7 +25,13 @@ from kafka_stream_faust_deprecated_spark.session import (
     configure_state_store,
     get_spark,
 )
-from kafka_stream_faust_deprecated_spark.io import TABLES, load_table, register_views
+from kafka_stream_faust_deprecated_spark.io import (
+    TABLES,
+    compact_parquet,
+    load_table,
+    register_views,
+)
+from kafka_stream_faust_deprecated_spark.plans import assert_census, exchange_census
 from kafka_stream_faust_deprecated_spark.registry import (
     QuerySpec,
     all_queries,
@@ -40,6 +46,9 @@ __all__ = [
     "TABLES",
     "load_table",
     "register_views",
+    "compact_parquet",
+    "exchange_census",
+    "assert_census",
     "QuerySpec",
     "all_queries",
     "all_oracle_sql",
