@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Scale-up probe: measure headline queries at sf0.1 vs an 8x replica.
+
+Builds (once) an 8x copy of the sf0.1 fixture in which every replica
+gets a disjoint key range (+r * 1e9 on every join/identity key, applied
+consistently across tables so replica r's facts join replica r's dims —
+per-key group sizes stay constant and only the DATA VOLUME grows), then
+times a sample of headline queries against both, interleaved passes,
+min per (query, scale). The ratio column is the empirical answer to
+"does this plan's cost grow linearly in input?" — a super-linear entry
+means a hidden quadratic (e.g. content-identical replicas would blow up
+near-dup candidate generation, which is why content-similarity queries
+are excluded; their scaling argument is the banded-candidate math in
+their docstrings).
+
+Usage: python scripts/scaleup_probe.py [out_dir_for_8x]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import duckdb
+
+from kafka_stream_faust_deprecated_spark import get_spark
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.registry import get_query
+
+REPS = 8
+OFF = 10**9
+BASE = "/root/testdata/sf0.1"
+
+KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = (
+    "flagship_sma_5row",
+    "agg_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
+    "dedup_exact_documents",
+    "doc_boilerplate_ngrams",
+    "kmeans_lloyd_step",
+    "ann_cosine_ivf",
+    "pipeline_curate",
+    "dsir_importance_weights",
+)
+
+
+def build_fixture(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t, ks in KEYS.items():
+        out = os.path.join(dst, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        cols = [
+            c[0]
+            for c in con.execute(
+                f"describe select * from read_parquet('{BASE}/{t}.parquet')"
+            ).fetchall()
+        ]
+        selects = []
+        for r in range(REPS):
+            exprs = [
+                f"{c} + {r * OFF} AS {c}" if c in ks else c for c in cols
+            ]
+            selects.append(
+                f"SELECT {', '.join(exprs)} FROM read_parquet('{BASE}/{t}.parquet')"
+            )
+        con.execute(
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx8"
+    build_fixture(dst)
+    spark = get_spark(app_name="scaleup-probe")
+    dirs = {"1x": BASE, f"{REPS}x": dst}
+    for d in dirs.values():
+        load_table(spark, d, "lineitem").count()
+
+    def once(q: str, d: str) -> float:
+        t0 = time.perf_counter()
+        get_query(q).fn(spark, d).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for q in QUERIES:
+        for d in dirs.values():
+            once(q, d)  # warm
+    res = {(q, k): float("inf") for q in QUERIES for k in dirs}
+    for _ in range(2):  # interleaved passes (see bench.py rationale)
+        for q in QUERIES:
+            for k, d in dirs.items():
+                res[(q, k)] = min(res[(q, k)], once(q, d))
+    for q in QUERIES:
+        a, b = res[(q, "1x")], res[(q, f"{REPS}x")]
+        print(f"{q:32s} 1x={a:6.2f}s {REPS}x={b:6.2f}s ratio={b / a:5.2f}")
+
+
+if __name__ == "__main__":
+    main()
