@@ -87,5 +87,6 @@ _promote(
         "dedup_incremental_ingest",
         "table_profile_orders",
         "minhash_estimate_calibration",
+        "sample_mixture_apply",
     ),
 )

@@ -1819,6 +1819,75 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_mixture_apply",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, lang, len(string_split({SQL_NORM}, ' ')) AS tk FROM documents
+),
+agg AS (SELECT lang, sum(tk) * 1.0 AS nt FROM tok GROUP BY lang),
+tot AS (SELECT sum(nt) AS n FROM agg),
+sh AS (SELECT lang, nt / (SELECT n FROM tot) AS share FROM agg),
+z AS (SELECT sum(sqrt(share)) AS zsum FROM sh),
+wts AS (
+    SELECT lang, (sqrt(share) / (SELECT zsum FROM z)) / share AS w FROM sh
+)
+SELECT t.doc_id AS doc_id, t.lang AS lang,
+       (floor((w.w) * 10000.0 + 0.5) / 10000.0) AS weight,
+       (floor(({{U}}) * 1000000.0 + 0.5) / 1000000.0) AS u
+FROM tok t JOIN wts w ON t.lang = w.lang
+WHERE {{U}} < least(1.0, w.w)
+""".format(U=_sql_hex_to_int("substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)", 8) + " / 4294967296.0"),
+    tags=("E23", "E25"),
+)
+def sample_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the language-mixture plan: mixture_language_sampling
+    derives per-language sampling weights (alpha=0.5 exponentiated
+    token shares) and sample_stratified_hash shows deterministic
+    hash-seeded acceptance — this operator composes them into the
+    actual resampling pass: every document draws a reproducible uniform
+    u from md5(doc_id) and survives iff u < min(1, weight(lang)), so
+    overrepresented languages are downsampled to the target mix in one
+    corpus pass with zero RNG state. (Weights > 1 — upsampling — need
+    row replication, a separate explode the mix owner runs on the
+    accepted set; acceptance alone cannot create rows.)
+
+    Scale shape: one token-count aggregate to the LANGUAGE-bounded
+    relation (the share/normalizer windows run on ~10^1 rows — the
+    whitelisted bounded-aggregate pattern shared with
+    mixture_language_sampling), weights broadcast back onto the corpus
+    scan, acceptance evaluated per row in the projection. No corpus-row
+    key ever exchanges."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("tk")
+    )
+    agg = tok.groupBy("lang").agg(F.sum("tk").cast("double").alias("nt"))
+    w_all = Window.partitionBy()
+    wts = (
+        agg.withColumn("share", F.col("nt") / F.sum("nt").over(w_all))
+        .withColumn("traw", F.sqrt("share"))
+        .withColumn("w", (F.col("traw") / F.sum("traw").over(w_all)) / F.col("share"))
+        .select("lang", "w")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        tok.join(F.broadcast(wts), "lang")
+        .withColumn("u_raw", u)
+        .where(F.col("u_raw") < F.least(F.lit(1.0), F.col("w")))
+        .select(
+            "doc_id",
+            "lang",
+            round_det(F.col("w"), 4).alias("weight"),
+            round_det(F.col("u_raw"), 6).alias("u"),
+        )
+    )
+
+
+@register(
     "doc_unigram_nll",
     oracle=f"""
 WITH t AS (

@@ -59,6 +59,7 @@ SINGLE_PARTITION_WHITELIST = {
     "customer_rfm_segments": "global percentile aggregate: 1 row",
     "dedup_cluster_size_histogram": "global singleton-count aggregate: 1 row",
     "table_profile_orders": "global profiling aggregate: 1 partial row per task",
+    "sample_mixture_apply": "share normalization windows: 1 row per language",
 }
 
 

@@ -26,6 +26,7 @@ def test_round6_pins_lead_registration_order():
         "dedup_incremental_ingest",
         "table_profile_orders",
         "minhash_estimate_calibration",
+        "sample_mixture_apply",
     ):
         assert names.index(changed) < 50, f"{changed} outside sampled prefix"
 
