@@ -203,3 +203,49 @@ def lsh_bucket_strings_pandas(
         return pd.Series(out)
 
     return buckets
+
+
+def pq_encode_pandas(
+    codebooks: list[list[list[float]]], norms2: list[list[float]]
+):
+    """Arrow-vectorized product-quantization encoder: per vector, the
+    ``array<int>`` of m nearest-codeword indices (one per subspace).
+
+    ``codebooks[j]`` holds subspace j's k codewords (each ``dim/m``
+    components). Per Arrow batch the encoder does m small
+    (batch x subdim) @ (subdim x k) BLAS matmuls — the same kernel
+    shape as ``centroid_argmax_pandas`` — and takes the argmin of the
+    squared L2 distance per subspace via the score form
+    ``dot(sub, c) - 0.5*||c||^2`` (argmin distance == argmax score;
+    the per-row ``||sub||^2`` term is constant across codewords and
+    never materialized).
+
+    Determinism contract (same as ``centroid_argmax_pandas``): only the
+    ARGMIN index leaves the UDF — callers that emit a distance VALUE
+    must recompute it JVM-side with the sequential dot so emitted
+    doubles match the oracle bit-for-bit. Ties break to the lowest
+    code (``np.argmax`` first occurrence), matching the oracles'
+    ``ORDER BY score DESC, code``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(cb, dtype=np.float64).T for cb in codebooks]  # subdim x k
+    # ``norms2[j][c]`` is the SAME Python-sequential ||c||^2 literal the
+    # oracle embeds — passed in, not recomputed, so the score differs
+    # from the oracle's only by BLAS-vs-sequential dot reorder noise.
+    half_n2 = [0.5 * np.array(n2, dtype=np.float64) for n2 in norms2]
+    m = len(codebooks)
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array(v.tolist(), dtype=np.float64)  # batch x dim
+        sub = mat.shape[1] // m
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            scores = mat[:, j * sub : (j + 1) * sub] @ mats[j] - half_n2[j]
+            out[:, j] = np.argmax(scores, axis=1)
+        return pd.Series(list(out))
+
+    return codes

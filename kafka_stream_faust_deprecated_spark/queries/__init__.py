@@ -52,16 +52,15 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-6 prefix (~50): flagship first, then the queries whose
-# IMPLEMENTATION changed this round pinned in (the hardened
-# grouping_sets_events — r5's one red row — and the four
-# BLAS-argmax-rewritten centroid consumers), then the modules whose
-# last driver record PREDATES the round-5 rounding conversion
-# (commit b9df45a rewrote every rounded expression in relational/
-# scalars/llm; temporal's record is also r1-r3): flagship(1) +
-# pins(5) + relational(16) + scalars(13) + temporal(6) = 41, with
-# llm's head filling the remaining ~9 slots. extras/analytic/tpch
-# rotate out on their fresh r5 records (VERDICT r5 task #6).
+# Round-7 prefix (~50): round 6 ended WITHOUT a driver correctness
+# record (no CORRECTNESS_r06.json was produced), so the round-6
+# rotation targets still lack their driver rows and the r6 prefix
+# stands — with round 7's five NEW queries pinned directly after
+# flagship for their first record: the PQ-ANN index, the CDC merge,
+# capped sessionization, the skew profiler, and the equi-depth
+# histogram. After the pins: relational/scalars/temporal (last driver
+# record predates the round-5 rounding conversion, commit b9df45a)
+# with llm's head filling the remaining slots.
 _promote(
     (
         "flagship",
@@ -76,12 +75,19 @@ _promote(
     ),
     pin_first=(
         "flagship_sma_5row",
+        # new in round 7 — first driver record
+        "ann_cosine_pq",
+        "merge_upsert_snapshot",
+        "sessionize_capped",
+        "hot_key_profile",
+        "equi_depth_histogram",
+        # new in round 6 / changed in round 6 — still awaiting a
+        # driver record (r6 produced none)
         "grouping_sets_events",
         "ann_cosine_ivf",
         "kmeans_lloyd_step",
         "semantic_dedup_semdedup",
         "kmeans_train_3iter",
-        # new in round 6 — first driver record
         "doc_quality_gopher",
         "doc_boilerplate_ngrams",
         "dedup_incremental_ingest",

@@ -1580,3 +1580,552 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Round 7 — CDC merge, capped sessionization, skew diagnostics,
+# equi-depth histogram, and product-quantization ANN
+# ---------------------------------------------------------------------------
+
+from kafka_stream_faust_deprecated_spark.functions.rounding import sql_round_det
+from kafka_stream_faust_deprecated_spark.io import load_table
+
+#: merge_upsert_snapshot's deterministic change batch, derived from the
+#: snapshot itself so the oracle can derive the identical batch:
+#: custkey % 17 == 0 -> delete; else % 10 == 0 -> update (+100.00);
+#: % 13 == 0 additionally spawns an insert at custkey + MERGE_INS_OFFSET
+#: (disjoint key space, so an insert can never collide with a snapshot
+#: key at any SF).
+MERGE_INS_OFFSET = 10_000_000
+
+
+@register(
+    "merge_upsert_snapshot",
+    oracle=f"""
+WITH snap AS (
+    SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer
+),
+chg AS (
+    SELECT c_custkey AS key, 'D' AS op,
+           NULL::DOUBLE AS new_bal, NULL::VARCHAR AS new_name
+    FROM customer WHERE c_custkey % 17 = 0
+    UNION ALL
+    SELECT c_custkey, 'U', c_acctbal + 100.0, NULL
+    FROM customer WHERE c_custkey % 17 <> 0 AND c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + {MERGE_INS_OFFSET}, 'I', 0.0, 'NEW-' || c_name
+    FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT coalesce(s.key, c.key)                              AS custkey,
+       CASE WHEN c.op = 'I' THEN c.new_name ELSE s.name END AS name,
+       {sql_round_det("CASE WHEN c.op IN ('U', 'I') THEN c.new_bal ELSE s.acctbal END", 2)} AS acctbal,
+       CASE WHEN c.op IS NULL THEN 'unchanged'
+            WHEN c.op = 'U'   THEN 'updated'
+            ELSE 'inserted' END                            AS row_status
+FROM snap s FULL OUTER JOIN chg c ON s.key = c.key
+WHERE c.op IS NULL OR c.op <> 'D'
+""",
+    tags=("E3", "E13"),
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO semantics (upsert + delete) as one full-outer
+    join: apply a change batch (inserts / updates / deletes, tagged
+    ``op``) to a snapshot and emit the next snapshot with each row's
+    provenance. The change batch is DERIVED deterministically from the
+    snapshot (see MERGE_INS_OFFSET) so the oracle replays it exactly.
+
+    Scale shape: MERGE is one key-partitioned full outer join — each
+    side shuffles ONCE on the merge key (sort-merge at batch ~ snapshot
+    size; AQE broadcasts the batch side automatically when a real CDC
+    micro-batch is small). Nothing driver-side; the WHERE drops
+    deletes before the project, so tombstones never reach the sink.
+    This is the compute pattern table formats (Delta/Iceberg MERGE)
+    execute under the hood; paired with ``dedup_incremental_ingest``
+    for the append-only flavor."""
+    cust = load_table_parallel(spark, sf_dir, "customer")
+    snap = cust.select(
+        F.col("c_custkey").alias("s_key"),
+        F.col("c_name").alias("s_name"),
+        F.col("c_acctbal").alias("s_bal"),
+    )
+    chg = (
+        cust.where(F.col("c_custkey") % 17 == 0)
+        .select(
+            F.col("c_custkey").alias("c_key"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("new_bal"),
+            F.lit(None).cast("string").alias("new_name"),
+        )
+        .unionByName(
+            cust.where(
+                (F.col("c_custkey") % 17 != 0) & (F.col("c_custkey") % 10 == 0)
+            ).select(
+                F.col("c_custkey").alias("c_key"),
+                F.lit("U").alias("op"),
+                (F.col("c_acctbal") + F.lit(100.0)).alias("new_bal"),
+                F.lit(None).cast("string").alias("new_name"),
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + F.lit(MERGE_INS_OFFSET)).alias("c_key"),
+                F.lit("I").alias("op"),
+                F.lit(0.0).alias("new_bal"),
+                F.concat(F.lit("NEW-"), F.col("c_name")).alias("new_name"),
+            )
+        )
+    )
+    merged = snap.join(chg, snap.s_key == chg.c_key, "full_outer")
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("s_key"), F.col("c_key")).alias("custkey"),
+        F.when(F.col("op") == "I", F.col("new_name"))
+        .otherwise(F.col("s_name"))
+        .alias("name"),
+        round_det(
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal")).otherwise(
+                F.col("s_bal")
+            ),
+            2,
+        ).alias("acctbal"),
+        F.when(F.col("op").isNull(), F.lit("unchanged"))
+        .when(F.col("op") == "U", F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("row_status"),
+    )
+
+
+#: sessionize_capped thresholds: a new session starts after a >6h gap,
+#: and a gap-session is additionally split into 24h sub-sessions
+#: measured from ITS OWN first event — the "max session duration" cap
+#: analytics stacks apply so one never-idle user cannot produce an
+#: unbounded session.
+SESSION_GAP_SEC = 21_600
+SESSION_CAP_SEC = 86_400
+
+
+@register(
+    "sessionize_capped",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, ts,
+           datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS ep
+    FROM events
+),
+g AS (
+    SELECT *,
+           CASE WHEN lag(ep) OVER w IS NULL
+                  OR ep - lag(ep) OVER w > {SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS brk
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gi AS (
+    SELECT *,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS gid
+    FROM g
+),
+sub AS (
+    SELECT *,
+           ((ep - min(ep) OVER (PARTITION BY user_id, gid))
+             // {SESSION_CAP_SEC})::BIGINT AS sub_id
+    FROM gi
+)
+SELECT user_id,
+       gid                                          AS gap_session,
+       sub_id                                       AS sub_session,
+       count(*)::BIGINT                             AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')       AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S')       AS session_end,
+       (max(ep) - min(ep))::BIGINT                  AS duration_sec
+FROM sub GROUP BY 1, 2, 3
+""",
+    tags=("E19", "E10"),
+)
+def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH break rules production analytics needs:
+    a gap rule (new session after >{SESSION_GAP_SEC}s idle — what
+    session_window_events does) AND a duration cap (a gap-session
+    splits into {SESSION_CAP_SEC}s sub-sessions measured from its own
+    first event). The cap is what plain ``session_window`` cannot
+    express: without it one periodically-active user yields a session
+    as long as the retention window.
+
+    Scale shape: ONE exchange total, on ``user_id``. Every later step
+    reuses that partitioning: the gap-break window sorts within
+    partitions; the per-(user, gid) first-epoch window and the final
+    (user, gid, sub) aggregate both require only clustering BY A
+    SUPERSET of user_id, which the existing hash partitioning already
+    satisfies (Spark's ClusteredDistribution subset rule) — so they
+    add sorts, never shuffles. All gap/cap arithmetic runs on
+    second-truncated BIGINT epochs (`unix_timestamp` / duckdb
+    `datediff('second', epoch, ts)`) — integer-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | ((F.col("ep") - F.lag("ep").over(w)) > SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+    )
+    gi = ev.withColumn(
+        "gid",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    wg = Window.partitionBy("user_id", "gid")
+    sub = gi.withColumn("ep0", F.min("ep").over(wg)).withColumn(
+        "sub_id", F.expr(f"(ep - ep0) div {SESSION_CAP_SEC}")
+    )
+    return sub.groupBy("user_id", "gid", "sub_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        (F.max("ep") - F.min("ep")).alias("duration_sec"),
+    ).select(
+        "user_id",
+        F.col("gid").alias("gap_session"),
+        F.col("sub_id").alias("sub_session"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_sec",
+    )
+
+
+HOT_KEY_TOP_N = 20
+
+
+@register(
+    "hot_key_profile",
+    oracle=f"""
+WITH k AS (
+    SELECT o_custkey AS key, count(*)::BIGINT AS cnt FROM orders GROUP BY 1
+),
+t AS (
+    SELECT sum(cnt)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys FROM k
+),
+r AS (
+    SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM k
+)
+SELECT r.key, r.cnt, r.rnk::BIGINT AS rnk,
+       {sql_round_det("r.cnt * 1.0 / t.total_rows", 6)} AS row_share,
+       {sql_round_det("r.cnt * 1.0 * t.n_keys / t.total_rows", 4)} AS skew_ratio,
+       t.n_keys, t.total_rows
+FROM r CROSS JOIN t
+WHERE r.rnk <= {HOT_KEY_TOP_N}
+""",
+    tags=("E7",),
+)
+def hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics — the profile you run BEFORE picking a join
+    strategy at 100 TB: per-key row counts for the top-{HOT_KEY_TOP_N}
+    hottest keys with each key's share of all rows and its skew ratio
+    (count / mean-count; 1.0 = perfectly uniform). join_salted_skew is
+    the mitigation; this is the detector that tells you which keys to
+    salt and how many salts to use.
+
+    Scale shape: one map-side-combinable count per key, then the
+    top-N via ``orderBy().limit(N)`` — Spark's TakeOrdered keeps a
+    bounded N-row heap per partition and merges once, so the hot-key
+    scan never global-sorts and never windows over the full key set.
+    The two summary scalars ride in via a broadcast 1-row cross join;
+    the rank is a window over the already-limited N rows (bounded)."""
+    k = (
+        load_table_parallel(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = k.agg(
+        F.sum("cnt").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    top = k.orderBy(F.col("cnt").desc(), "key").limit(HOT_KEY_TOP_N)
+    wr = Window.orderBy(F.col("cnt").desc(), "key")
+    return (
+        top.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            "rnk",
+            round_det(F.col("cnt") * 1.0 / F.col("total_rows"), 6).alias("row_share"),
+            round_det(
+                F.col("cnt") * 1.0 * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+            "n_keys",
+            "total_rows",
+        )
+    )
+
+
+EQUI_DEPTH_BUCKETS = 10
+
+
+@register(
+    "equi_depth_histogram",
+    oracle=f"""
+WITH v AS (
+    SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM lineitem
+),
+d AS (SELECT cents, count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+t AS (SELECT sum(cnt)::BIGINT AS n FROM d),
+c AS (
+    SELECT cents, cnt,
+           coalesce(sum(cnt) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_prev
+    FROM d
+)
+SELECT ((c.cum_prev * {EQUI_DEPTH_BUCKETS}) // t.n)::BIGINT AS bucket,
+       sum(c.cnt)::BIGINT                                   AS n_rows,
+       min(c.cents) / 100.0                                 AS lo,
+       max(c.cents) / 100.0                                 AS hi
+FROM c CROSS JOIN t
+GROUP BY 1
+""",
+    tags=("E7",),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of ``l_extendedprice`` in
+    {EQUI_DEPTH_BUCKETS} buckets — the optimizer-statistics shape
+    (each bucket holds ~equal row count; bucket bounds are where the
+    information is). Built WITHOUT a global sort of the fact table and
+    WITHOUT an exact-percentile single-reduce: aggregate to distinct
+    2-decimal cent values first, then a cumulative count over the
+    DISTINCT-VALUE relation assigns bucket = floor(B * rows_before /
+    N) — pure integer arithmetic, so both engines agree bit-for-bit
+    (no interpolated-percentile float cutpoints to diverge on). Equal
+    values land in one bucket by construction (no tie splitting).
+
+    Scale shape: the only corpus-sized operation is the map-side-
+    combinable (cents -> count) aggregate; the running sum then runs
+    over the distinct-value relation, whose size is bounded by the
+    VALUE DOMAIN (2-decimal prices), not the corpus — at 100 TB it is
+    a few million rows, and the ordered window over it is the
+    standard two-phase range-partitioned cumulative sum (locally a
+    single partition here). The total-count scalar rides in by
+    broadcast."""
+    v = load_table_parallel(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).alias("cents")
+    )
+    d = v.groupBy("cents").agg(F.count("*").alias("cnt"))
+    t = d.agg(F.sum("cnt").alias("n"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = d.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(wc), F.lit(0)).cast("long")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.expr(f"(cum_prev * {EQUI_DEPTH_BUCKETS}) div n").alias("bucket"),
+            "cnt",
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            (F.min("cents") / 100.0).alias("lo"),
+            (F.max("cents") / 100.0).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E24 — product-quantization ANN (ADC scan over compressed codes)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: EMBED_DIM (64) splits into PQ_M subspaces of
+#: EMBED_DIM/PQ_M dims; each subspace gets PQ_K codewords, so a vector
+#: compresses to PQ_M uint8 codes — 4 bytes vs 256 (64x). Codebooks are
+#: md5-derived literals for the same reason as _ivf_centroids: the
+#: operator under test is the encode/ADC-scan SHAPE, and fixed
+#: pseudo-random codebooks keep the index bit-identical in both engines
+#: (k-means-trained codebooks would add iteration nondeterminism for
+#: zero extra coverage — kmeans_train_3iter already covers training).
+PQ_M = 4
+PQ_K = 16
+
+
+def _pq_codebooks() -> tuple[list[list[list[float]]], list[list[float]]]:
+    """(codebooks, norms2): codebooks[j][c] = subspace j's codeword c
+    (EMBED_DIM/PQ_M components in [-1, 1), 4 decimals); norms2[j][c] =
+    its sequential-order ||c||^2 — embedded as the SAME literal in the
+    Spark plan and the oracle SQL."""
+    import hashlib
+
+    from kafka_stream_faust_deprecated_spark.queries.llm import EMBED_DIM
+
+    sub = EMBED_DIM // PQ_M
+    books: list[list[list[float]]] = []
+    norms2: list[list[float]] = []
+    for j in range(PQ_M):
+        cb, n2 = [], []
+        for c in range(PQ_K):
+            row = []
+            for d in range(sub):
+                h = int(hashlib.md5(f"pq{j}_{c}_{d}".encode()).hexdigest()[:4], 16)
+                row.append(round(h / 32768.0 - 1.0, 4))
+            cb.append(row)
+            n2.append(sum(x * x for x in row))
+        books.append(cb)
+        norms2.append(n2)
+    return books, norms2
+
+
+def _pq_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        EMBED_DIM,
+        KNN_K,
+        KNN_N_QUERIES,
+    )
+
+    sub = EMBED_DIM // PQ_M
+    books, norms2 = _pq_codebooks()
+    values = ",\n      ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in books[j][c])}]::DOUBLE[], {norms2[j][c]!r})"
+        for j in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    sl = f"list_slice(e.v, cb.j*{sub}+1, (cb.j+1)*{sub})"
+    qsl = f"list_slice(q.qv, cb.j*{sub}+1, (cb.j+1)*{sub})"
+    adc_sum = " + ".join(
+        f"max(CASE WHEN cd.j = {j} THEN l.t END)" for j in range(PQ_M)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb(j, code, c, cn2) AS (VALUES
+      {values}
+),
+codes AS (
+    SELECT vec_id, j, code FROM (
+        SELECT e.vec_id, cb.j, cb.code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, cb.j
+                   ORDER BY list_dot_product({sl}, cb.c) - 0.5*cb.cn2 DESC, cb.code
+               ) AS rn
+        FROM e CROSS JOIN cb
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_N_QUERIES}),
+lut AS (
+    SELECT q.qid, cb.j, cb.code,
+           list_dot_product({qsl}, {qsl})
+             - 2*list_dot_product({qsl}, cb.c) + cb.cn2 AS t
+    FROM q CROSS JOIN cb
+),
+adc AS (
+    SELECT l.qid, cd.vec_id,
+           {adc_sum} AS adc
+    FROM codes cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
+    WHERE cd.vec_id <> l.qid
+    GROUP BY 1, 2
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, rn AS rnk,
+       {sql_round_det("adc", 4)} AS adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS rn
+      FROM adc)
+WHERE rn <= {KNN_K}
+"""
+
+
+@register("ann_cosine_pq", oracle=_pq_oracle(), tags=("E24",))
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24's third index family: product quantization with an ADC
+    (asymmetric distance computation) scan — the memory-bound regime's
+    answer, complementing LSH (ann_cosine_lsh) and IVF (ann_cosine_ivf)
+    which cut CANDIDATES but still store full vectors. PQ stores PQ_M
+    uint8 codes per vector (64x smaller than the float32 embedding):
+    encode each vector's m subvectors to their nearest codeword; at
+    query time build a per-query (m x k) lookup table of exact
+    subspace distances ||q_j - c||^2 and score every CODE, never a
+    corpus vector — approximate L2^2 = sum_j lut[j][code_j] (Jegou et
+    al. 2011, "Product Quantization for Nearest Neighbor Search").
+
+    Scale shape — the 100 TB claim is that the scan touches 4-byte
+    codes, not 256-byte vectors:
+    * encoding is a zero-shuffle Arrow projection (`pq_encode_pandas`:
+      m small BLAS matmuls per batch; only ARGMIN indices leave the
+      UDF);
+    * the K-row query side computes its own LUT with pure array
+      expressions (codebooks are foldable literals; the sequential-dot
+      subspace distances are hoisted per subspace so every emitted
+      double matches the oracle's accumulation bit-for-bit);
+    * the LUT rows broadcast INTO the code scan (K x m x k doubles,
+      ~2 KB per query) — the ADC score is m array lookups + a
+      fixed-order 4-term sum per (query, vector), all codegen JVM;
+    * the only exchange in the plan is the final skinny
+      (qid, vec_id, adc) top-K window, pre-limited map-side by
+      WindowGroupLimit.
+    In production the codes column is written once (a 100 TB corpus
+    compresses to ~1.6 TB of codes) and every later query scans codes
+    only. Recall is bounded by quantization error — RECALL.json pins
+    the measured value next to LSH/IVF's."""
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        pq_encode_pandas,
+    )
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        EMBED_DIM,
+        KNN_K,
+        KNN_N_QUERIES,
+        _memo_expr,
+        _SQL_DOT,
+    )
+
+    sub = EMBED_DIM // PQ_M
+    books, norms2 = _pq_codebooks()
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    enc = pq_encode_pandas(books, norms2)
+    codes = e.select("vec_id", enc("v").alias("c"))
+
+    # Query-side LUT: per query, PQ_M arrays of PQ_K exact subspace
+    # distances. Subvectors and their self-dots are hoisted into prior
+    # projections (HOFs are interpreted with no CSE), then each lut_j =
+    # transform(codebook_j, (c, i) -> qq_j - 2*dot(s_j, c) + cn2_j[i]).
+    qrows = e.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        *[F.slice("v", j * sub + 1, sub).alias(f"s{j}") for j in range(PQ_M)],
+    )
+    qrows = qrows.select(
+        "qid",
+        *[F.col(f"s{j}") for j in range(PQ_M)],
+        *[
+            _memo_expr(_SQL_DOT.format(a=f"s{j}", b=f"s{j}")).alias(f"qq{j}")
+            for j in range(PQ_M)
+        ],
+    )
+    luts = []
+    for j in range(PQ_M):
+        carr = "array(%s)" % ",".join(
+            "array(%s)" % ",".join(f"{x!r}D" for x in row) for row in books[j]
+        )
+        n2arr = "array(%s)" % ",".join(f"{x!r}D" for x in norms2[j])
+        luts.append(
+            _memo_expr(
+                f"transform({carr}, (c, i) ->"
+                f" qq{j} - 2.0D * ({_SQL_DOT.format(a=f's{j}', b='c')})"
+                f" + {n2arr}[i])"
+            ).alias(f"l{j}")
+        )
+    lut = qrows.select("qid", *luts)
+
+    adc_expr = " + ".join(f"l{j}[c[{j}]]" for j in range(PQ_M))
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), F.expr(adc_expr).alias("adc"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rn").alias("rnk"),
+            round_det(F.col("adc"), 4).alias("adc_dist"),
+        )
+    )

@@ -33,6 +33,9 @@ BNLJ_WHITELIST = {
     "price_histogram": "broadcast side = the 1-row min/max bounds",
     "customer_rfm_segments": "broadcast side = the 1-row tercile cutoffs",
     "dup_graph_pagerank": "broadcast side = the 1-row node-count aggregate",
+    "ann_cosine_pq": "broadcast side = the 5-query ADC lookup tables (~2 KB/query)",
+    "hot_key_profile": "broadcast side = the 1-row totals aggregate",
+    "equi_depth_histogram": "broadcast side = the 1-row total-count aggregate",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -60,6 +63,14 @@ SINGLE_PARTITION_WHITELIST = {
     "dedup_cluster_size_histogram": "global singleton-count aggregate: 1 row",
     "table_profile_orders": "global profiling aggregate: 1 partial row per task",
     "sample_mixture_apply": "share normalization windows: 1 row per language",
+    "hot_key_profile": (
+        "rank window over the ALREADY-LIMITED top-N rows (HOT_KEY_TOP_N=20) "
+        "+ the 1-row totals aggregate"
+    ),
+    "equi_depth_histogram": (
+        "cumulative count over the DISTINCT-VALUE relation — bounded by the "
+        "2-decimal price domain, not the corpus (same class as window_frames)"
+    ),
 }
 
 
