@@ -100,6 +100,11 @@ HEADLINE = (
     "dup_graph_pagerank",
     "doc_boilerplate_ngrams",
     "dedup_incremental_ingest",
+    "ann_cosine_pq",
+    "merge_upsert_snapshot",
+    "sessionize_capped",
+    "hot_key_profile",
+    "equi_depth_histogram",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

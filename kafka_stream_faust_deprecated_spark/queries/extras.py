@@ -1931,50 +1931,96 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
 # ---------------------------------------------------------------------------
-# E24 — product-quantization ANN (ADC scan over compressed codes)
+# E24 — product-quantization ANN (trained codebooks + ADC scan)
 # ---------------------------------------------------------------------------
 
 #: PQ geometry: EMBED_DIM (64) splits into PQ_M subspaces of
 #: EMBED_DIM/PQ_M dims; each subspace gets PQ_K codewords, so a vector
-#: compresses to PQ_M uint8 codes — 4 bytes vs 256 (64x). Codebooks are
-#: md5-derived literals for the same reason as _ivf_centroids: the
-#: operator under test is the encode/ADC-scan SHAPE, and fixed
-#: pseudo-random codebooks keep the index bit-identical in both engines
-#: (k-means-trained codebooks would add iteration nondeterminism for
-#: zero extra coverage — kmeans_train_3iter already covers training).
-PQ_M = 4
+#: compresses to PQ_M uint8 codes — 8 bytes vs 256 (32x). Codebooks are
+#: TRAINED (init = the PQ_K lowest-vec_id subvectors, then one Lloyd
+#: mean update per subspace, means rounded to PQ_MEAN_DECIMALS — the
+#: kmeans_train_3iter determinism contract) because random codebooks
+#: measurably cannot rank this corpus (recall 0.07 vs 0.33 trained —
+#: the IVF structural ceiling on iid fixtures; RECALL.json pins both).
+PQ_M = 8
 PQ_K = 16
+PQ_MEAN_DECIMALS = 6
 
 
-def _pq_codebooks() -> tuple[list[list[list[float]]], list[list[float]]]:
-    """(codebooks, norms2): codebooks[j][c] = subspace j's codeword c
-    (EMBED_DIM/PQ_M components in [-1, 1), 4 decimals); norms2[j][c] =
-    its sequential-order ||c||^2 — embedded as the SAME literal in the
-    Spark plan and the oracle SQL."""
-    import hashlib
+def _pq_train(
+    spark: SparkSession, e: DataFrame
+) -> tuple[list[list[list[float]]], list[list[float]], list[list[int]]]:
+    """Train the PQ codebooks: (books, norms2, codes_kept) with
+    books[j][i] = subspace j's i-th surviving codeword, norms2 its
+    sequential ||c||^2, codes_kept[j][i] the codeword's ORIGINAL id
+    (init rank) so ties keep oracle order after empty cells drop out.
 
+    Driver-side state is the m x k x (dim/m) codebook (a few KB,
+    independent of corpus size — the spark.ml iterative pattern, same
+    as kmeans_train_3iter). Two bounded collects: the PQ_K init rows,
+    then the rounded (j, code, pos, mean) aggregate. At 100 TB the
+    mean update would run on a deterministic hash-sample of the corpus
+    rather than every row; the fixture corpus IS the sample here."""
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        pq_encode_pandas,
+    )
     from kafka_stream_faust_deprecated_spark.queries.llm import EMBED_DIM
 
     sub = EMBED_DIM // PQ_M
-    books: list[list[list[float]]] = []
-    norms2: list[list[float]] = []
-    for j in range(PQ_M):
-        cb, n2 = [], []
-        for c in range(PQ_K):
-            row = []
-            for d in range(sub):
-                h = int(hashlib.md5(f"pq{j}_{c}_{d}".encode()).hexdigest()[:4], 16)
-                row.append(round(h / 32768.0 - 1.0, 4))
-            cb.append(row)
-            n2.append(sum(x * x for x in row))
-        books.append(cb)
-        norms2.append(n2)
-    return books, norms2
+    init_rows = e.orderBy("vec_id").limit(PQ_K).select("v").collect()
+    if not init_rows:
+        return [], [], []
+    init_books = [
+        [list(r["v"][j * sub : (j + 1) * sub]) for r in init_rows]
+        for j in range(PQ_M)
+    ]
+    init_norms2 = [
+        [sum(x * x for x in c) for c in cb] for cb in init_books
+    ]
+    enc0 = pq_encode_pandas(init_books, init_norms2)
+    # One Lloyd mean update, all subspaces in one pass: explode to
+    # (j, code, pos, x) and aggregate — map-side combine collapses the
+    # n*dim rows to m*k*subdim groups before the (only) exchange.
+    stacked = e.select("v", enc0("v").alias("c")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col("c")[j].alias("code"),
+                        F.slice("v", j * sub + 1, sub).alias("s"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("e")
+    )
+    means = (
+        stacked.select("e.j", "e.code", F.posexplode("e.s").alias("pos", "x"))
+        .groupBy("j", "code", "pos")
+        .agg(F.round(F.avg("x"), PQ_MEAN_DECIMALS).alias("m"))
+        .collect()
+    )
+    by_jc: dict[tuple[int, int], dict[int, float]] = {}
+    for r in means:
+        by_jc.setdefault((r["j"], r["code"]), {})[r["pos"]] = r["m"]
+    books: list[list[list[float]]] = [[] for _ in range(PQ_M)]
+    kept: list[list[int]] = [[] for _ in range(PQ_M)]
+    for (j, code) in sorted(by_jc):
+        d = by_jc[(j, code)]
+        books[j].append([d[p] for p in sorted(d)])
+        kept[j].append(code)
+    norms2 = [[sum(x * x for x in c) for c in cb] for cb in books]
+    return books, norms2, kept
 
 
 def _pq_oracle() -> str:
+    """Chained-CTE replay of the trained-PQ pipeline (the
+    kmeans_train_3iter oracle pattern): normalize -> init codebooks
+    from the PQ_K lowest vec_ids -> assign -> rounded mean update ->
+    re-assign against the trained books -> per-query ADC lookup tables
+    -> fixed-order ADC sum -> top-K."""
     from kafka_stream_faust_deprecated_spark.queries.llm import (
         EMBED_DIM,
         KNN_K,
@@ -1982,38 +2028,64 @@ def _pq_oracle() -> str:
     )
 
     sub = EMBED_DIM // PQ_M
-    books, norms2 = _pq_codebooks()
-    values = ",\n      ".join(
-        f"({j}, {c}, [{', '.join(repr(x) for x in books[j][c])}]::DOUBLE[], {norms2[j][c]!r})"
-        for j in range(PQ_M)
-        for c in range(PQ_K)
-    )
-    sl = f"list_slice(e.v, cb.j*{sub}+1, (cb.j+1)*{sub})"
-    qsl = f"list_slice(q.qv, cb.j*{sub}+1, (cb.j+1)*{sub})"
+    score0 = "list_dot_product(sv.s, i.c) - 0.5*list_dot_product(i.c, i.c)"
+    score1 = "list_dot_product(sv.s, b.c) - 0.5*list_dot_product(b.c, b.c)"
+    qsl = "list_slice(q.qv, b.j*%d+1, (b.j+1)*%d)" % (sub, sub)
     adc_sum = " + ".join(
         f"max(CASE WHEN cd.j = {j} THEN l.t END)" for j in range(PQ_M)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cb(j, code, c, cn2) AS (VALUES
-      {values}
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS v
+    FROM embeddings
+),
+js AS (SELECT unnest(range({PQ_M})) AS j),
+sv AS (
+    SELECT vec_id, js.j, list_slice(v, js.j*{sub}+1, (js.j+1)*{sub}) AS s
+    FROM e CROSS JOIN js
+),
+init AS (
+    SELECT sv.j,
+           row_number() OVER (PARTITION BY sv.j ORDER BY sv.vec_id) - 1 AS code,
+           sv.s AS c
+    FROM sv
+    WHERE sv.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+a0 AS (
+    SELECT vec_id, j, code FROM (
+        SELECT sv.vec_id, sv.j, i.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                                  ORDER BY {score0} DESC, i.code) AS rn
+        FROM sv JOIN init i ON i.j = sv.j
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT j, code, list(m ORDER BY pos) AS c FROM (
+        SELECT j, code, pos, round(avg(x), {PQ_MEAN_DECIMALS}) AS m FROM (
+            SELECT a0.j, a0.code,
+                   generate_subscripts(sv.s, 1) AS pos, unnest(sv.s) AS x
+            FROM a0 JOIN sv ON sv.vec_id = a0.vec_id AND sv.j = a0.j
+        ) GROUP BY 1, 2, 3
+    ) GROUP BY 1, 2
 ),
 codes AS (
     SELECT vec_id, j, code FROM (
-        SELECT e.vec_id, cb.j, cb.code,
-               row_number() OVER (
-                   PARTITION BY e.vec_id, cb.j
-                   ORDER BY list_dot_product({sl}, cb.c) - 0.5*cb.cn2 DESC, cb.code
-               ) AS rn
-        FROM e CROSS JOIN cb
+        SELECT sv.vec_id, sv.j, b.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                                  ORDER BY {score1} DESC, b.code) AS rn
+        FROM sv JOIN cb b ON b.j = sv.j
     ) WHERE rn = 1
 ),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_N_QUERIES}),
 lut AS (
-    SELECT q.qid, cb.j, cb.code,
+    SELECT q.qid, b.j, b.code,
            list_dot_product({qsl}, {qsl})
-             - 2*list_dot_product({qsl}, cb.c) + cb.cn2 AS t
-    FROM q CROSS JOIN cb
+             - 2*list_dot_product({qsl}, b.c)
+             + list_dot_product(b.c, b.c) AS t
+    FROM q CROSS JOIN cb b
 ),
 adc AS (
     SELECT l.qid, cd.vec_id,
@@ -2034,34 +2106,40 @@ WHERE rn <= {KNN_K}
 def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E24's third index family: product quantization with an ADC
     (asymmetric distance computation) scan — the memory-bound regime's
-    answer, complementing LSH (ann_cosine_lsh) and IVF (ann_cosine_ivf)
-    which cut CANDIDATES but still store full vectors. PQ stores PQ_M
-    uint8 codes per vector (64x smaller than the float32 embedding):
-    encode each vector's m subvectors to their nearest codeword; at
-    query time build a per-query (m x k) lookup table of exact
-    subspace distances ||q_j - c||^2 and score every CODE, never a
-    corpus vector — approximate L2^2 = sum_j lut[j][code_j] (Jegou et
-    al. 2011, "Product Quantization for Nearest Neighbor Search").
+    answer, complementing LSH (candidate pruning, full vectors kept)
+    and IVF (cell pruning, full vectors kept). PQ stores PQ_M uint8
+    codes per vector (32x smaller than the float32 embedding): train
+    per-subspace codebooks (init + one Lloyd mean update, the
+    kmeans_train determinism contract), encode every vector's m
+    subvectors to their nearest codeword, and at query time score
+    CODES, never corpus vectors — approximate L2^2 = sum_j
+    lut[j][code_j] over a per-query (m x k) exact-distance lookup
+    table (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"). Vectors are L2-normalized first, so
+    approximate-L2 order IS cosine order (||q-x||^2 = 2 - 2cos) and
+    RECALL.json can compare this index against knn_cosine_bruteforce.
 
-    Scale shape — the 100 TB claim is that the scan touches 4-byte
-    codes, not 256-byte vectors:
+    Scale shape — the 100 TB claim is that the query-time scan touches
+    8-byte codes, not 256-byte vectors:
+    * training state is the m x k x (dim/m) codebook on the driver (a
+      few KB, corpus-independent — the spark.ml pattern; see
+      _pq_train for the 100 TB sampling note);
     * encoding is a zero-shuffle Arrow projection (`pq_encode_pandas`:
       m small BLAS matmuls per batch; only ARGMIN indices leave the
       UDF);
     * the K-row query side computes its own LUT with pure array
-      expressions (codebooks are foldable literals; the sequential-dot
-      subspace distances are hoisted per subspace so every emitted
-      double matches the oracle's accumulation bit-for-bit);
+      expressions (trained codebooks are foldable literals; subspace
+      self-dots are hoisted so every emitted double matches the
+      oracle's sequential accumulation bit-for-bit);
     * the LUT rows broadcast INTO the code scan (K x m x k doubles,
-      ~2 KB per query) — the ADC score is m array lookups + a
-      fixed-order 4-term sum per (query, vector), all codegen JVM;
-    * the only exchange in the plan is the final skinny
+      ~1 KB per query) — the ADC score is m array lookups + a
+      fixed-order m-term sum per (query, vector), all codegen JVM;
+    * the only exchange scoring pays is the final skinny
       (qid, vec_id, adc) top-K window, pre-limited map-side by
       WindowGroupLimit.
     In production the codes column is written once (a 100 TB corpus
-    compresses to ~1.6 TB of codes) and every later query scans codes
-    only. Recall is bounded by quantization error — RECALL.json pins
-    the measured value next to LSH/IVF's."""
+    compresses to ~3 TB of codes) and every later query scans codes
+    only."""
     from kafka_stream_faust_deprecated_spark.functions.vectors import (
         pq_encode_pandas,
     )
@@ -2071,20 +2149,35 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         KNN_N_QUERIES,
         _memo_expr,
         _SQL_DOT,
+        _sql_norm_of,
     )
 
     sub = EMBED_DIM // PQ_M
-    books, norms2 = _pq_codebooks()
-    e = load_table_parallel(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
+    # L2-normalize BEFORE training/encoding (see docstring). The norm
+    # is hoisted, then one element-wise divide — identical double ops
+    # to the oracle's list_transform.
+    e = (
+        load_table_parallel(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v0"))
+        .select("vec_id", "v0", _memo_expr(_sql_norm_of("v0")).alias("vn"))
+        .select(
+            "vec_id",
+            _memo_expr("transform(v0, x -> CAST(x AS DOUBLE) / vn)").alias("v"),
+        )
     )
+    books, norms2, kept = _pq_train(spark, e)
+    if not books or not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk int, adc_dist double"
+        )
     enc = pq_encode_pandas(books, norms2)
     codes = e.select("vec_id", enc("v").alias("c"))
 
-    # Query-side LUT: per query, PQ_M arrays of PQ_K exact subspace
-    # distances. Subvectors and their self-dots are hoisted into prior
-    # projections (HOFs are interpreted with no CSE), then each lut_j =
-    # transform(codebook_j, (c, i) -> qq_j - 2*dot(s_j, c) + cn2_j[i]).
+    # Query-side LUT: per query, PQ_M arrays of per-codeword exact
+    # subspace distances. Subvectors and their self-dots are hoisted
+    # into prior projections (HOFs are interpreted with no CSE), then
+    # each lut_j = transform(book_j, (c, i) -> qq_j - 2*dot(s_j, c) +
+    # cn2_j[i]) over the trained-codebook literal.
     qrows = e.where(F.col("vec_id") < KNN_N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         *[F.slice("v", j * sub + 1, sub).alias(f"s{j}") for j in range(PQ_M)],
@@ -2104,7 +2197,7 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n2arr = "array(%s)" % ",".join(f"{x!r}D" for x in norms2[j])
         luts.append(
-            _memo_expr(
+            F.expr(
                 f"transform({carr}, (c, i) ->"
                 f" qq{j} - 2.0D * ({_SQL_DOT.format(a=f's{j}', b='c')})"
                 f" + {n2arr}[i])"

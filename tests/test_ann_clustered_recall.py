@@ -62,3 +62,29 @@ def test_ivf_recall_high_on_clustered_corpus(spark, tmp_path_factory):
     # vectors must recover a clear majority of exact neighbors.
     assert recall >= 0.6, f"clustered-corpus IVF recall collapsed: {recall}"
     assert not math.isnan(recall)
+
+
+def test_pq_recall_high_on_clustered_corpus(spark, tmp_path_factory):
+    """Same positive control for the trained-PQ index: on clustered
+    embeddings the one-Lloyd-pass codebooks capture real structure and
+    the ADC scan must recover most exact neighbors — the iid fixtures'
+    ~0.33 is the data's ceiling, not the quantizer's."""
+    root = tmp_path_factory.mktemp("clustered_emb_pq")
+    spark.createDataFrame(
+        _clustered_rows(), "vec_id long, embedding array<float>, label int"
+    ).coalesce(4).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    sf_dir = str(root)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get_query("knn_cosine_bruteforce").fn(spark, sf_dir).collect()
+    }
+    assert exact
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get_query("ann_cosine_pq").fn(spark, sf_dir).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    _record_recall("ann_cosine_pq", "clustered", round(recall, 3))
+    assert recall >= 0.6, f"clustered-corpus PQ recall collapsed: {recall}"
+    assert not math.isnan(recall)

@@ -71,7 +71,10 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir, record_property):
         for r in get_query("knn_cosine_bruteforce").fn(spark, sf_dir).collect()
     }
     assert exact
-    floors = {"ann_cosine_lsh": 0.6, "ann_cosine_ivf": 0.2}
+    # PQ shares IVF's ~0.33 iid structural ceiling (8-byte codes can't
+    # rank near-orthogonal random vectors more finely); its floor is
+    # looser because quantization error compounds at the smallest SF.
+    floors = {"ann_cosine_lsh": 0.6, "ann_cosine_ivf": 0.2, "ann_cosine_pq": 0.1}
     for name, floor in floors.items():
         ann = {
             (r["query_id"], r["neighbor_id"])
