@@ -105,6 +105,9 @@ HEADLINE = (
     "sessionize_capped",
     "hot_key_profile",
     "equi_depth_histogram",
+    "bm25_retrieval_topk",
+    "train_val_test_split",
+    "global_shuffle_shards",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -81,6 +81,9 @@ _promote(
         "sessionize_capped",
         "hot_key_profile",
         "equi_depth_histogram",
+        "bm25_retrieval_topk",
+        "train_val_test_split",
+        "global_shuffle_shards",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

@@ -36,6 +36,8 @@ BNLJ_WHITELIST = {
     "ann_cosine_pq": "broadcast side = the 5-query ADC lookup tables (~2 KB/query)",
     "hot_key_profile": "broadcast side = the 1-row totals aggregate",
     "equi_depth_histogram": "broadcast side = the 1-row total-count aggregate",
+    "bm25_retrieval_topk": "broadcast side = the 1-row avgdl/N aggregate",
+    "train_val_test_split": "broadcast side = the 1-row total-count aggregate",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -71,6 +73,8 @@ SINGLE_PARTITION_WHITELIST = {
         "cumulative count over the DISTINCT-VALUE relation — bounded by the "
         "2-decimal price domain, not the corpus (same class as window_frames)"
     ),
+    "bm25_retrieval_topk": "global avgdl/N aggregate: 1 partial row per task",
+    "train_val_test_split": "global doc-count aggregate: 1 partial row per task",
 }
 
 
@@ -124,6 +128,11 @@ ROW_ID_WINDOW_WHITELIST: dict[str, str] = {
     "tfidf_top_terms": (
         "per-document top-k over the doc's OWN (doc_id, term) aggregate — "
         "group size is the doc's distinct-term count, not a join fan-out"
+    ),
+    "bm25_retrieval_topk": (
+        "dl window sums the doc's OWN (doc_id, term) tf rows — group size "
+        "is the doc's distinct-term count, not a join fan-out (same class "
+        "as tfidf_top_terms)"
     ),
 }
 
