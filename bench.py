@@ -108,6 +108,7 @@ HEADLINE = (
     "bm25_retrieval_topk",
     "train_val_test_split",
     "global_shuffle_shards",
+    "ann_cosine_ivfpq",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

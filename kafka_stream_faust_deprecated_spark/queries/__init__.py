@@ -84,6 +84,7 @@ _promote(
         "bm25_retrieval_topk",
         "train_val_test_split",
         "global_shuffle_shards",
+        "ann_cosine_ivfpq",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

@@ -2036,6 +2036,81 @@ def _pq_train(
     return _PQ_BOOK_MEMO[memo_key]
 
 
+def _pq_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L2-normalized embedding relation every PQ consumer shares:
+    (vec_id, v) with v = embedding / ||embedding|| as double — the
+    norm hoisted, then one element-wise divide (identical double ops
+    to the oracle's list_transform)."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _memo_expr,
+        _sql_norm_of,
+    )
+
+    return (
+        load_table_parallel(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v0"))
+        .select("vec_id", "v0", _memo_expr(_sql_norm_of("v0")).alias("vn"))
+        .select(
+            "vec_id",
+            _memo_expr("transform(v0, x -> CAST(x AS DOUBLE) / vn)").alias("v"),
+        )
+    )
+
+
+def _pq_lut_df(
+    qrows: DataFrame,
+    books: list[list[list[float]]],
+    norms2: list[list[float]],
+    keep: tuple[str, ...] = ("qid",),
+) -> DataFrame:
+    """Per-query ADC lookup tables: for each row of ``qrows`` (which
+    must carry a normalized query vector column ``v``), PQ_M arrays of
+    per-codeword exact subspace distances ||q_j - c||^2, computed as
+    qq_j - 2*dot(s_j, c) + cn2_j[i] with subvectors and self-dots
+    hoisted into prior projections (HOFs are interpreted with no CSE)
+    and the trained codebook embedded as a foldable literal. Carries
+    the ``keep`` columns through."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        EMBED_DIM,
+        _memo_expr,
+        _SQL_DOT,
+    )
+
+    sub = EMBED_DIM // PQ_M
+    staged = qrows.select(
+        *keep,
+        *[F.slice("v", j * sub + 1, sub).alias(f"s{j}") for j in range(PQ_M)],
+    )
+    staged = staged.select(
+        *keep,
+        *[F.col(f"s{j}") for j in range(PQ_M)],
+        *[
+            _memo_expr(_SQL_DOT.format(a=f"s{j}", b=f"s{j}")).alias(f"qq{j}")
+            for j in range(PQ_M)
+        ],
+    )
+    luts = []
+    for j in range(PQ_M):
+        carr = "array(%s)" % ",".join(
+            "array(%s)" % ",".join(f"{x!r}D" for x in row) for row in books[j]
+        )
+        n2arr = "array(%s)" % ",".join(f"{x!r}D" for x in norms2[j])
+        luts.append(
+            F.expr(
+                f"transform({carr}, (c, i) ->"
+                f" qq{j} - 2.0D * ({_SQL_DOT.format(a=f's{j}', b='c')})"
+                f" + {n2arr}[i])"
+            ).alias(f"l{j}")
+        )
+    return staged.select(*keep, *luts)
+
+
+def _pq_adc_expr() -> str:
+    """The fixed-order ADC sum — l0[c[0]] + ... + l{m-1}[c[m-1]] —
+    mirrored by the oracle's m max-CASE terms added left to right."""
+    return " + ".join(f"l{j}[c[{j}]]" for j in range(PQ_M))
+
+
 def _pq_oracle() -> str:
     """Chained-CTE replay of the trained-PQ pipeline (the
     kmeans_train_3iter oracle pattern): normalize -> init codebooks
@@ -2165,27 +2240,11 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode_pandas,
     )
     from kafka_stream_faust_deprecated_spark.queries.llm import (
-        EMBED_DIM,
         KNN_K,
         KNN_N_QUERIES,
-        _memo_expr,
-        _SQL_DOT,
-        _sql_norm_of,
     )
 
-    sub = EMBED_DIM // PQ_M
-    # L2-normalize BEFORE training/encoding (see docstring). The norm
-    # is hoisted, then one element-wise divide — identical double ops
-    # to the oracle's list_transform.
-    e = (
-        load_table_parallel(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").alias("v0"))
-        .select("vec_id", "v0", _memo_expr(_sql_norm_of("v0")).alias("vn"))
-        .select(
-            "vec_id",
-            _memo_expr("transform(v0, x -> CAST(x AS DOUBLE) / vn)").alias("v"),
-        )
-    )
+    e = _pq_normalized(spark, sf_dir)
     books, norms2, kept = _pq_train(spark, e, sf_dir)
     if not books or not any(books):
         return spark.createDataFrame(
@@ -2194,39 +2253,15 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode_pandas(books, norms2)
     codes = e.select("vec_id", enc("v").alias("c"))
 
-    # Query-side LUT: per query, PQ_M arrays of per-codeword exact
-    # subspace distances. Subvectors and their self-dots are hoisted
-    # into prior projections (HOFs are interpreted with no CSE), then
-    # each lut_j = transform(book_j, (c, i) -> qq_j - 2*dot(s_j, c) +
-    # cn2_j[i]) over the trained-codebook literal.
-    qrows = e.where(F.col("vec_id") < KNN_N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        *[F.slice("v", j * sub + 1, sub).alias(f"s{j}") for j in range(PQ_M)],
+    lut = _pq_lut_df(
+        e.where(F.col("vec_id") < KNN_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), "v"
+        ),
+        books,
+        norms2,
     )
-    qrows = qrows.select(
-        "qid",
-        *[F.col(f"s{j}") for j in range(PQ_M)],
-        *[
-            _memo_expr(_SQL_DOT.format(a=f"s{j}", b=f"s{j}")).alias(f"qq{j}")
-            for j in range(PQ_M)
-        ],
-    )
-    luts = []
-    for j in range(PQ_M):
-        carr = "array(%s)" % ",".join(
-            "array(%s)" % ",".join(f"{x!r}D" for x in row) for row in books[j]
-        )
-        n2arr = "array(%s)" % ",".join(f"{x!r}D" for x in norms2[j])
-        luts.append(
-            F.expr(
-                f"transform({carr}, (c, i) ->"
-                f" qq{j} - 2.0D * ({_SQL_DOT.format(a=f's{j}', b='c')})"
-                f" + {n2arr}[i])"
-            ).alias(f"l{j}")
-        )
-    lut = qrows.select("qid", *luts)
 
-    adc_expr = " + ".join(f"l{j}[c[{j}]]" for j in range(PQ_M))
+    adc_expr = _pq_adc_expr()
     scored = (
         codes.crossJoin(F.broadcast(lut))
         .where(F.col("vec_id") != F.col("qid"))
@@ -2523,5 +2558,216 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("rn").alias("rnk"),
             "bm25",
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF probes x PQ ADC — the _ivf_oracle cell/probe CTEs (over the
+    NORMALIZED vectors; cosine rank per vector is scale-invariant, so
+    cell assignment matches the raw-vector IVF index) composed with the
+    _pq_oracle codebook/code/LUT CTEs, candidates scored by the
+    fixed-order ADC sum."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        EMBED_DIM,
+        KNN_K,
+        KNN_N_QUERIES,
+        _ANN_BITS_SQL,
+        _IVF_K_SQL,
+        _ivf_centroids,
+    )
+
+    sub = EMBED_DIM // PQ_M
+    ivf_values = ",\n      ".join(
+        f"({cid}, [{', '.join(repr(c) for c in comp)}]::DOUBLE[], {norm!r})"
+        for cid, comp, norm in _ivf_centroids()
+    )
+    score0 = "list_dot_product(sv.s, i.c) - 0.5*list_dot_product(i.c, i.c)"
+    score1 = "list_dot_product(sv.s, b.c) - 0.5*list_dot_product(b.c, b.c)"
+    qsl = "list_slice(q.qv, b.j*%d+1, (b.j+1)*%d)" % (sub, sub)
+    adc_sum = " + ".join(
+        f"max(CASE WHEN cd.j = {j} THEN l.t END)" for j in range(PQ_M)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS v
+    FROM embeddings
+),
+nb AS (SELECT {_ANN_BITS_SQL} AS bits),
+nk AS (SELECT k, greatest(2, k // 8) AS np FROM (SELECT {_IVF_K_SQL} AS k) t),
+cents_all(cid, c, cn) AS (VALUES
+      {ivf_values}
+),
+cents AS (SELECT * FROM cents_all WHERE cid < (SELECT k FROM nk)),
+ivfs AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_dot_product(v, c) / cn DESC, cid) AS rn
+    FROM e CROSS JOIN cents
+),
+assign AS (SELECT vec_id, cid FROM ivfs WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS qid, cid FROM ivfs
+    WHERE rn <= (SELECT np FROM nk) AND vec_id < {KNN_N_QUERIES}
+),
+js AS (SELECT unnest(range({PQ_M})) AS j),
+sv AS (
+    SELECT vec_id, js.j, list_slice(v, js.j*{sub}+1, (js.j+1)*{sub}) AS s
+    FROM e CROSS JOIN js
+),
+init AS (
+    SELECT sv.j,
+           row_number() OVER (PARTITION BY sv.j ORDER BY sv.vec_id) - 1 AS code,
+           sv.s AS c
+    FROM sv
+    WHERE sv.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K})
+),
+a0 AS (
+    SELECT vec_id, j, code FROM (
+        SELECT sv.vec_id, sv.j, i.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                                  ORDER BY {score0} DESC, i.code) AS rn
+        FROM sv JOIN init i ON i.j = sv.j
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT j, code, list(m ORDER BY pos) AS c FROM (
+        SELECT j, code, pos, round(avg(x), {PQ_MEAN_DECIMALS}) AS m FROM (
+            SELECT a0.j, a0.code,
+                   generate_subscripts(sv.s, 1) AS pos, unnest(sv.s) AS x
+            FROM a0 JOIN sv ON sv.vec_id = a0.vec_id AND sv.j = a0.j
+        ) GROUP BY 1, 2, 3
+    ) GROUP BY 1, 2
+),
+codes AS (
+    SELECT vec_id, j, code FROM (
+        SELECT sv.vec_id, sv.j, b.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                                  ORDER BY {score1} DESC, b.code) AS rn
+        FROM sv JOIN cb b ON b.j = sv.j
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {KNN_N_QUERIES}),
+lut AS (
+    SELECT q.qid, b.j, b.code,
+           list_dot_product({qsl}, {qsl})
+             - 2*list_dot_product({qsl}, b.c)
+             + list_dot_product(b.c, b.c) AS t
+    FROM q CROSS JOIN cb b
+),
+cand AS (
+    SELECT p.qid, a.vec_id AS nid
+    FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+),
+adc AS (
+    SELECT c.qid, c.nid, {adc_sum} AS adc
+    FROM cand c
+    JOIN codes cd ON cd.vec_id = c.nid
+    JOIN lut l ON l.qid = c.qid AND l.j = cd.j AND l.code = cd.code
+    GROUP BY 1, 2
+)
+SELECT qid AS query_id, nid AS neighbor_id, rn AS rnk,
+       {sql_round_det("adc", 4)} AS adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid) AS rn
+      FROM adc)
+WHERE rn <= {KNN_K}
+"""
+
+
+@register("ann_cosine_ivfpq", oracle=_ivfpq_oracle(), tags=("E24",))
+def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (the faiss ``IVFPQ`` shape): IVF
+    cells prune CANDIDATES (probe nprobe of k cells, scan ~n/8 of the
+    corpus) while PQ codes prune BYTES (score 8-byte codes, never full
+    vectors) — at 100 TB the two multiply: the query-time scan reads
+    ~n/8 rows x 8 bytes instead of n x 256. Simplification vs faiss:
+    codes encode the vectors themselves, not cell residuals (residual
+    encoding would need a per-(query, cell) lookup table; the shape
+    under test — probe, then ADC — is identical).
+
+    Scale shape — every piece reuses an already-verified machine:
+    * ONE corpus scan computes cell id (BLAS argmax,
+      `centroid_argmax_pandas`) AND PQ codes (`pq_encode_pandas`) in
+      the same zero-shuffle projection;
+    * probe cells come from the K-row query side's score array (sort +
+      slice + explode — no corpus-side rank), each probe row carrying
+      the query's ADC lookup tables (~1 KB);
+    * probes broadcast INTO the assignment scan: candidates are cell
+      members only, scored by the fixed-order ADC sum (array lookups,
+      codegen JVM);
+    * the only exchange is the final skinny top-K window.
+    Cell assignment runs on NORMALIZED vectors — per-vector cosine
+    rank is scale-invariant, so cells match ann_cosine_ivf's index
+    exactly while the codes stay cosine-faithful (see ann_cosine_pq).
+    """
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        centroid_argmax_pandas,
+        pq_encode_pandas,
+    )
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        KNN_K,
+        KNN_N_QUERIES,
+        _centroid_scores,
+        _embeddings_count,
+        _ivf_centroids,
+        _ivf_k,
+        _ivf_nprobe,
+        _memo_expr,
+    )
+
+    e = _pq_normalized(spark, sf_dir)
+    books, norms2, kept = _pq_train(spark, e, sf_dir)
+    if not books or not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk int, adc_dist double"
+        )
+    k = _ivf_k(_embeddings_count(spark, e, sf_dir))
+    nprobe = _ivf_nprobe(k)
+    cents = _ivf_centroids()[:k]
+    cidx = centroid_argmax_pandas(
+        [comp for _, comp, _ in cents], [norm for _, _, norm in cents]
+    )
+    enc = pq_encode_pandas(books, norms2)
+    assign = e.select(
+        "vec_id", cidx("v").alias("cid"), enc("v").alias("c")
+    )
+    probe_cells = (
+        e.where(F.col("vec_id") < KNN_N_QUERIES)
+        .select("vec_id", "v", _centroid_scores("v", k).alias("sc"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "v",
+            F.explode(
+                _memo_expr(
+                    "slice(array_sort(transform(sc, (s, i) ->"
+                    " named_struct('neg_s', -s, 'cid', CAST(i AS INT)))),"
+                    f" 1, {nprobe})"
+                )
+            ).alias("cell"),
+        )
+        .select("qid", "v", F.col("cell.cid").alias("cid"))
+    )
+    probes = _pq_lut_df(probe_cells, books, norms2, keep=("qid", "cid"))
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.expr(_pq_adc_expr()).alias("adc"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rn").alias("rnk"),
+            round_det(F.col("adc"), 4).alias("adc_dist"),
         )
     )

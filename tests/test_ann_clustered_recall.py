@@ -88,3 +88,29 @@ def test_pq_recall_high_on_clustered_corpus(spark, tmp_path_factory):
     _record_recall("ann_cosine_pq", "clustered", round(recall, 3))
     assert recall >= 0.6, f"clustered-corpus PQ recall collapsed: {recall}"
     assert not math.isnan(recall)
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark, tmp_path_factory):
+    """Composition control: on clustered embeddings the IVFPQ pipeline
+    (probe pruning x code quantization) must still recover most exact
+    neighbors — if IVF and PQ each score >=0.6 here but the composition
+    collapses, the probe/LUT wiring (not the indexes) broke."""
+    root = tmp_path_factory.mktemp("clustered_emb_ivfpq")
+    spark.createDataFrame(
+        _clustered_rows(), "vec_id long, embedding array<float>, label int"
+    ).coalesce(4).write.mode("overwrite").parquet(str(root / "embeddings.parquet"))
+    sf_dir = str(root)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get_query("knn_cosine_bruteforce").fn(spark, sf_dir).collect()
+    }
+    assert exact
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get_query("ann_cosine_ivfpq").fn(spark, sf_dir).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    _record_recall("ann_cosine_ivfpq", "clustered", round(recall, 3))
+    assert recall >= 0.6, f"clustered-corpus IVFPQ recall collapsed: {recall}"
+    assert not math.isnan(recall)
