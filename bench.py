@@ -109,6 +109,8 @@ HEADLINE = (
     "train_val_test_split",
     "global_shuffle_shards",
     "ann_cosine_ivfpq",
+    "doc_perplexity_bigram",
+    "neardup_shingle_containment",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

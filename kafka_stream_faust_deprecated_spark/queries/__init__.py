@@ -85,6 +85,8 @@ _promote(
         "train_val_test_split",
         "global_shuffle_shards",
         "ann_cosine_ivfpq",
+        "doc_perplexity_bigram",
+        "neardup_shingle_containment",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

@@ -2771,3 +2771,187 @@ def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("adc"), 4).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 — LM-based quality scoring and asymmetric (containment) dedup
+# ---------------------------------------------------------------------------
+
+#: Interpolation weights for the bigram LM: p(w2|w1) =
+#: BIGRAM_LAMBDA * c2/c1(w1) + (1-BIGRAM_LAMBDA) * c1(w2)/T.
+BIGRAM_LAMBDA = 0.7
+
+
+def _bigram_ppl_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import SQL_NORM
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS g
+    FROM t WHERE len(tk) >= 2
+),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM c1),
+c2 AS (SELECT g, count(*)::DOUBLE AS c FROM bg GROUP BY 1),
+p AS (
+    SELECT bg.doc_id, bg.g,
+           {BIGRAM_LAMBDA} * (c2.c / w1.c)
+             + {1.0 - BIGRAM_LAMBDA} * (w2.c / (SELECT n FROM tot)) AS p
+    FROM bg
+    JOIN c2 ON c2.g = bg.g
+    JOIN c1 w1 ON w1.w = split_part(bg.g, ' ', 1)
+    JOIN c1 w2 ON w2.w = split_part(bg.g, ' ', 2)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       {sql_round_det("-avg(ln(p))", 4)} AS nll,
+       {sql_round_det("exp(-avg(ln(p)))", 4)} AS ppl
+FROM p GROUP BY doc_id
+"""
+
+
+@register("doc_perplexity_bigram", oracle=_bigram_ppl_oracle(), tags=("E25",))
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — the KenLM-shaped quality
+    filter one rung above doc_unigram_nll: p(w2|w1) interpolates the
+    corpus bigram MLE with the unigram floor (lambda={BIGRAM_LAMBDA}),
+    so held-together prose scores low ppl and shuffled/boilerplate
+    token soup scores high even when its unigram profile is normal.
+    In production the c1/c2 relations are replaced by a real LM's
+    n-gram table — the join shape is identical.
+
+    Scale shape: one tokenize scan feeds the unigram and bigram count
+    relations (both map-side-combined, vocabulary-bounded); scoring
+    re-joins each document's bigrams on the gram key and its context
+    words on the token key, then reduces per doc_id — the same
+    token-keyed join fabric as doc_unigram_nll, nothing all-pairs,
+    and the LM total rides in as a broadcast scalar."""
+    from kafka_stream_faust_deprecated_spark.functions.text import tokens as _tokens
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    tok = t.select("doc_id", F.explode("tk").alias("w"))
+    bg = t.where(F.size("tk") >= 2).select(
+        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("g")
+    )
+    c1 = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    tot = c1.agg(F.sum("c").alias("n"))
+    c2 = bg.groupBy("g").agg(F.count("*").cast("double").alias("c"))
+    p = (
+        bg.join(c2.select(F.col("g"), F.col("c").alias("c2")), "g")
+        .join(
+            c1.select(F.col("w").alias("w1k"), F.col("c").alias("cw1")),
+            F.substring_index(F.col("g"), " ", 1) == F.col("w1k"),
+        )
+        .join(
+            c1.select(F.col("w").alias("w2k"), F.col("c").alias("cw2")),
+            F.substring_index(F.col("g"), " ", -1) == F.col("w2k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                BIGRAM_LAMBDA * (F.col("c2") / F.col("cw1"))
+                + (1.0 - BIGRAM_LAMBDA) * (F.col("cw2") / F.col("n"))
+            ).alias("p"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        round_det(-F.avg(F.log("p")), 4).alias("nll"),
+        round_det(F.exp(-F.avg(F.log("p"))), 4).alias("ppl"),
+    )
+
+
+#: Asymmetric-dedup threshold: emit a pair when EITHER side's shingle
+#: set is >=60% contained in the other — catches sub-document
+#: duplication (a short doc quoted inside a long one) that symmetric
+#: Jaccard's union denominator dilutes below its 0.8 threshold.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def _containment_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import SQL_SHINGLES
+
+    return f"""
+WITH {SQL_SHINGLES},
+n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+c AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT da, db,
+       {sql_round_det("common * 1.0 / x.ns", 4)} AS contain_a,
+       {sql_round_det("common * 1.0 / y.ns", 4)} AS contain_b,
+       {sql_round_det("common * 1.0 / (x.ns + y.ns - common)", 4)} AS jac
+FROM c JOIN n x ON da = x.doc_id JOIN n y ON db = y.doc_id
+WHERE common * 1.0 / x.ns >= {CONTAINMENT_THRESHOLD}
+   OR common * 1.0 / y.ns >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("neardup_shingle_containment", oracle=_containment_oracle(), tags=("E23",))
+def neardup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: 3-gram shingle CONTAINMENT
+    (|A∩B| / |A|, per side) instead of symmetric Jaccard — the check
+    that catches a short document quoted wholesale inside a longer one,
+    where Jaccard's union denominator dilutes the overlap below any
+    sane threshold. Pairs where either side is >={CONTAINMENT_THRESHOLD}
+    contained are emitted with both containments AND the Jaccard, so a
+    dedup policy can distinguish true duplicates (high jac) from
+    sub-document inclusion (high one-sided containment, low jac).
+
+    Scale shape: shares _doc_shingles' single tokenize scan and the
+    shingle-keyed equi-join of the Jaccard baseline (exact, not the
+    100 TB path — that is a ONE-SIDED MinHash sketch, since symmetric
+    LSH bands under-sample exactly the low-jac/high-containment pairs
+    this operator exists to find; the banded variant's recall argument
+    does not transfer, so the exact join is the honest baseline here).
+    Group sizes are per-shingle document frequencies, AQE-split when
+    zipf-hot."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        _doc_shingles,
+        _shingle_counts,
+    )
+
+    sh = _doc_shingles(spark, sf_dir)
+    ns = _shingle_counts(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common.join(
+            ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da"
+        )
+        .join(
+            ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db"
+        )
+        .withColumn("ca_raw", F.col("common") * 1.0 / F.col("na"))
+        .withColumn("cb_raw", F.col("common") * 1.0 / F.col("nb"))
+    )
+    return scored.where(
+        (F.col("ca_raw") >= CONTAINMENT_THRESHOLD)
+        | (F.col("cb_raw") >= CONTAINMENT_THRESHOLD)
+    ).select(
+        "da",
+        "db",
+        round_det(F.col("ca_raw"), 4).alias("contain_a"),
+        round_det(F.col("cb_raw"), 4).alias("contain_b"),
+        round_det(
+            F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4
+        ).alias("jac"),
+    )

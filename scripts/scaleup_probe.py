@@ -58,6 +58,18 @@ QUERIES = (
     "ann_cosine_ivf",
     "pipeline_curate",
     "dsir_importance_weights",
+    # round 7 additions. PQ / IVFPQ / BM25 are safe under replication:
+    # replicas only multiply cell membership / postings linearly (the
+    # quadratic-candidate exclusion applies to near-dup PAIR queries).
+    "ann_cosine_pq",
+    "ann_cosine_ivfpq",
+    "bm25_retrieval_topk",
+    "merge_upsert_snapshot",
+    "sessionize_capped",
+    "hot_key_profile",
+    "equi_depth_histogram",
+    "global_shuffle_shards",
+    "train_val_test_split",
 )
 
 

@@ -38,6 +38,7 @@ BNLJ_WHITELIST = {
     "equi_depth_histogram": "broadcast side = the 1-row total-count aggregate",
     "bm25_retrieval_topk": "broadcast side = the 1-row avgdl/N aggregate",
     "train_val_test_split": "broadcast side = the 1-row total-count aggregate",
+    "doc_perplexity_bigram": "broadcast side = the 1-row LM-total aggregate",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -75,6 +76,7 @@ SINGLE_PARTITION_WHITELIST = {
     ),
     "bm25_retrieval_topk": "global avgdl/N aggregate: 1 partial row per task",
     "train_val_test_split": "global doc-count aggregate: 1 partial row per task",
+    "doc_perplexity_bigram": "global LM-total aggregate: 1 partial row per task",
 }
 
 
