@@ -1759,14 +1759,28 @@ def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     add sorts, never shuffles. All gap/cap arithmetic runs on
     second-truncated BIGINT epochs (`unix_timestamp` / duckdb
     `datediff('second', epoch, ts)`) — integer-exact cross-engine."""
-    ev = load_table(spark, sf_dir, "events").select(
+    return sessionize_capped_df(
+        load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    )
+
+
+def sessionize_capped_df(
+    events: DataFrame,
+    gap: int = SESSION_GAP_SEC,
+    cap: int = SESSION_CAP_SEC,
+) -> DataFrame:
+    """The sessionize_capped transform over any (user_id, event_id, ts)
+    DataFrame — factored out so the streaming twin's golden test
+    (tests/test_streaming_sessions.py) can run the batch contract on
+    the stream's own fixture."""
+    ev = events.select(
         "user_id", "event_id", "ts", F.unix_timestamp("ts").alias("ep")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = (
         F.when(
             F.lag("ep").over(w).isNull()
-            | ((F.col("ep") - F.lag("ep").over(w)) > SESSION_GAP_SEC),
+            | ((F.col("ep") - F.lag("ep").over(w)) > gap),
             1,
         )
         .otherwise(0)
@@ -1777,7 +1791,7 @@ def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wg = Window.partitionBy("user_id", "gid")
     sub = gi.withColumn("ep0", F.min("ep").over(wg)).withColumn(
-        "sub_id", F.expr(f"(ep - ep0) div {SESSION_CAP_SEC}")
+        "sub_id", F.expr(f"(ep - ep0) div {cap}")
     )
     return sub.groupBy("user_id", "gid", "sub_id").agg(
         F.count("*").alias("n_events"),
