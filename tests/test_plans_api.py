@@ -51,3 +51,16 @@ def test_ivf_census_forbids_corpus_row_exchange(spark):
 
     df = get_query("ann_cosine_ivf").fn(spark, SF_DIR)
     assert_census(df, forbid_keys=("vec_id",))
+
+
+def test_pq_and_ivfpq_census_pinned(spark):
+    """Both PQ consumers must keep the one-skinny-exchange shape: the
+    only keyed data exchange is the qid top-K window — vec_id keying
+    any exchange would mean the codes scan started shuffling corpus
+    rows (the round-4 fan-out class the hygiene tests exist to stop)."""
+    from kafka_stream_faust_deprecated_spark.registry import get_query
+
+    for name in ("ann_cosine_pq", "ann_cosine_ivfpq"):
+        df = get_query(name).fn(spark, SF_DIR)
+        c = assert_census(df, max_data=1, forbid_keys=("vec_id",))
+        assert c["data_keys"] == ["qid"], (name, c["data_keys"])
