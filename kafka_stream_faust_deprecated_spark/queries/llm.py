@@ -711,14 +711,25 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components clusterer) get a lineage-free pair list."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     tt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    hv = tt.select(
+    # tf-weighting via DISTINCT (doc, token) counts: sum of +-1 per
+    # occurrence == sum of +-cnt per distinct token, so the oracle's
+    # per-occurrence formulation is untouched while the md5+conv work
+    # drops from one hash per OCCURRENCE to one per distinct (doc,
+    # token) — on zipf-distributed real corpora that is most of the
+    # fingerprint stage's CPU, and the added (doc, tok) exchange is
+    # map-side combined to the same row count the hash stage emits.
+    tc = tt.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    hv = tc.select(
         "doc_id",
+        "cnt",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hv"),
     )
     bit_sums = hv.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
             ).alias(f"s{b}")
             for b in range(SIMHASH_BITS)
         ]
