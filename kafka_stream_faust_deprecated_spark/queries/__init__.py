@@ -55,10 +55,12 @@ from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 # Round-7 prefix (~50): round 6 ended WITHOUT a driver correctness
 # record (no CORRECTNESS_r06.json was produced), so the round-6
 # rotation targets still lack their driver rows and the r6 prefix
-# stands — with round 7's five NEW queries pinned directly after
-# flagship for their first record: the PQ-ANN index, the CDC merge,
-# capped sessionization, the skew profiler, and the equi-depth
-# histogram. After the pins: relational/scalars/temporal (last driver
+# stands — with round 7's NEW queries pinned directly after flagship
+# for their first record: the PQ-ANN index, the CDC merge, capped
+# sessionization, the skew profiler, the equi-depth histogram, BM25,
+# the split/shuffle pair, IVFPQ, the bigram LM, containment dedup,
+# PMI collocations, the Zipf fit, and the embedding-norm screen.
+# After the pins: relational/scalars/temporal (last driver
 # record predates the round-5 rounding conversion, commit b9df45a)
 # with llm's head filling the remaining slots.
 _promote(
@@ -87,6 +89,9 @@ _promote(
         "ann_cosine_ivfpq",
         "doc_perplexity_bigram",
         "neardup_shingle_containment",
+        "pmi_token_cooccurrence",
+        "token_zipf_slope",
+        "embedding_norm_outliers",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

@@ -2969,3 +2969,261 @@ def neardup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4
         ).alias("jac"),
     )
+
+# ---------------------------------------------------------------------------
+# Round 7 continuation — collocation mining, Zipf diagnostics, embedding QC
+# ---------------------------------------------------------------------------
+
+#: Minimum within-document co-occurrence count for a token pair to be
+#: PMI-scored — kills the long noise tail before the ranking sort, so
+#: the global top-k window only ever sees statistically-supported pairs.
+PMI_MIN_PAIR = 5
+#: Collocations emitted (top by PMI, ties broken lexicographically).
+PMI_TOP_K = 50
+
+
+def _pmi_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.functions.rounding import (
+        sql_round_det,
+    )
+
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_sort(list_distinct(string_split({SQL_NORM}, ' '))) AS tk
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+c1 AS (SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+p AS (
+    SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c12
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY 1, 2
+    HAVING count(*) >= {PMI_MIN_PAIR}
+),
+s AS (
+    SELECT w1, w2, c12,
+           ln(c12 * (SELECT n FROM nd) / (x.c * y.c)) AS pmi_raw
+    FROM p JOIN c1 x ON x.w = p.w1 JOIN c1 y ON y.w = p.w2
+),
+r AS (
+    SELECT w1, w2, c12, pmi_raw,
+           row_number() OVER (
+               ORDER BY {sql_round_det("pmi_raw", 6)} DESC, w1, w2
+           ) AS rn
+    FROM s
+)
+SELECT w1, w2, c12,
+       {sql_round_det("pmi_raw", 4)} AS pmi,
+       rn::INT AS rnk
+FROM r WHERE rn <= {PMI_TOP_K}
+"""
+
+
+@register("pmi_token_cooccurrence", oracle=_pmi_oracle(), tags=("E25",))
+def pmi_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP_K} within-document token pairs by
+    pointwise mutual information, pmi = ln(n_docs * df(w1,w2) /
+    (df(w1) * df(w2))) over DOCUMENT frequencies (each pair counted
+    once per doc) — the classic phrase-detection pass a tokenizer-prep
+    pipeline runs to promote 'new york'-style collocations to units.
+
+    Scale shape: pair GENERATION is a pure per-row array expression —
+    each document's sorted distinct-token array expands to its ordered
+    pairs via nested transform/slice/flatten inside codegen, so no
+    doc_id-keyed self-join ever shuffles the corpus (at 100 TB the
+    quadratic per-doc blowup is bounded by capping distinct tokens per
+    doc, exactly as Gopher-style pipelines chunk documents; the ~30
+    distinct tokens/doc here need no cap). The only wide exchanges are
+    the (w1,w2) and unigram count aggregates — both map-side-combined
+    and vocabulary-bounded, the corpus count rides in as a broadcast
+    1-row scalar, and the final rank window sorts only the
+    >={PMI_MIN_PAIR}-support pair relation (vocab-bounded, single
+    bounded partition — same class as hot_key_profile's top-N)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tl = docs.select(
+        F.sort_array(F.array_distinct(tokens(F.col("text")))).alias("tk")
+    )
+    arr = F.col("tk")
+    pair_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    pairs = tl.select(F.explode(pair_arr).alias("pr")).select("pr.w1", "pr.w2")
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= PMI_MIN_PAIR)
+    )
+    dfw = (
+        tl.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        c12.join(
+            dfw.select(F.col("w").alias("w1"), F.col("c").alias("cw1")), "w1"
+        )
+        .join(dfw.select(F.col("w").alias("w2"), F.col("c").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "pmi_raw",
+            F.log(F.col("c12") * F.col("n") / (F.col("cw1") * F.col("cw2"))),
+        )
+    )
+    w = Window.orderBy(round_det(F.col("pmi_raw"), 6).desc(), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PMI_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            round_det(F.col("pmi_raw"), 4).alias("pmi"),
+            "rnk",
+        )
+    )
+
+
+def _zipf_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.functions.rounding import (
+        sql_round_det,
+    )
+
+    return f"""
+WITH tok AS (
+    SELECT lang, unnest(string_split({SQL_NORM}, ' ')) AS w FROM documents
+),
+c AS (SELECT lang, w, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+r AS (
+    SELECT lang, c,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY c DESC, w
+           )::DOUBLE AS r
+    FROM c
+)
+SELECT lang,
+       count(*)::BIGINT AS vocab,
+       sum(c)::BIGINT AS total_tokens,
+       {sql_round_det("regr_slope(ln(c), ln(r))", 4)} AS zipf_slope,
+       {sql_round_det("regr_intercept(ln(c), ln(r))", 4)} AS zipf_intercept,
+       {sql_round_det("regr_r2(ln(c), ln(r))", 4)} AS zipf_r2
+FROM r GROUP BY lang
+"""
+
+
+@register("token_zipf_slope", oracle=_zipf_oracle(), tags=("E25",))
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic per language: OLS fit of
+    ln(frequency) against ln(rank) over the token frequency table —
+    natural text sits near slope -1; a corpus slice whose slope or R²
+    drifts (template spam flattens the head, OCR noise fattens the
+    tail) is the classic distribution-level quality alarm that
+    per-document filters can't see.
+
+    Scale shape: one tokenize scan feeds a (lang, token) count
+    aggregate (map-side-combined, vocabulary-bounded); ranking windows
+    partition BY LANGUAGE over that already-aggregated vocab-sized
+    relation — never the corpus — and the regression reduces each
+    language's vocab rows to one line of sufficient statistics via
+    regr_slope/intercept/r2 (sum/sum-of-squares form, map-side
+    combined). Nothing in the plan scales with document count except
+    the initial scan."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tl = docs.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = tl.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "w")
+    ranked = cnt.withColumn("r", F.row_number().over(w).cast("double"))
+    lc, lr = F.log("c"), F.log("r")
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        round_det(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        round_det(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        round_det(F.regr_r2(lc, lr), 4).alias("zipf_r2"),
+    )
+
+
+#: |z| threshold for flagging an embedding's L2 norm as an outlier
+#: within its label group (the cheap degenerate-vector screen run
+#: before any ANN index build).
+EMB_NORM_Z = 2.0
+
+
+def _norm_outlier_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.functions.rounding import (
+        sql_round_det,
+    )
+
+    return f"""
+WITH nm AS (
+    SELECT vec_id, label,
+           sqrt(list_sum(list_transform(embedding,
+                                        x -> x::DOUBLE * x::DOUBLE))) AS nrm
+    FROM embeddings
+),
+st AS (
+    SELECT label, avg(nrm) AS m, stddev_pop(nrm) AS s
+    FROM nm GROUP BY 1
+)
+SELECT vec_id, nm.label AS label,
+       {sql_round_det("nrm", 4)} AS l2_norm,
+       {sql_round_det("(nrm - m) / s", 4)} AS z
+FROM nm JOIN st ON nm.label = st.label
+WHERE s > 0 AND abs({sql_round_det("(nrm - m) / s", 4)}) >= {EMB_NORM_Z}
+"""
+
+
+@register("embedding_norm_outliers", oracle=_norm_outlier_oracle(), tags=("E24",))
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene screen: per-label L2-norm z-scores, emitting
+    vectors whose norm sits >={EMB_NORM_Z} population standard
+    deviations from their label's mean — the cheap pre-index sweep
+    that catches truncated/zero/exploded vectors (a failed encoder
+    batch shows up as a norm cluster) before they poison centroid
+    training or cosine thresholds.
+
+    Scale shape: the norm is a per-row codegen array fold (no Python,
+    no shuffle); label statistics are one map-side-combined aggregate
+    over the label domain, broadcast back for the z-score — the corpus
+    is scanned once and never shuffled. The z filter compares the SAME
+    4-decimal rounded value both engines emit, so the threshold cannot
+    flicker on last-ulp aggregate drift."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    nm = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+    )
+    st = nm.groupBy("label").agg(
+        F.avg("nrm").alias("m"), F.stddev_pop("nrm").alias("s")
+    )
+    z_r = round_det((F.col("nrm") - F.col("m")) / F.col("s"), 4)
+    return (
+        nm.join(F.broadcast(st), "label")
+        .where(F.col("s") > 0)
+        .where(F.abs(z_r) >= EMB_NORM_Z)
+        .select(
+            "vec_id",
+            "label",
+            round_det(F.col("nrm"), 4).alias("l2_norm"),
+            z_r.alias("z"),
+        )
+    )

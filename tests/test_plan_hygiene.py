@@ -39,6 +39,7 @@ BNLJ_WHITELIST = {
     "bm25_retrieval_topk": "broadcast side = the 1-row avgdl/N aggregate",
     "train_val_test_split": "broadcast side = the 1-row total-count aggregate",
     "doc_perplexity_bigram": "broadcast side = the 1-row LM-total aggregate",
+    "pmi_token_cooccurrence": "broadcast side = the 1-row corpus doc count",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -77,6 +78,11 @@ SINGLE_PARTITION_WHITELIST = {
     "bm25_retrieval_topk": "global avgdl/N aggregate: 1 partial row per task",
     "train_val_test_split": "global doc-count aggregate: 1 partial row per task",
     "doc_perplexity_bigram": "global LM-total aggregate: 1 partial row per task",
+    "pmi_token_cooccurrence": (
+        "rank window over the >=PMI_MIN_PAIR-support pair relation — "
+        "vocabulary-bounded, not corpus-bounded (same class as "
+        "hot_key_profile) + the 1-row doc-count aggregate"
+    ),
 }
 
 
