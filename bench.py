@@ -111,6 +111,11 @@ HEADLINE = (
     "ann_cosine_ivfpq",
     "doc_perplexity_bigram",
     "neardup_shingle_containment",
+    "pmi_token_cooccurrence",
+    "token_zipf_slope",
+    "embedding_norm_outliers",
+    "source_unigram_divergence",
+    "sample_weighted_aes",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

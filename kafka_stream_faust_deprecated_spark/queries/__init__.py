@@ -92,6 +92,8 @@ _promote(
         "pmi_token_cooccurrence",
         "token_zipf_slope",
         "embedding_norm_outliers",
+        "source_unigram_divergence",
+        "sample_weighted_aes",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

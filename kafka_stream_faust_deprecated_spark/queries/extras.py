@@ -3227,3 +3227,158 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             z_r.alias("z"),
         )
     )
+
+
+def _source_kl_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.functions.rounding import (
+        sql_round_det,
+    )
+
+    return f"""
+WITH tok AS (
+    SELECT source, unnest(string_split({SQL_NORM}, ' ')) AS w FROM documents
+),
+csw AS (SELECT source, w, count(*)::DOUBLE AS csw FROM tok GROUP BY 1, 2),
+cw AS (SELECT w, sum(csw) AS cw FROM csw GROUP BY 1),
+ts AS (SELECT source, sum(csw) AS ts, count(*)::BIGINT AS vocab
+       FROM csw GROUP BY 1),
+tot AS (SELECT sum(cw) AS t, count(*)::DOUBLE AS v FROM cw),
+nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+kl AS (
+    SELECT csw.source,
+           sum((csw / ts.ts) * ln((csw / ts.ts) / (cw.cw / (SELECT t FROM tot)))) AS kl
+    FROM csw JOIN cw USING (w) JOIN ts ON csw.source = ts.source
+    GROUP BY 1
+)
+SELECT nd.source AS source, n_docs, ts.ts::BIGINT AS total_tokens, vocab,
+       {sql_round_det("kl.kl", 4)} AS kl_vs_corpus,
+       {sql_round_det("vocab / (SELECT v FROM tot)", 4)} AS vocab_coverage
+FROM nd JOIN ts ON nd.source = ts.source JOIN kl ON nd.source = kl.source
+"""
+
+
+@register("source_unigram_divergence", oracle=_source_kl_oracle(), tags=("E25",))
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix diagnostic: KL divergence of each SOURCE's unigram
+    distribution from the corpus-wide distribution, plus its vocabulary
+    coverage — the per-domain drift score a mixture owner reads before
+    re-weighting sources (a source whose KL spikes is templated or
+    off-domain; one whose coverage craters is too narrow to upsample).
+    KL is computed over the source's own support, which the corpus
+    distribution dominates by construction (every source token is a
+    corpus token), so no smoothing term is needed.
+
+    Scale shape: ONE tokenize scan materializes the (source, token)
+    count relation (vocabulary × source bounded — persisted, so the
+    corpus marginal, the per-source totals, and the KL join all reuse
+    it instead of re-scanning the corpus); per-source totals broadcast
+    back onto the token-keyed join and the corpus total rides in as a
+    1-row broadcast scalar. Every exchange after the first aggregate is
+    vocabulary- or source-bounded — nothing scales with document count
+    except the single scan."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    csw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("csw")
+    ).persist()
+    try:
+        cw = csw.groupBy("w").agg(F.sum("csw").alias("cw"))
+        ts = csw.groupBy("source").agg(
+            F.sum("csw").alias("ts"), F.count(F.lit(1)).alias("vocab")
+        )
+        tot = cw.agg(
+            F.sum("cw").alias("t"), F.count(F.lit(1)).cast("double").alias("v")
+        )
+        nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        ps = F.col("csw") / F.col("ts")
+        kl = (
+            csw.join(cw, "w")
+            .join(F.broadcast(ts.select("source", "ts")), "source")
+            .crossJoin(F.broadcast(tot.select("t")))
+            .select(
+                "source",
+                (ps * F.log(ps / (F.col("cw") / F.col("t")))).alias("term"),
+            )
+            .groupBy("source")
+            .agg(F.sum("term").alias("kl"))
+        )
+        result = (
+            nd.join(ts, "source")
+            .join(kl, "source")
+            .crossJoin(F.broadcast(tot.select("v")))
+            .select(
+                "source",
+                "n_docs",
+                F.col("ts").cast("long").alias("total_tokens"),
+                "vocab",
+                round_det(F.col("kl"), 4).alias("kl_vs_corpus"),
+                round_det(
+                    F.col("vocab") / F.col("v"), 4
+                ).alias("vocab_coverage"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        csw.unpersist()
+
+
+#: Rows kept by the weighted sample (A-ES top-k).
+SAMPLE_WEIGHTED_K = 100
+
+
+def _weighted_sample_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.functions.rounding import (
+        sql_round_det,
+    )
+    from kafka_stream_faust_deprecated_spark.queries.llm import _sql_hex_to_int
+
+    u = (
+        "(("
+        + _sql_hex_to_int("substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)", 8)
+        + " + 0.5) / 4294967296.0)"
+    )
+    return f"""
+WITH k AS (
+    SELECT doc_id, n_chars, ln({u}) / n_chars AS key_raw
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, {sql_round_det("key_raw", 6)} AS sel_key
+FROM k
+ORDER BY {sql_round_det("key_raw", 6)} DESC, doc_id
+LIMIT {SAMPLE_WEIGHTED_K}
+"""
+
+
+@register(
+    "sample_weighted_aes", oracle=_weighted_sample_oracle(), tags=("E23", "E25")
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the A-ES exponential
+    key (Efraimidis–Spirakis): each document draws a reproducible
+    uniform u from md5(doc_id) (hex window 9-16, disjoint from the
+    mixture sampler's window 1-8 so the two samplers are independent)
+    and is ranked by ln(u)/weight with weight = n_chars — the top-k of
+    that key IS an exact weighted sample, with zero RNG state and
+    identical output on any cluster size or partition layout. This is
+    the quality-weighted subset selection a curation pipeline runs to
+    pick a fixed-budget eval or annotation set.
+
+    Scale shape: the key is a per-row codegen expression and the top-k
+    executes as TakeOrderedAndProject — per-partition size-k heaps
+    merged on the driver, no sort exchange and no global shuffle; the
+    6-dp-rounded key + doc_id tiebreak makes the cutoff a total order,
+    so both engines select the identical boundary rows."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key_r = round_det(F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key_r.alias("sel_key"))
+        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+    )

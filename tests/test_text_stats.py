@@ -12,6 +12,7 @@ from kafka_stream_faust_deprecated_spark.queries.extras import (
     EMB_NORM_Z,
     PMI_MIN_PAIR,
     PMI_TOP_K,
+    SAMPLE_WEIGHTED_K,
 )
 from kafka_stream_faust_deprecated_spark.registry import get_query
 from tests.conftest import SF_DIR
@@ -37,6 +38,29 @@ def test_zipf_slope_negative_per_language(spark):
         assert r.vocab > 0 and r.total_tokens >= r.vocab
         assert r.zipf_slope < 0, f"{r.lang}: frequency must fall with rank"
         assert 0.0 <= r.zipf_r2 <= 1.0
+
+
+def test_source_kl_nonnegative_and_complete(spark):
+    """Gibbs' inequality: KL(p_s || q) >= 0, with equality only when the
+    source's distribution equals the corpus marginal; every source must
+    appear exactly once with full accounting columns."""
+    rows = get_query("source_unigram_divergence").fn(spark, SF_DIR).collect()
+    assert rows
+    assert len({r.source for r in rows}) == len(rows)
+    for r in rows:
+        assert r.kl_vs_corpus >= 0.0, f"{r.source}: KL must be >= 0"
+        assert 0.0 < r.vocab_coverage <= 1.0
+        assert r.n_docs > 0 and r.total_tokens >= r.vocab > 0
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    q = get_query("sample_weighted_aes").fn
+    a = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+    assert a == b, "A-ES sample must be bit-identical across runs"
+    assert len(a) == SAMPLE_WEIGHTED_K
+    assert all(r[1] > 0 for r in a)  # weights positive
+    assert all(r[2] < 0 for r in a)  # ln(u)/w keys are negative
 
 
 def test_embedding_norm_outliers_beyond_threshold(spark):
