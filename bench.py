@@ -116,6 +116,7 @@ HEADLINE = (
     "embedding_norm_outliers",
     "source_unigram_divergence",
     "sample_weighted_aes",
+    "heavy_hitters_exact",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -94,6 +94,7 @@ _promote(
         "embedding_norm_outliers",
         "source_unigram_divergence",
         "sample_weighted_aes",
+        "heavy_hitters_exact",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

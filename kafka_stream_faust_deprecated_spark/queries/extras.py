@@ -3382,3 +3382,54 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sel_key").desc(), "doc_id")
         .limit(SAMPLE_WEIGHTED_K)
     )
+
+
+#: Counter budget / emitted top-k for the heavy-hitters pair.
+HH_CAPACITY = 8
+HH_K = 5
+
+
+def _hh_oracle() -> str:
+    return f"""
+WITH c AS (
+    SELECT user_id, event_type, count(*)::BIGINT AS est_count
+    FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1),
+r AS (
+    SELECT user_id, event_type, est_count,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY est_count DESC, event_type
+           ) AS rn
+    FROM c
+)
+SELECT r.user_id AS user_id, event_type, est_count,
+       0::BIGINT AS max_err, n_events, rn::INT AS rnk
+FROM r JOIN t ON r.user_id = t.user_id
+WHERE rn <= {HH_K}
+"""
+
+
+@register("heavy_hitters_exact", oracle=_hh_oracle(), tags=("E7", "E12"))
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming Space-Saving heavy hitters
+    (streaming/heavy_hitters.py): exact per-user top-{HH_K} event
+    types with the sketch's deterministic tie-break (count desc, value
+    asc) and err = 0 — the ground truth the sketch's guarantees are
+    tested against, and the row-identical batch equivalent whenever no
+    user exceeds the {HH_CAPACITY}-counter budget (the events
+    fixture's type domain is under it, so this oracle-checked query IS
+    the streaming operator's on-time contract).
+
+    Scale shape: one (user, type) count aggregate + a user-partitioned
+    rank window over the aggregated relation + a user-keyed totals
+    join — every exchange is keyed on user_id, so AQE co-partitions
+    the join with the window's distribution; nothing is global."""
+    from kafka_stream_faust_deprecated_spark.streaming.heavy_hitters import (
+        heavy_hitters_exact_df,
+    )
+
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    return heavy_hitters_exact_df(ev, k=HH_K)

@@ -1,0 +1,176 @@
+"""Streaming per-key heavy hitters via the Space-Saving sketch
+(S4/E22): bounded state for an UNBOUNDED value domain.
+
+The reference's keyed tables grow with the number of distinct values a
+key ever sees (`faust_app/ma_agg.py:23-27` holds per-symbol dicts); a
+100 TB stream with an open-ended value domain (URLs, user agents,
+error strings) cannot afford that. Space-Saving (Metwally et al.,
+"Efficient computation of frequent and top-k elements in data
+streams", ICDT 2005) keeps exactly ``capacity`` counters per key and
+guarantees, for every emitted (value, est, err):
+
+* ``est >= true_count``            (never undercounts),
+* ``est - err <= true_count``      (err bounds the overcount),
+* any value with ``true_count > n / capacity`` is IN the sketch
+  (the classic frequent-elements guarantee).
+
+When a key's distinct-value count never exceeds ``capacity`` the
+sketch degenerates to exact counting (err = 0 everywhere) and the
+emitted top-k is ROW-IDENTICAL to the batch twin
+``heavy_hitters_exact_df`` — pinned by
+tests/test_streaming_heavy_hitters.py, which also pins the three
+guarantees above in a constructed overflow regime.
+
+Determinism: events are sorted by (ts, event_id) inside each
+micro-batch (no Arrow-batch ordering guarantee) and every tie in the
+sketch (min-counter eviction, top-k ranking) breaks on the VALUE
+string, so the output is a pure function of the on-time event set and
+the offset log's batch boundaries. Each user's summary is emitted
+exactly once, when the event-time timeout proves the watermark passed
+``last_event + horizon``; the state (one ≤capacity-entry sketch per
+user, serialized as a JSON string) is then cleared — state is bounded
+by ACTIVE keys × capacity, independent of stream length or value
+cardinality.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+OUTPUT_SCHEMA = (
+    "user_id LONG, event_type STRING, est_count LONG, max_err LONG, "
+    "n_events LONG, rnk INT"
+)
+
+#: sketch = JSON {"c": {value: [count, err]}, "n": total}; last = max
+#: event-time second seen (drives the timeout).
+STATE_SCHEMA = "sketch STRING, last LONG"
+
+
+def _update(sketch: dict, value: str, capacity: int) -> None:
+    c = sketch["c"]
+    sketch["n"] += 1
+    if value in c:
+        c[value][0] += 1
+        return
+    if len(c) < capacity:
+        c[value] = [1, 0]
+        return
+    # Evict the min-count counter; tie-break on the value string so
+    # eviction is a pure function of the data.
+    victim = min(c, key=lambda v: (c[v][0], v))
+    vcount = c[victim][0]
+    del c[victim]
+    c[value] = [vcount + 1, vcount]
+
+
+def _topk(sketch: dict, user: int, k: int) -> list[dict]:
+    n = sketch["n"]
+    ranked = sorted(
+        sketch["c"].items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0])
+    )
+    return [
+        {
+            "user_id": user,
+            "event_type": v,
+            "est_count": cnt,
+            "max_err": err,
+            "n_events": n,
+            "rnk": i + 1,
+        }
+        for i, (v, (cnt, err)) in enumerate(ranked[:k])
+    ]
+
+
+def _hh_fn(capacity: int, k: int, horizon: int):
+    def fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.hasTimedOut:
+            sketch_json, last = state.get
+            state.remove()
+            rows = _topk(json.loads(sketch_json), user, k)
+            if rows:
+                yield pd.DataFrame(rows)
+            return
+
+        if state.exists:
+            sketch_json, last = state.get
+            sketch = json.loads(sketch_json)
+        else:
+            sketch, last = {"c": {}, "n": 0}, 0
+
+        events: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            for ts, eid, et in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                events.append(
+                    (int(pd.Timestamp(ts).timestamp()), int(eid), str(et))
+                )
+        events.sort()
+        for ep, _eid, et in events:
+            _update(sketch, et, capacity)
+            last = max(last, ep)
+
+        state.update((json.dumps(sketch, sort_keys=True), last))
+        state.setTimeoutTimestamp((last + horizon + 1) * 1000)
+
+    return fn
+
+
+def heavy_hitters_stateful(
+    events: DataFrame,
+    capacity: int = 8,
+    k: int = 5,
+    horizon: int = 60,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming-only: per-user top-k event types under a
+    ``capacity``-counter Space-Saving budget. ``events`` must be a
+    streaming DataFrame with columns (user_id, event_id, ts,
+    event_type); each user's summary emits once, ``horizon`` seconds
+    of event time after their last event."""
+    ev = events.withColumn("ts", F.date_trunc("second", F.col("ts")))
+    ev = ev.withWatermark("ts", watermark)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _hh_fn(capacity, k, horizon),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def heavy_hitters_exact_df(events: DataFrame, k: int = 5) -> DataFrame:
+    """Batch twin: EXACT per-user top-k event types with the sketch's
+    tie-break (count desc, value asc) and err = 0 — equals the
+    streaming output whenever no user exceeds the counter budget."""
+    cnt = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("est_count")
+    )
+    tot = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("est_count").desc(), "event_type"
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .join(tot, "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            "est_count",
+            F.lit(0).cast("long").alias("max_err"),
+            "n_events",
+            "rnk",
+        )
+    )

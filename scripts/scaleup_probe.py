@@ -70,6 +70,16 @@ QUERIES = (
     "equi_depth_histogram",
     "global_shuffle_shards",
     "train_val_test_split",
+    # round 7 continuation. All linear under disjoint-key replication:
+    # PMI pairs are generated per-row (token-pair counts just multiply),
+    # the Zipf/KL relations are vocabulary-bounded, the norm screen is
+    # one scan + label-bounded stats, and A-ES top-k is a TakeOrdered
+    # heap over 8x rows.
+    "pmi_token_cooccurrence",
+    "token_zipf_slope",
+    "source_unigram_divergence",
+    "embedding_norm_outliers",
+    "sample_weighted_aes",
 )
 
 
