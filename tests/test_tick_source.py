@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from datetime import timedelta
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from kafka_stream_faust_deprecated_spark.io import decode_ticks
@@ -18,7 +20,10 @@ from kafka_stream_faust_deprecated_spark.sources import (
     register_tick_source,
     tick_payload,
 )
-from kafka_stream_faust_deprecated_spark.sources.tick_source import T0
+from kafka_stream_faust_deprecated_spark.sources.tick_source import (
+    T0,
+    _RangePartition,
+)
 from kafka_stream_faust_deprecated_spark.streaming.sma import sma_aggregate
 
 SYMBOLS, SECONDS, PARTS, RATE = 3, 40, 4, 9
@@ -63,6 +68,36 @@ def _drain(spark, df, name, tmp_path):
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rates=st.lists(st.integers(1, 9), min_size=1, max_size=12),
+    n_parts=st.integers(1, 6),
+    n_syms=st.integers(1, 5),
+)
+def test_offset_split_replay_invariance(rates, n_parts, n_syms):
+    """Kafka-offset property, fuzzed (pure Python, no session): however
+    the micro-batch planner splits [0, cap) into offset ranges, the
+    union of every partition's pure-replay reads equals the one-shot
+    batch read — byte-identical, no gaps, no duplicates."""
+    cap = 15
+    cuts, cursor = [0], 0
+    for r in rates:
+        cursor = min(cursor + r, cap)
+        cuts.append(cursor)
+    got: list[str] = []
+    for s, e in zip(cuts, cuts[1:]):
+        for p in range(n_parts):
+            got.extend(
+                j for (j,) in _RangePartition(p, n_parts, n_syms, s, e).rows()
+            )
+    want = [
+        j
+        for p in range(n_parts)
+        for (j,) in _RangePartition(p, n_parts, n_syms, 0, cuts[-1]).rows()
+    ]
+    assert sorted(got) == sorted(want)
 
 
 def test_batch_read_deterministic_and_partition_planned(spark):
