@@ -117,6 +117,7 @@ HEADLINE = (
     "source_unigram_divergence",
     "sample_weighted_aes",
     "heavy_hitters_exact",
+    "lang_confusion_matrix",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

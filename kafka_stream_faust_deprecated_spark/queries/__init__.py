@@ -95,6 +95,7 @@ _promote(
         "source_unigram_divergence",
         "sample_weighted_aes",
         "heavy_hitters_exact",
+        "lang_confusion_matrix",
         # new in round 6 / changed in round 6 — still awaiting a
         # driver record (r6 produced none)
         "grouping_sets_events",

@@ -3433,3 +3433,53 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return heavy_hitters_exact_df(ev, k=HH_K)
+
+
+def _lang_confusion_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.functions.rounding import (
+        sql_round_det,
+    )
+    from kafka_stream_faust_deprecated_spark.queries.llm import _lang_id_oracle
+
+    return f"""
+WITH c AS (
+    SELECT lang, predicted, count(*)::BIGINT AS n_docs
+    FROM ({_lang_id_oracle()}) base
+    GROUP BY 1, 2
+),
+t AS (SELECT lang, sum(n_docs)::DOUBLE AS tot FROM c GROUP BY 1)
+SELECT c.lang AS lang, predicted, n_docs,
+       {sql_round_det("n_docs / tot", 4)} AS lang_share
+FROM c JOIN t ON c.lang = t.lang
+"""
+
+
+@register(
+    "lang_confusion_matrix", oracle=_lang_confusion_oracle(), tags=("E25",)
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality diagnostic: the (tagged language x predicted
+    language) confusion matrix of the lexicon language-ID heuristic,
+    with each cell's share of its true-language row — the acceptance
+    audit a curation pipeline runs before trusting a cheap classifier
+    to route documents (off-diagonal mass shows exactly which language
+    pairs the lexicons confuse, 'und' rows show coverage gaps).
+
+    Scale shape: composes lang_id_lexicon's per-row codegen scoring
+    (no shuffle) with one (lang, predicted) count aggregate over the
+    language-pair domain and a broadcast per-language totals join —
+    the corpus is scanned once; every exchange is bounded by the
+    language-pair cardinality."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import lang_id_lexicon
+
+    base = lang_id_lexicon(spark, sf_dir)
+    c = base.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    t = c.groupBy("lang").agg(F.sum("n_docs").cast("double").alias("tot"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "predicted",
+        "n_docs",
+        round_det(F.col("n_docs") / F.col("tot"), 4).alias("lang_share"),
+    )
