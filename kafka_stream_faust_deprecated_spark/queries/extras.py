@@ -3339,12 +3339,12 @@ def _weighted_sample_oracle() -> str:
     )
     return f"""
 WITH k AS (
-    SELECT doc_id, n_chars, ln({u}) / n_chars AS key_raw
+    SELECT doc_id, n_chars, ln(-ln({u})) - ln(n_chars) AS key_raw
     FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, {sql_round_det("key_raw", 6)} AS sel_key
 FROM k
-ORDER BY {sql_round_det("key_raw", 6)} DESC, doc_id
+ORDER BY {sql_round_det("key_raw", 6)} ASC, doc_id
 LIMIT {SAMPLE_WEIGHTED_K}
 """
 
@@ -3357,11 +3357,20 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (Efraimidis–Spirakis): each document draws a reproducible
     uniform u from md5(doc_id) (hex window 9-16, disjoint from the
     mixture sampler's window 1-8 so the two samplers are independent)
-    and is ranked by ln(u)/weight with weight = n_chars — the top-k of
-    that key IS an exact weighted sample, with zero RNG state and
-    identical output on any cluster size or partition layout. This is
-    the quality-weighted subset selection a curation pipeline runs to
-    pick a fixed-budget eval or annotation set.
+    and the BEST k keys win — an exact weighted sample with zero RNG
+    state and identical output on any cluster size or partition
+    layout. This is the quality-weighted subset selection a curation
+    pipeline runs to pick a fixed-budget eval or annotation set.
+
+    The key is ranked in LOG-MAGNITUDE form, ln(-ln u) - ln(weight)
+    ascending (a monotone transform of the textbook ln(u)/weight
+    descending): the raw key's winners crowd toward 0 as ~1/(N·w̄), so
+    any fixed decimal rounding of it collapses the head of the
+    distribution into ties at scale, while the log form keeps ~1e-6
+    RELATIVE resolution at every corpus size — the 6-dp rounding
+    contract then only ever merges keys within 0.0001% of each other
+    (far below u's 32-bit entropy) instead of destroying the weighted
+    order entirely.
 
     Scale shape: the key is a per-row codegen expression and the top-k
     executes as TakeOrderedAndProject — per-partition size-k heaps
@@ -3375,37 +3384,57 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    key_r = round_det(F.log(u) / F.col("n_chars"), 6)
+    key_r = round_det(F.log(-F.log(u)) - F.log(F.col("n_chars")), 6)
     return (
         docs.where(F.col("n_chars") > 0)
         .select("doc_id", "n_chars", key_r.alias("sel_key"))
-        .orderBy(F.col("sel_key").desc(), "doc_id")
+        .orderBy(F.col("sel_key").asc(), "doc_id")
         .limit(SAMPLE_WEIGHTED_K)
     )
 
 
-#: Counter budget / emitted top-k for the heavy-hitters pair.
+#: Counter budget / emitted top-k / episode idle gap (seconds) for the
+#: heavy-hitters pair.
 HH_CAPACITY = 8
 HH_K = 5
+HH_HORIZON = 3600
 
 
 def _hh_oracle() -> str:
     return f"""
-WITH c AS (
-    SELECT user_id, event_type, count(*)::BIGINT AS est_count
-    FROM events GROUP BY 1, 2
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           epoch(date_trunc('second', ts))::BIGINT AS sec_ep
+    FROM events
 ),
-t AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1),
+b AS (
+    SELECT *, CASE WHEN lag(sec_ep) OVER w IS NULL
+                     OR sec_ep - lag(sec_ep) OVER w > {HH_HORIZON}
+                   THEN 1 ELSE 0 END AS brk
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec_ep, event_id)
+),
+s AS (
+    SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY sec_ep, event_id
+        ROWS UNBOUNDED PRECEDING
+    )::BIGINT AS episode
+    FROM b
+),
+c AS (SELECT user_id, episode, event_type, count(*)::BIGINT AS est_count
+      FROM s GROUP BY 1, 2, 3),
+t AS (SELECT user_id, episode, count(*)::BIGINT AS n_events
+      FROM s GROUP BY 1, 2),
 r AS (
-    SELECT user_id, event_type, est_count,
+    SELECT user_id, episode, event_type, est_count,
            row_number() OVER (
-               PARTITION BY user_id ORDER BY est_count DESC, event_type
+               PARTITION BY user_id, episode
+               ORDER BY est_count DESC, event_type
            ) AS rn
     FROM c
 )
-SELECT r.user_id AS user_id, event_type, est_count,
+SELECT r.user_id AS user_id, r.episode AS episode, event_type, est_count,
        0::BIGINT AS max_err, n_events, rn::INT AS rnk
-FROM r JOIN t ON r.user_id = t.user_id
+FROM r JOIN t ON r.user_id = t.user_id AND r.episode = t.episode
 WHERE rn <= {HH_K}
 """
 
@@ -3413,26 +3442,26 @@ WHERE rn <= {HH_K}
 @register("heavy_hitters_exact", oracle=_hh_oracle(), tags=("E7", "E12"))
 def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming Space-Saving heavy hitters
-    (streaming/heavy_hitters.py): exact per-user top-{HH_K} event
-    types with the sketch's deterministic tie-break (count desc, value
-    asc) and err = 0 — the ground truth the sketch's guarantees are
-    tested against, and the row-identical batch equivalent whenever no
-    user exceeds the {HH_CAPACITY}-counter budget (the events
-    fixture's type domain is under it, so this oracle-checked query IS
-    the streaming operator's on-time contract).
+    (streaming/heavy_hitters.py): exact per-(user, episode)
+    top-{HH_K} event types with the sketch's deterministic tie-break
+    (count desc, value asc) and err = 0, episodes derived from the
+    stream's own rule (new episode after a >{HH_HORIZON}s idle gap) —
+    the ground truth the sketch's guarantees are tested against, and
+    the row-identical batch equivalent whenever no episode exceeds the
+    {HH_CAPACITY}-counter budget.
 
-    Scale shape: one (user, type) count aggregate + a user-partitioned
-    rank window over the aggregated relation + a user-keyed totals
-    join — every exchange is keyed on user_id, so AQE co-partitions
-    the join with the window's distribution; nothing is global."""
+    Scale shape: ONE user-keyed sort exchange (the episode lag/cumsum
+    window) that the (user, episode)-keyed count aggregates, rank
+    window, and totals join all reuse via the ClusteredDistribution
+    subset rule — the sessionize_capped shape; nothing is global."""
     from kafka_stream_faust_deprecated_spark.streaming.heavy_hitters import (
         heavy_hitters_exact_df,
     )
 
     ev = load_table_parallel(spark, sf_dir, "events").select(
-        "user_id", "event_type"
+        "user_id", "event_id", "ts", "event_type"
     )
-    return heavy_hitters_exact_df(ev, k=HH_K)
+    return heavy_hitters_exact_df(ev, k=HH_K, horizon=HH_HORIZON)
 
 
 def _lang_confusion_oracle() -> str:

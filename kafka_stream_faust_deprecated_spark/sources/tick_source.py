@@ -6,16 +6,27 @@ twins; this source closes the remaining architectural gap — a SOURCE
 with partition-planned parallel reads and offset-tracked streaming
 replay, the two properties that define the Kafka connector contract:
 
-* **Partitioning**: symbol k is served by partition k mod P — exactly
-  Kafka's key-hash partition assignment, so per-symbol order is
-  preserved within a partition and the read parallelism is planned by
-  the source, not inherited from a file layout.
-* **Offsets**: the stream offset is a single monotone watermark-free
+* **Partitioning** (batch reader): symbol k is served by partition
+  k mod P — exactly Kafka's key-hash partition assignment, so
+  per-symbol order is preserved within a partition and the read
+  parallelism is planned by the source, not inherited from a file
+  layout.
+* **Offsets** (stream reader): the stream offset is a single monotone
   cursor ``{"second": n}`` (= seconds [0, n) emitted for every
-  symbol). ``read(partition)`` is a PURE FUNCTION of the partition
-  spec, so a checkpoint replay of any (start, end] range regenerates
-  byte-identical payloads — the property that makes Kafka offset
-  replay exactly-once downstream.
+  symbol). The stream reader is the ``SimpleDataSourceStreamReader``
+  variant DELIBERATELY: its ``read(start)`` receives the restored
+  offset every batch, so a query resumed from a checkpoint continues
+  from exactly where the offset log says — a cursor held only in
+  reader memory (the non-simple API's shape) would reset on restart
+  and re-emit committed ranges. Generation is a pure function of the
+  offset range, so ``readBetweenOffsets`` replay of any planned range
+  regenerates byte-identical payloads — the property that makes
+  offset replay exactly-once downstream. (A production connector
+  needing planned parallel reads per micro-batch implements the
+  partitioned ``streamReader`` against a system that, like Kafka,
+  answers "what is the latest offset" externally; this generator has
+  no external clock, so the restart-safe simple variant is the
+  correct one.)
 
 Rows are emitted in the WIRE format (one ``json`` string column, the
 reference's StockData record serialized exactly as its Kafka topic
@@ -38,8 +49,8 @@ from typing import Iterator, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: Fixed epoch so every read is reproducible (no wall clock anywhere).
@@ -121,27 +132,37 @@ class StockTickBatchReader(DataSourceReader):
         return partition.rows()
 
 
-class StockTickStreamReader(DataSourceStreamReader):
+class StockTickSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Restart-safe by construction: every ``read`` starts from the
+    offset Spark hands it (fresh start -> ``initialOffset``; restart ->
+    the checkpoint's last planned offset), never from reader memory."""
+
     def __init__(self, options: dict):
         self.o = _Opts(options)
-        self._cursor = 0
 
     def initialOffset(self) -> dict:
         return {"second": 0}
 
-    def latestOffset(self) -> dict:
-        self._cursor = min(self._cursor + self.o.rate, self.o.seconds)
-        return {"second": self._cursor}
+    def _rows(self, start: int, end: int) -> Iterator[Tuple[str]]:
+        # list-backed iterator: the engine's prefetch cache copy.copy()s
+        # it for replay, which a generator cannot support
+        return iter(
+            [
+                (tick_payload(k, i),)
+                for k in range(self.o.symbols)
+                for i in range(start, end)
+            ]
+        )
 
-    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        o = self.o
-        return [
-            _RangePartition(p, o.partitions, o.symbols, start["second"], end["second"])
-            for p in range(o.partitions)
-        ]
+    def read(self, start: dict) -> Tuple[Iterator[Tuple[str]], dict]:
+        s = start["second"]
+        e = min(s + self.o.rate, self.o.seconds)
+        return self._rows(s, e), {"second": max(s, e)}
 
-    def read(self, partition: _RangePartition) -> Iterator[Tuple[str]]:
-        return partition.rows()
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple[str]]:
+        # Replay of a planned-but-uncommitted batch after recovery:
+        # pure regeneration, byte-identical to the original read.
+        return self._rows(start["second"], end["second"])
 
     def commit(self, end: dict) -> None:
         # Nothing to clean up: regeneration is pure, like Kafka retention.
@@ -159,8 +180,8 @@ class StockTickDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return StockTickBatchReader(self.options)
 
-    def streamReader(self, schema) -> DataSourceStreamReader:
-        return StockTickStreamReader(self.options)
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return StockTickSimpleStreamReader(self.options)
 
 
 def register_tick_source(spark) -> None:

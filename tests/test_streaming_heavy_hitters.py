@@ -98,6 +98,17 @@ def _exact_fixture():
     return rows
 
 
+def _batch_twin(spark, fixture):
+    ev = spark.createDataFrame(
+        [
+            (u, eid, (T0 + timedelta(seconds=off)).replace(tzinfo=None), et)
+            for u, eid, off, et in fixture
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    return heavy_hitters_exact_df(ev, k=K, horizon=HORIZON)
+
+
 def test_exact_regime_matches_batch_twin(spark, tmp_path):
     fixture = _exact_fixture()
     got = _run(
@@ -109,13 +120,36 @@ def test_exact_regime_matches_batch_twin(spark, tmp_path):
     got_rows = sorted(
         tuple(r) for r in got if r["user_id"] in (1, 2)
     )
-    ev = spark.createDataFrame(
-        [(u, et) for u, _eid, _off, et in fixture],
-        "user_id long, event_type string",
-    )
-    want = sorted(tuple(r) for r in heavy_hitters_exact_df(ev, k=K).collect())
+    want = sorted(tuple(r) for r in _batch_twin(spark, fixture).collect())
     assert got_rows == want
-    assert all(r[3] == 0 for r in got_rows), "exact regime => err 0"
+    assert all(r[4] == 0 for r in got_rows), "exact regime => err 0"
+    assert all(r[1] == 1 for r in got_rows), "single burst => episode 1"
+
+
+def test_two_bursts_split_into_numbered_episodes(spark, tmp_path):
+    """A user active in two >horizon-separated bursts must yield TWO
+    well-defined summaries — episode 1 and 2, each row-identical to
+    the batch twin's episode derivation (no silent duplicate of one
+    per-user contract)."""
+    rows, eid = [], 0
+    for off, et in ((0, "a"), (10, "a"), (20, "b")):  # burst 1
+        eid += 1
+        rows.append((7, eid, off, et))
+    for off, et in ((500, "b"), (510, "b"), (520, "c")):  # burst 2
+        eid += 1
+        rows.append((7, eid, off, et))
+    got = _run(
+        spark,
+        tmp_path,
+        "hh_bursts",
+        [("f1.json", rows), ("f2.json", _flush(100_000))],
+    )
+    mine = sorted(tuple(r) for r in got if r["user_id"] == 7)
+    want = sorted(tuple(r) for r in _batch_twin(spark, rows).collect())
+    assert mine == want
+    assert {r[1] for r in mine} == {1, 2}
+    ep1 = [r for r in mine if r[1] == 1]
+    assert all(r[5] == 3 for r in ep1), "episode 1 counts only burst 1"
 
 
 def test_overflow_regime_space_saving_guarantees(spark, tmp_path):

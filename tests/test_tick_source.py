@@ -123,6 +123,47 @@ def test_stream_equals_batch_payloads(spark, tmp_path):
     assert got == want, "offset-ranged replay must regenerate the batch set"
 
 
+def test_checkpoint_restart_continues_from_committed_offset(spark, tmp_path):
+    """The Kafka-restart property: a second query on the SAME checkpoint
+    (fresh reader instance, raised cap) must resume from the committed
+    cursor — no re-emission of phase-1 ranges, no gaps."""
+    register_tick_source(spark)
+    ckpt = str(tmp_path / "ckpt_shared")
+    out = str(tmp_path / "out")
+
+    def _phase(seconds):
+        df = (
+            spark.readStream.format("stock_ticks")
+            .option("symbols", str(SYMBOLS))
+            .option("seconds", str(seconds))
+            .option("partitions", str(PARTS))
+            .option("rate", "7")
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [r.json for r in spark.read.parquet(out).collect()]
+
+    first = _phase(20)
+    total = _phase(45)  # same checkpoint, fresh reader, raised cap
+    assert sorted(first) == sorted(
+        tick_payload(k, i) for k in range(SYMBOLS) for i in range(20)
+    )
+    assert sorted(total) == sorted(
+        tick_payload(k, i) for k in range(SYMBOLS) for i in range(45)
+    ), "restart must append exactly the post-checkpoint range: no dups, no gaps"
+
+
 def test_stream_sma_pipeline_matches_batch_twin(spark, tmp_path):
     """End to end: custom source -> JVM JSON decode -> watermarked
     sliding window -> exactly-5 gate, streaming vs batch twin. Append
