@@ -171,11 +171,12 @@ def heavy_hitters_stateful(
     horizon: int = 60,
     watermark: str = "10 seconds",
 ) -> DataFrame:
-    """Streaming-only: per-user top-k event types under a
+    """Streaming-only: per-(user, episode) top-k event types under a
     ``capacity``-counter Space-Saving budget. ``events`` must be a
     streaming DataFrame with columns (user_id, event_id, ts,
-    event_type); each user's summary emits once, ``horizon`` seconds
-    of event time after their last event."""
+    event_type); an episode's summary emits once it closes — a
+    >``horizon``-second event-time gap in the data, or the watermark
+    passing ``last_event + horizon``."""
     ev = events.withColumn("ts", F.date_trunc("second", F.col("ts")))
     ev = ev.withWatermark("ts", watermark)
     return ev.groupBy("user_id").applyInPandasWithState(
