@@ -109,6 +109,25 @@ def _batch_twin(spark, fixture):
     return heavy_hitters_exact_df(ev, k=K, horizon=HORIZON)
 
 
+def test_sketch_state_is_capacity_bounded():
+    """The whole point of the sketch: state NEVER exceeds the counter
+    budget, no matter how many distinct values stream past (pure
+    Python — exercises _update directly with 10k distinct values)."""
+    from kafka_stream_faust_deprecated_spark.streaming.heavy_hitters import (
+        _update,
+    )
+
+    sketch = {"c": {}, "n": 0}
+    for i in range(10_000):
+        _update(sketch, f"v{i % 3000:04d}", CAPACITY)
+        assert len(sketch["c"]) <= CAPACITY
+    assert sketch["n"] == 10_000
+    # total mass conservation: counts sum to n exactly (every eviction
+    # transfers the victim's count into the successor)
+    assert sum(c for c, _e in sketch["c"].values()) <= 10_000
+    assert all(e < c for c, e in sketch["c"].values())
+
+
 def test_exact_regime_matches_batch_twin(spark, tmp_path):
     fixture = _exact_fixture()
     got = _run(
