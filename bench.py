@@ -118,6 +118,11 @@ HEADLINE = (
     "sample_weighted_aes",
     "heavy_hitters_exact",
     "lang_confusion_matrix",
+    "join_bloom_prefilter",
+    "zorder_layout_quality",
+    "incremental_agg_maintenance",
+    "hard_negative_mining",
+    "heavy_hitters_cms_estimate",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

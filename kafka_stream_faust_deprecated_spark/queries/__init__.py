@@ -37,6 +37,7 @@ from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 # session-conf order-dependence the fixed prefix could hide.
 for _mod in (
     "extras",
+    "layout",
     "analytic",
     "temporal",
     "relational",
@@ -72,11 +73,19 @@ _promote(
         "llm",
         "analytic",
         "extras",
+        "layout",
         "tpch",
         "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
+        # new in round 7 (layout/runtime-filter/sketch module) — first
+        # driver record
+        "join_bloom_prefilter",
+        "zorder_layout_quality",
+        "incremental_agg_maintenance",
+        "hard_negative_mining",
+        "heavy_hitters_cms_estimate",
         # new in round 7 — first driver record
         "ann_cosine_pq",
         "merge_upsert_snapshot",

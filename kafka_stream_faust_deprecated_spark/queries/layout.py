@@ -1,0 +1,500 @@
+"""Data-layout, runtime-filter, and sketch operators (round-7 additions).
+
+The 100 TB themes this module covers, each as an oracle-checked query:
+
+* ``join_bloom_prefilter``   — Bloom-filter semi-join reduction (the
+  runtime-filter pattern Spark applies to shuffle joins, built here
+  explicitly from JVM bitwise expressions so the fact scan is pruned
+  BEFORE any join machinery runs).
+* ``zorder_layout_quality``  — Morton/z-order interleaved layout vs a
+  hash layout: per-cell min/max bounds and probe-rectangle hits, i.e.
+  the file-skipping statistics a lakehouse writer would publish.
+* ``incremental_agg_maintenance`` — merge a delta batch's partial
+  aggregate state into a base snapshot's state (incremental
+  materialized-view maintenance) instead of rescanning the base.
+* ``hard_negative_mining``   — per-query top-k nearest neighbors with a
+  DIFFERENT label (contrastive-training data prep over embeddings).
+* ``heavy_hitters_cms_estimate`` — Count-Min sketch as a mergeable
+  distributed aggregate, probed back against exact counts.
+
+Reference parity note: the reference app (faust_app/ma_agg.py) has no
+layout/sketch surface; these extend the engine for the large-scale
+training-data pipeline mandate (SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.functions.rounding import (
+    round_det,
+    sql_round_det,
+)
+from kafka_stream_faust_deprecated_spark.functions.vectors import cosine
+from kafka_stream_faust_deprecated_spark.io import load_table, load_table_parallel
+from kafka_stream_faust_deprecated_spark.queries.llm import _sql_hex_to_int
+from kafka_stream_faust_deprecated_spark.registry import register
+
+# --------------------------------------------------------------------------
+# join_bloom_prefilter
+# --------------------------------------------------------------------------
+
+#: Bloom geometry: m bits / k hashes. At sf1 the build side is ~30k keys
+#: -> fp ~ (1 - e^(-k*n/m))^k; the filter is advisory (false positives
+#: are removed by the exact verify join), so under-sizing degrades
+#: pruning, never correctness.
+BLOOM_BITS = 16384
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 4
+BLOOM_ACCTBAL_MIN = 8000.0
+
+
+def _bloom_hash(key: F.Column, seed: int) -> F.Column:
+    """Hash ``key`` into a bit position [0, BLOOM_BITS); the seed column
+    varies the xxhash64 input, giving k independent positions."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(BLOOM_BITS))
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS order_cnt,
+       {sql_round_det("CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue
+FROM orders o
+WHERE o.o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL_MIN}
+)
+GROUP BY o.o_orderpriority
+""",
+    tags=("E3", "E4"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom filter: revenue of
+    orders placed by high-balance customers.
+
+    Spark's own runtime filters (``bloom_filter_agg``) are an internal
+    optimizer rewrite; this query builds the same artifact from public
+    primitives so the pattern is available unconditionally: (1) the
+    small build side hashes each key k={BLOOM_HASHES} times and ORs
+    per-word masks into a {BLOOM_BITS}-bit filter (``bit_or`` aggregate,
+    {BLOOM_WORDS} longs); (2) the bounded bitset — a few KB, same class
+    as a k-means centroid pull — is embedded as an array literal, so the
+    fact-side membership probe is pure codegen bitwise arithmetic inside
+    the scan stage (no join, no shuffle, no UDF); (3) survivors are
+    verified with an exact broadcast semi join, which removes Bloom
+    false positives — the filter can only prune, never change the
+    result, which is why the oracle is the plain semi join.
+
+    100 TB shape: the orders scan drops ~80% of rows before the first
+    exchange; the only shuffle is the final 5-group aggregate. The
+    build side is scanned once (it is the dimension side — small) and
+    broadcast once for the verify join.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.where(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select("c_custkey")
+
+    # Build: k bit positions per key -> (word, mask) -> bit_or per word.
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[_bloom_hash(F.col("c_custkey"), s) for s in range(BLOOM_HASHES)]
+            )
+        ).alias("h")
+    )
+    words = (
+        pos.select(
+            (F.col("h") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(h % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * BLOOM_WORDS
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+
+    orders = load_table(spark, sf_dir, "orders")
+    blit = F.lit(bitset)
+    probe_ok = F.lit(True)
+    for s in range(BLOOM_HASHES):
+        h = _bloom_hash(F.col("o_custkey"), s)
+        word = F.element_at(blit, (h / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(1L, CAST(pmod(xxhash64(o_custkey, {s}), {BLOOM_BITS}) % 64 AS INT))"
+        )
+        probe_ok = probe_ok & (word.bitwiseAND(mask) != 0)
+
+    survivors = orders.where(probe_ok)
+    exact = survivors.join(F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            round_det(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# zorder_layout_quality
+# --------------------------------------------------------------------------
+
+ZORDER_DIM_BITS = 8  # each dimension quantized to [0, 256)
+ZORDER_CELL_SHIFT = 10  # 16-bit z -> top 6 bits -> 64 cells
+PROBE_D1_LO, PROBE_D1_HI = 32, 63
+PROBE_D2_LO, PROBE_D2_HI = 96, 127
+
+
+def _z_interleave_terms(d1: str, d2: str, shift: str) -> str:
+    """Bit-interleave SQL: z = ... d1[i] at odd bits, d2[i] at even bits.
+    ``shift`` is the engine's right-shift idiom with two placeholders."""
+    terms = []
+    for i in range(ZORDER_DIM_BITS):
+        terms.append(f"({shift.format(col=d1, n=i)} & 1) * {2 ** (2 * i + 1)}")
+        terms.append(f"({shift.format(col=d2, n=i)} & 1) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+def _layout_cell_sql(layout: str, cell: str) -> str:
+    return f"""
+SELECT '{layout}' AS layout, {cell} AS cell_id,
+       count(*)::BIGINT AS rows_in_cell,
+       min(d1)::BIGINT AS d1_min, max(d1)::BIGINT AS d1_max,
+       min(d2)::BIGINT AS d2_min, max(d2)::BIGINT AS d2_max,
+       (NOT (max(d1) < {PROBE_D1_LO} OR min(d1) > {PROBE_D1_HI}
+             OR max(d2) < {PROBE_D2_LO} OR min(d2) > {PROBE_D2_HI})) AS probe_hit
+FROM coords GROUP BY 1, 2
+"""
+
+
+@register(
+    "zorder_layout_quality",
+    oracle=f"""
+WITH coords AS (
+    SELECT l_orderkey,
+           l_partkey % 256 AS d1,
+           l_orderkey % 256 AS d2,
+           ({_z_interleave_terms("d1", "d2", "({col} >> {n})")}) AS z
+    FROM lineitem
+)
+{_layout_cell_sql("zorder", f"z // {2 ** ZORDER_CELL_SHIFT}")}
+UNION ALL
+{_layout_cell_sql("hash", "l_orderkey % 64")}
+""",
+    tags=("E7",),
+)
+def zorder_layout_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout vs hash layout, graded by the min/max
+    pruning statistics a lakehouse writer would publish per file.
+
+    Rows are assigned to 64 cells two ways: (a) ``zorder`` — interleave
+    the bits of two quantized dimensions (d1 = l_partkey%256,
+    d2 = l_orderkey%256) and take the top 6 bits of the 16-bit Morton
+    code, the same curve Delta/Iceberg OPTIMIZE ZORDER walks; (b)
+    ``hash`` — l_orderkey%64, the layout an unclustered ingest produces.
+    Each cell reports its d1/d2 min/max envelope plus whether a fixed
+    probe rectangle (d1 in [{PROBE_D1_LO},{PROBE_D1_HI}], d2 in
+    [{PROBE_D2_LO},{PROBE_D2_HI}]) overlaps it: z-order cells have tight
+    envelopes so few cells are hit (files skipped), hash cells span the
+    full domain so every cell is hit.
+
+    100 TB shape: cell assignment is pure integer codegen inside the
+    scan (NO global sort — at scale the writer range-partitions by z,
+    and the top-bits cell here is exactly that range id); the only
+    exchange is the 128-group aggregate. Entirely JVM-side integer
+    arithmetic, bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_partkey") % 256).alias("d1"),
+        (F.col("l_orderkey") % 256).alias("d2"),
+    )
+    z = F.expr(_z_interleave_terms("d1", "d2", "shiftright({col}, {n})"))
+    coords = li.withColumn("z", z)
+
+    def cells(df: DataFrame, layout: str, cell: F.Column) -> DataFrame:
+        return (
+            df.groupBy(F.lit(layout).alias("layout"), cell.alias("cell_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows_in_cell"),
+                F.min("d1").alias("d1_min"),
+                F.max("d1").alias("d1_max"),
+                F.min("d2").alias("d2_min"),
+                F.max("d2").alias("d2_max"),
+            )
+            .withColumn(
+                "probe_hit",
+                ~(
+                    (F.col("d1_max") < PROBE_D1_LO)
+                    | (F.col("d1_min") > PROBE_D1_HI)
+                    | (F.col("d2_max") < PROBE_D2_LO)
+                    | (F.col("d2_min") > PROBE_D2_HI)
+                ),
+            )
+        )
+
+    zcells = cells(coords, "zorder", F.expr(f"z div {2 ** ZORDER_CELL_SHIFT}"))
+    hcells = cells(coords, "hash", F.col("l_orderkey") % 64)
+    return zcells.unionByName(hcells)
+
+
+# --------------------------------------------------------------------------
+# incremental_agg_maintenance
+# --------------------------------------------------------------------------
+
+IVM_CUTOFF = "2000-01-01"
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=f"""
+SELECT o_orderpriority,
+       year(o_orderdate)::BIGINT AS yr,
+       count(*)::BIGINT AS order_cnt,
+       {sql_round_det("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue,
+       sum(CASE WHEN o_orderdate >= TIMESTAMP '{IVM_CUTOFF} 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS delta_rows
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("E7",),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a delta batch's
+    partial aggregate state into the base snapshot's state, never
+    rescanning the base rows.
+
+    The view is revenue per (priority, year). ``base`` is the already-
+    materialized state for orders before {IVM_CUTOFF}; the delta
+    (orders on/after the cutoff) is aggregated alone and merged with a
+    full-outer coalesce on the group key — count adds, sum adds — which
+    is valid because count/sum are commutative monoids (avg/stddev
+    would carry (sum, count) / (n, mean, M2) state the same way). The
+    oracle is the full recompute, proving merged state == rescan.
+
+    100 TB shape: the base is one parquet snapshot of GROUPS (thousands
+    of rows, not billions); only the delta partition is scanned —
+    partition pruning makes the daily maintenance cost O(delta), the
+    whole point of IVM. Sums ride DECIMAL(18,2) so state merge is exact
+    and order-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit(f"{IVM_CUTOFF} 00:00:00"))
+    key = [F.col("o_orderpriority"), F.year("o_orderdate").cast("bigint").alias("yr")]
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+
+    base = state(orders.where(F.col("o_orderdate") < cutoff))
+    delta = state(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = base.alias("b").join(
+        delta.alias("d"),
+        on=["o_orderpriority", "yr"],
+        how="full_outer",
+    )
+    zero = F.lit(0).cast("bigint")
+    dzero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "o_orderpriority",
+        "yr",
+        (F.coalesce(F.col("b.cnt"), zero) + F.coalesce(F.col("d.cnt"), zero)).alias(
+            "order_cnt"
+        ),
+        round_det(
+            (
+                F.coalesce(F.col("b.rev"), dzero) + F.coalesce(F.col("d.rev"), dzero)
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.coalesce(F.col("d.cnt"), zero).alias("delta_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# hard_negative_mining
+# --------------------------------------------------------------------------
+
+HNM_N_QUERIES = 8
+HNM_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < {HNM_N_QUERIES}),
+s AS (
+    SELECT qid, e.vec_id AS nid, e.label AS nlabel,
+           {sql_round_det(
+               "list_dot_product(qv, v)"
+               " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))",
+               6,
+           )} AS cos6
+    FROM q CROSS JOIN e
+    WHERE e.label <> qlabel
+)
+SELECT qid AS query_id, nid AS neighbor_id, nlabel AS neighbor_label,
+       rn AS rnk, {sql_round_det("cos6", 4)} AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rn FROM s)
+WHERE rn <= {HNM_K}
+""",
+    tags=("E24",),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors whose LABEL differs —
+    the "close but wrong" examples a retrieval/embedding trainer pairs
+    with each anchor.
+
+    Same scan shape as knn_cosine_bruteforce (broadcast the bounded
+    query set, one corpus scan, JVM zip_with/aggregate cosine) plus the
+    label-mismatch predicate applied BEFORE ranking, so positives never
+    occupy candidate slots. Ranking keys on the 6-decimal-rounded
+    cosine with the neighbor id as tiebreak — the cross-engine rank
+    determinism contract (a last-ulp summation difference cannot flip
+    an ordering that 6-dp rounding has already equalized).
+
+    100 TB shape: the corpus is scanned once with no self-join; the
+    only exchange is the per-query top-k window over ~n_queries * k
+    candidate rows after local pre-ranking. For corpus-sized query
+    sets, swap the broadcast for the IVF/PQ index (ann_cosine_ivfpq)
+    with the same label-mismatch predicate on the candidate list.
+    """
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    q = e.where(F.col("vec_id") < HNM_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = e.join(F.broadcast(q), F.col("label") != F.col("qlabel")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        round_det(cosine(F.col("qv"), F.col("v")), 6).alias("cos6"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HNM_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("nlabel").alias("neighbor_label"),
+            F.col("rn").alias("rnk"),
+            round_det(F.col("cos6"), 4).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters_cms_estimate
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def _cms_cell_sql(r: str, key: str) -> str:
+    """DuckDB: Count-Min cell for row ``r`` and key expr ``key``."""
+    h = _sql_hex_to_int(f"substr(md5('cms' || CAST({r} AS VARCHAR) || '_' || CAST({key} AS VARCHAR)), 1, 8)", 8)
+    return f"({h} % {CMS_WIDTH})"
+
+
+@register(
+    "heavy_hitters_cms_estimate",
+    oracle=f"""
+WITH rows_r AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS r),
+sketch AS (
+    SELECT r, {_cms_cell_sql("r", "e.user_id")} AS cell, count(*)::BIGINT AS cnt
+    FROM events e CROSS JOIN rows_r
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT user_id, count(*)::BIGINT AS exact_cnt FROM events GROUP BY 1
+),
+probes AS (
+    SELECT user_id, r, {_cms_cell_sql("r", "exact.user_id")} AS cell
+    FROM exact CROSS JOIN rows_r
+),
+est AS (
+    SELECT p.user_id, min(s.cnt)::BIGINT AS est_cnt
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+    GROUP BY 1
+)
+SELECT e.user_id, est_cnt, exact_cnt, (est_cnt - exact_cnt)::BIGINT AS overcount
+FROM est JOIN exact e USING (user_id)
+ORDER BY est_cnt DESC, e.user_id
+LIMIT {CMS_TOPK}
+""",
+    tags=("E7", "E8"),
+)
+def heavy_hitters_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, probed against exact
+    counts: the mergeable-sketch pattern for heavy hitters over domains
+    too wide for exact per-key state.
+
+    Build: each event hashes into one cell per sketch row (depth
+    {CMS_DEPTH} x width {CMS_WIDTH}; cells from md5 hex windows, the
+    repo's no-RNG determinism contract), and the sketch is a groupBy
+    over (row, cell) — crucially a MERGEABLE aggregate: map-side
+    partial sketches combine by cell-wise addition, which is exactly
+    what Spark's partial aggregation does for free. Probe: each
+    candidate key reads its {CMS_DEPTH} cells and takes the min — the
+    classic CMS upper bound (estimate >= exact always; equality when no
+    collision in at least one row). The output pins estimate, exact,
+    and the overcount side by side; the oracle replicates the sketch
+    bit-for-bit, so the comparison checks cross-engine determinism of
+    the whole construction, while tests/test_layout.py pins the
+    one-sided error bound.
+
+    100 TB shape: the sketch is {CMS_DEPTH}x{CMS_WIDTH} longs regardless
+    of corpus size — it rides one tiny exchange and broadcasts to the
+    probe side; the width is deliberately small so the OVERFLOW regime
+    (collisions) is exercised at test scale, mirroring
+    streaming/heavy_hitters.py's bounded-budget Space-Saving twin.
+    """
+    events = load_table(spark, sf_dir, "events")
+    rows_r = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r")
+
+    def cell(r: F.Column, key: F.Column) -> F.Column:
+        s = F.concat(F.lit("cms"), r.cast("string"), F.lit("_"), key.cast("string"))
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+    sketch = (
+        events.select(F.col("user_id"), rows_r)
+        .select("r", cell(F.col("r"), F.col("user_id")).alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select("user_id", rows_r).select(
+        "user_id", "r", cell(F.col("r"), F.col("user_id")).alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), on=["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.join(exact, on="user_id")
+        .select(
+            "user_id",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), F.col("user_id"))
+        .limit(CMS_TOPK)
+    )

@@ -1,0 +1,151 @@
+"""Property tests for the layout/runtime-filter/sketch module
+(queries/layout.py) — the VALUE equivalence is the oracle harness's job
+(tests/test_oracle.py runs every registered query differentially); these
+pin the operator-specific guarantees the oracle comparison cannot see:
+Bloom pruning actually prunes, z-order envelopes actually skip, CMS
+error is one-sided, hard negatives never share the anchor's label.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.io import load_table
+from kafka_stream_faust_deprecated_spark.queries import layout as L
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_prefilter_prunes_but_never_drops(spark):
+    """The Bloom probe must pass EVERY true match (no false negatives —
+    correctness) while rejecting a substantial share of non-matches
+    (pruning — the reason the pattern exists)."""
+    cust = load_table(spark, SF_DIR, "customer")
+    keys = cust.where(F.col("c_acctbal") > L.BLOOM_ACCTBAL_MIN).select("c_custkey")
+    orders = load_table(spark, SF_DIR, "orders")
+    n_orders = orders.count()
+    n_true = orders.join(
+        F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).count()
+
+    # Reconstruct the probe the query runs internally: survivors =
+    # orders passing the bitset membership test.
+    df = L.join_bloom_prefilter(spark, SF_DIR)
+    total_kept = df.agg(F.sum("order_cnt")).collect()[0][0] or 0
+    assert total_kept == n_true, "Bloom pipeline changed the exact result"
+
+    # Pruning: with ~20% of customers on the build side, the filter
+    # must reject a meaningful share of the fact table (fp rate at this
+    # geometry is percent-level; anything >60% kept means it's inert).
+    assert 0 < n_true < n_orders
+    # m/k sized so false positives stay a small fraction of true hits
+    # at test scale: kept-by-bloom is checked inside the query via the
+    # verify join; here we check the final result is strictly selective.
+    assert total_kept < 0.6 * n_orders
+
+
+# --------------------------------------------------------------- zorder
+
+
+@pytest.fixture(scope="module")
+def zcells(spark):
+    rows = L.zorder_layout_quality(spark, SF_DIR).collect()
+    return [r.asDict() for r in rows]
+
+
+def test_zorder_probe_hits_fewer_cells_than_hash(zcells):
+    """The entire point of the curve: the probe rectangle overlaps few
+    z-order cell envelopes but (essentially) every hash-layout cell."""
+    zhit = sum(1 for r in zcells if r["layout"] == "zorder" and r["probe_hit"])
+    ztot = sum(1 for r in zcells if r["layout"] == "zorder")
+    hhit = sum(1 for r in zcells if r["layout"] == "hash" and r["probe_hit"])
+    htot = sum(1 for r in zcells if r["layout"] == "hash")
+    assert ztot and htot
+    assert zhit / ztot < 0.5 < hhit / htot, (zhit, ztot, hhit, htot)
+
+
+def test_zorder_envelopes_tighter_than_hash(zcells):
+    """Mean per-cell d1-span (d2 carries z's even bits too) must be
+    materially tighter under z-order than under the hash layout."""
+    def mean_span(layout, lo, hi):
+        spans = [
+            (r[hi] - r[lo])
+            for r in zcells
+            if r["layout"] == layout and r["rows_in_cell"] > 1
+        ]
+        return sum(spans) / len(spans)
+
+    assert mean_span("zorder", "d1_min", "d1_max") < 0.7 * mean_span(
+        "hash", "d1_min", "d1_max"
+    )
+
+
+# ------------------------------------------------------------------ ivm
+
+
+def test_incremental_merge_counts_delta(spark):
+    """delta_rows must reconcile exactly with a direct count of the
+    post-cutoff orders — the incremental path covered every delta row."""
+    df = L.incremental_agg_maintenance(spark, SF_DIR)
+    got = df.agg(F.sum("delta_rows")).collect()[0][0] or 0
+    orders = load_table(spark, SF_DIR, "orders")
+    want = orders.where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(f"{L.IVM_CUTOFF} 00:00:00"))
+    ).count()
+    assert got == want
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_never_share_anchor_label(spark):
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id"), F.col("label")
+    )
+    out = L.hard_negative_mining(spark, SF_DIR)
+    joined = (
+        out.join(e, out.query_id == e.vec_id)
+        .select("query_id", "neighbor_label", F.col("label").alias("anchor_label"))
+        .collect()
+    )
+    assert joined, "expected candidates at test scale"
+    assert all(r["neighbor_label"] != r["anchor_label"] for r in joined)
+
+
+def test_hard_negative_ranks_contiguous(spark):
+    out = L.hard_negative_mining(spark, SF_DIR).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (q, rnks)
+        assert len(rnks) <= L.HNM_K
+
+
+# ------------------------------------------------------------------ cms
+
+
+def test_cms_error_is_one_sided(spark):
+    """Count-Min never underestimates: est >= exact for every key, and
+    the deliberately narrow width must actually exercise collisions
+    OR match exactly (tiny fixtures may dodge them) — assert the bound,
+    record the regime."""
+    rows = L.heavy_hitters_cms_estimate(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+    assert all(r["overcount"] == r["est_cnt"] - r["exact_cnt"] for r in rows)
+
+
+def test_cms_top1_is_true_heavy_hitter(spark):
+    """CMS's guarantee for heavy hitters: the true top key's estimate
+    can't be beaten by more than the collision mass — at this width the
+    reported top estimate must be >= the true max frequency."""
+    events = load_table(spark, SF_DIR, "events")
+    true_max = (
+        events.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    rows = L.heavy_hitters_cms_estimate(spark, SF_DIR).collect()
+    assert max(r["est_cnt"] for r in rows) >= true_max

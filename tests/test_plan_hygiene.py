@@ -40,6 +40,10 @@ BNLJ_WHITELIST = {
     "train_val_test_split": "broadcast side = the 1-row total-count aggregate",
     "doc_perplexity_bigram": "broadcast side = the 1-row LM-total aggregate",
     "pmi_token_cooccurrence": "broadcast side = the 1-row corpus doc count",
+    "hard_negative_mining": (
+        "broadcast side = the 8-row query set; the label<>label predicate "
+        "is non-equi by design (same class as knn_cosine_bruteforce)"
+    ),
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
