@@ -123,6 +123,9 @@ HEADLINE = (
     "incremental_agg_maintenance",
     "hard_negative_mining",
     "heavy_hitters_cms_estimate",
+    "interval_coverage_islands",
+    "embedding_pca_power_iteration",
+    "vocab_oov_coverage",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

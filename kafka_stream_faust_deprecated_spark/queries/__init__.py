@@ -86,6 +86,9 @@ _promote(
         "incremental_agg_maintenance",
         "hard_negative_mining",
         "heavy_hitters_cms_estimate",
+        "interval_coverage_islands",
+        "embedding_pca_power_iteration",
+        "vocab_oov_coverage",
         # new in round 7 — first driver record
         "ann_cosine_pq",
         "merge_upsert_snapshot",

@@ -31,7 +31,7 @@ from kafka_stream_faust_deprecated_spark.functions.rounding import (
     round_det,
     sql_round_det,
 )
-from kafka_stream_faust_deprecated_spark.functions.vectors import cosine
+from kafka_stream_faust_deprecated_spark.functions.vectors import cosine, dot
 from kafka_stream_faust_deprecated_spark.io import load_table, load_table_parallel
 from kafka_stream_faust_deprecated_spark.queries.llm import _sql_hex_to_int
 from kafka_stream_faust_deprecated_spark.registry import register
@@ -497,4 +497,303 @@ def heavy_hitters_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("est_cnt").desc(), F.col("user_id"))
         .limit(CMS_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# interval_coverage_islands
+# --------------------------------------------------------------------------
+
+#: Each event opens a fixed activity interval [ts, ts + 5 min).
+ISLAND_SPAN_US = 300_000_000
+
+
+@register(
+    "interval_coverage_islands",
+    oracle=f"""
+WITH iv AS (
+    SELECT user_id, event_id,
+           epoch_us(ts)::BIGINT AS t0,
+           epoch_us(ts)::BIGINT + {ISLAND_SPAN_US} AS t1
+    FROM events
+),
+fl AS (
+    SELECT *, CASE WHEN max(t1) OVER w IS NULL OR t0 > max(t1) OVER w
+                   THEN 1 ELSE 0 END AS ni
+    FROM iv
+    WINDOW w AS (PARTITION BY user_id ORDER BY t0, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+    SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY t0, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM fl
+),
+g AS (
+    SELECT user_id, island, min(t0) AS s, max(t1) AS e, count(*) AS c
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_islands,
+       sum(e - s)::BIGINT AS covered_us,
+       max(e - s)::BIGINT AS max_island_us,
+       sum(c)::BIGINT AS n_events
+FROM g GROUP BY 1
+""",
+    tags=("E10", "E19"),
+)
+def interval_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands): merge each user's overlapping
+    activity intervals [ts, ts+5min) into maximal islands and report
+    coverage — the classic uptime / active-time computation that naive
+    ``count(distinct minute)`` approximations get wrong at the edges.
+
+    The merge is the running-max trick: sorted by start within the
+    user, a row opens a NEW island iff its start exceeds the max end
+    among all earlier rows; the island id is the running sum of those
+    flags. Timestamps ride microsecond integers (unix_micros ↔
+    epoch_us) so every duration is exact BIGINT arithmetic — no float,
+    no truncation divergence between engines.
+
+    100 TB shape: ONE exchange on user_id feeds both windows and the
+    island aggregate (same partitioning reused across all three
+    stages); group size is a user's event count, never the corpus.
+    Distinct from sessionize_capped: that op CUTS sessions by gap/cap
+    for downstream grouping, this one UNIONS intervals for coverage
+    measurement (different algebra: max-end monotone merge vs gap
+    split).
+    """
+    from pyspark.sql.window import Window
+
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it and a cast to
+    # TIMESTAMP would inject the session timezone (DST would bend
+    # island boundaries). timestampdiff against the NTZ epoch is pure
+    # calendar arithmetic — bit-identical to DuckDB's naive epoch_us
+    # under ANY session/machine timezone.
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us.alias("t0"),
+        (epoch_us + ISLAND_SPAN_US).alias("t1"),
+    )
+    order = Window.partitionBy("user_id").orderBy("t0", "event_id")
+    prev_max = F.max("t1").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "ni",
+        F.when(prev_max.isNull() | (F.col("t0") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("ni").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("t0").alias("s"), F.max("t1").alias("e"), F.count(F.lit(1)).alias("c")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+        F.max(F.col("e") - F.col("s")).alias("max_island_us"),
+        F.sum("c").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_pca_power_iteration
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def _round_det_py(x: float, digits: int) -> float:
+    """Python twin of round_det/sql_round_det (floor(x*s+0.5)/s) so the
+    driver-side normalization step uses the exact same rounding the two
+    engines apply — NOT Python's banker's ``round``."""
+    import math as _math
+
+    s = float(10**digits)
+    return _math.floor(x * s + 0.5) / s
+
+
+def _pca_v0(dim: int) -> list[float]:
+    import math as _math
+
+    return [_round_det_py(1.0 / _math.sqrt(dim), 6)] * dim
+
+
+def _pca_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import EMBED_DIM
+
+    v0 = _pca_v0(EMBED_DIM)
+    v0_sql = "SELECT j, CASE " + " ".join(
+        # all components equal: one literal, but keep the per-j CASE
+        # shape trivial
+        [f"WHEN TRUE THEN {v0[0]!r}"]
+    ) + " END AS vj FROM js"
+    chain = [
+        f"js AS (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS j)",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"v0 AS ({v0_sql})",
+    ]
+    prev = "v0"
+    for it in range(1, PCA_ITERS + 1):
+        chain.append(
+            f"d{it} AS (SELECT x, list_dot_product(x, "
+            f"(SELECT list(vj ORDER BY j) FROM {prev})) AS d FROM e)"
+        )
+        chain.append(
+            f"w{it} AS (SELECT j, "
+            + sql_round_det("sum(x[j + 1] * d)", 6)
+            + f" AS w FROM d{it} CROSS JOIN js GROUP BY j)"
+        )
+        chain.append(
+            f"v{it} AS (SELECT j, "
+            + sql_round_det(f"w / (SELECT sqrt(sum(w * w)) FROM w{it})", 6)
+            + f" AS vj FROM w{it})"
+        )
+        prev = f"v{it}"
+    last = PCA_ITERS
+    return (
+        "WITH " + ",\n".join(chain) + f"""
+SELECT j::BIGINT AS component, {sql_round_det("vj", 4)} AS loading,
+       {sql_round_det(f"(SELECT sqrt(sum(w * w)) FROM w{last})", 4)} AS eigval
+FROM v{last}
+"""
+    )
+
+
+@register("embedding_pca_power_iteration", oracle=_pca_oracle(), tags=("E24",))
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by {PCA_ITERS}
+    power-iteration steps: v <- normalize(X^T X v), the dominant
+    eigenvector of the (uncentered) Gram matrix — the whitening /
+    anisotropy diagnostic an embedding pipeline runs before indexing
+    (dominant-direction removal is the standard fix for anisotropic
+    embedding spaces).
+
+    Iterative-algorithm pattern, same as kmeans_train_3iter: driver
+    state is the dim-length direction vector (a few hundred bytes)
+    pulled per iteration; each iteration is ONE corpus scan — the
+    per-row dot product against the literal v rides codegen, and the
+    component sums are a posexplode + 64-group aggregate with map-side
+    combine. Cross-engine determinism via the repo's rounding contract:
+    component sums and the normalized vector are rounded to 6 decimals
+    each iteration in BOTH engines (and the driver-side normalize uses
+    the same floor(x*s+0.5)/s rule — not Python banker's rounding), so
+    the chained float state can never drift apart. The oracle replays
+    the whole loop as chained CTEs.
+
+    100 TB shape: per-iteration driver traffic is O(dim); the corpus
+    never shuffles (posexplode feeds a 64-key partial agg); iterations
+    are strictly sequential by nature of the algorithm.
+    """
+    import math as _math
+
+    from kafka_stream_faust_deprecated_spark.queries.llm import EMBED_DIM
+
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
+        F.col("embedding").alias("x")
+    )
+    v = _pca_v0(EMBED_DIM)
+    norm = 1.0
+    for _ in range(PCA_ITERS):
+        vlit = F.array(*[F.lit(c) for c in v])
+        d = e.select(F.col("x"), dot(F.col("x"), vlit).alias("d"))
+        w_rows = (
+            d.select(F.posexplode("x").alias("j", "xj"), "d")
+            .groupBy("j")
+            .agg(round_det(F.sum(F.col("xj").cast("double") * F.col("d")), 6).alias("w"))
+            .collect()
+        )
+        w = [0.0] * EMBED_DIM
+        for r in w_rows:
+            w[r["j"]] = r["w"]
+        norm = _math.sqrt(sum(c * c for c in w))
+        v = [_round_det_py(c / norm, 6) for c in w] if norm > 0 else v
+    out = [(j, _round_det_py(v[j], 4), _round_det_py(norm, 4)) for j in range(EMBED_DIM)]
+    return spark.createDataFrame(out, "component bigint, loading double, eigval double")
+
+
+# --------------------------------------------------------------------------
+# vocab_oov_coverage
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_V = 512
+
+
+def _oov_oracle() -> str:
+    from kafka_stream_faust_deprecated_spark.queries.llm import SQL_NORM
+
+    return f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split({SQL_NORM}, ' ')) AS w
+    FROM documents
+),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM cnt
+    ) WHERE rn <= {VOCAB_TOP_V}
+),
+tagged AS (
+    SELECT t.doc_id, t.source, t.w, (v.w IS NOT NULL) AS in_vocab
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+)
+SELECT source,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS total_tokens,
+       sum(CASE WHEN in_vocab THEN 0 ELSE 1 END)::BIGINT AS oov_tokens,
+       {sql_round_det("sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) / count(*)", 4)} AS oov_rate,
+       count(DISTINCT CASE WHEN NOT in_vocab THEN w END)::BIGINT AS oov_types
+FROM tagged
+GROUP BY 1
+"""
+
+
+@register("vocab_oov_coverage", oracle=_oov_oracle(), tags=("E25",))
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: derive the top-{VOCAB_TOP_V}
+    whitespace-token vocabulary from the corpus itself, then measure
+    each source's out-of-vocabulary token rate and OOV type count — the
+    pre-training check that a tokenizer's vocab actually covers every
+    source mix (a source with high OOV rate will fragment into bytes
+    and inflate its effective token cost).
+
+    Shape: one tokenize pass feeds a vocabulary-keyed count (map-side
+    combined); the top-V cut is a rank over the DISTINCT-TOKEN relation
+    (vocabulary-bounded, not corpus-bounded — the same class as
+    pmi_token_cooccurrence's support rank, whitelisted as such); the
+    membership tag is a broadcast left join of the V-row vocab against
+    the token stream; the final rollup is one source-keyed aggregate.
+    The corpus token stream is never re-shuffled — only counted.
+    """
+    from kafka_stream_faust_deprecated_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w")))
+        )
+        .where(F.col("rn") <= VOCAB_TOP_V)
+        .select("w")
+    )
+    tagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(True))), on="w", how="left"
+    ).withColumn("in_vocab", F.coalesce(F.col("in_vocab"), F.lit(False)))
+    oov = F.when(F.col("in_vocab"), 0).otherwise(1)
+    return tagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(oov).alias("oov_tokens"),
+        round_det(F.sum(oov) / F.count(F.lit(1)), 4).alias("oov_rate"),
+        F.countDistinct(F.when(~F.col("in_vocab"), F.col("w"))).alias("oov_types"),
     )

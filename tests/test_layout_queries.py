@@ -149,3 +149,84 @@ def test_cms_top1_is_true_heavy_hitter(spark):
     )
     rows = L.heavy_hitters_cms_estimate(spark, SF_DIR).collect()
     assert max(r["est_cnt"] for r in rows) >= true_max
+
+
+# -------------------------------------------------------------- islands
+
+
+def test_island_coverage_matches_bruteforce_merge(spark):
+    """Re-derive one user's islands with a plain Python sweep-line and
+    require exact agreement — the window formulation is subtle enough
+    (running max vs lag) to deserve a reference implementation."""
+    ev = load_table(spark, SF_DIR, "events")
+    rows = L.interval_coverage_islands(spark, SF_DIR).collect()
+    assert rows
+    by_user = {r["user_id"]: r for r in rows}
+    raw = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            ).alias("t0"),
+        ).collect()
+    )
+    per_user = {}
+    for r in raw:
+        per_user.setdefault(r["user_id"], []).append(r["t0"])
+    for uid, starts in per_user.items():
+        islands = []
+        for t0 in sorted(starts):
+            t1 = t0 + L.ISLAND_SPAN_US
+            if islands and t0 <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t1)
+            else:
+                islands.append([t0, t1])
+        got = by_user[uid]
+        assert got["n_islands"] == len(islands), uid
+        assert got["covered_us"] == sum(e - s for s, e in islands), uid
+        assert got["max_island_us"] == max(e - s for s, e in islands), uid
+        assert got["n_events"] == len(starts), uid
+
+
+# ------------------------------------------------------------------ pca
+
+
+def test_pca_direction_is_unit_and_dominant(spark):
+    """The returned direction must be (a) unit-norm, (b) a better
+    variance direction than the start vector — the monotone Rayleigh
+    improvement power iteration guarantees."""
+    import math
+
+    rows = L.embedding_pca_power_iteration(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    v = [0.0] * 64
+    for r in rows:
+        v[r["component"]] = r["loading"]
+    assert abs(math.sqrt(sum(c * c for c in v)) - 1.0) < 1e-3
+    assert rows[0]["eigval"] > 0
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = [list(map(float, r["embedding"])) for r in emb]
+    v0 = [1.0 / math.sqrt(64)] * 64
+
+    def rayleigh(u):
+        return sum(sum(x[j] * u[j] for j in range(64)) ** 2 for x in X)
+
+    assert rayleigh(v) >= rayleigh(v0) * 0.999
+
+
+# ------------------------------------------------------------------ oov
+
+
+def test_oov_vocab_covers_most_tokens(spark):
+    """A top-512 vocab over a synthetic corpus must cover the bulk of
+    token OCCURRENCES (Zipf), even while many rare TYPES stay OOV."""
+    rows = L.vocab_oov_coverage(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["total_tokens"] for r in rows)
+    oov = sum(r["oov_tokens"] for r in rows)
+    assert total > 0
+    assert oov / total < 0.5, (oov, total)
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["oov_tokens"] <= r["total_tokens"]
