@@ -80,6 +80,21 @@ QUERIES = (
     "source_unigram_divergence",
     "embedding_norm_outliers",
     "sample_weighted_aes",
+    # layout / runtime-filter / sketch family. All linear under
+    # disjoint-key replication: the Bloom bitset and CMS grid are
+    # fixed-size regardless of input, z-order cells and IVM group keys
+    # only gain rows per cell, islands are user-keyed (disjoint users),
+    # the hard-negative query set stays fixed-size broadcast, PCA is
+    # iterations x one scan with O(dim) driver state, and the OOV
+    # relation is vocabulary-bounded.
+    "join_bloom_prefilter",
+    "zorder_layout_quality",
+    "incremental_agg_maintenance",
+    "heavy_hitters_cms_estimate",
+    "interval_coverage_islands",
+    "hard_negative_mining",
+    "embedding_pca_power_iteration",
+    "vocab_oov_coverage",
 )
 
 
