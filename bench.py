@@ -126,6 +126,11 @@ HEADLINE = (
     "interval_coverage_islands",
     "embedding_pca_power_iteration",
     "vocab_oov_coverage",
+    "entity_resolution_blocked",
+    "label_propagation_communities",
+    "dup_graph_triangle_count",
+    "domain_cap_sampling",
+    "winsorized_quality_zscore",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -38,6 +38,7 @@ from kafka_stream_faust_deprecated_spark.queries import flagship  # noqa: F401
 for _mod in (
     "extras",
     "layout",
+    "curation",
     "analytic",
     "temporal",
     "relational",
@@ -74,11 +75,19 @@ _promote(
         "analytic",
         "extras",
         "layout",
+        "curation",
         "tpch",
         "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
+        # new in round 7 (entity-resolution/graph/curation module) —
+        # first driver record
+        "entity_resolution_blocked",
+        "label_propagation_communities",
+        "dup_graph_triangle_count",
+        "domain_cap_sampling",
+        "winsorized_quality_zscore",
         # new in round 7 (layout/runtime-filter/sketch module) — first
         # driver record
         "join_bloom_prefilter",

@@ -1,0 +1,154 @@
+"""Property tests for the entity-resolution / graph / curation module
+(queries/curation.py) — value equivalence is the oracle harness's job
+(tests/test_oracle.py runs every registered query differentially); these
+pin the operator-specific guarantees the oracle comparison cannot see:
+blocking never links across blocks, LPA communities never span two
+connected components, triangle counts match an independent brute force,
+the domain cap is deterministic and actually caps.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.queries import curation as C
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------- entity resolution
+
+
+def test_er_pairs_respect_block_and_distance(spark):
+    """Every emitted link stays inside one block, is canonically
+    oriented (a < b), and has a positive distance within the match
+    threshold (keys are unique, so distance 0 is impossible)."""
+    rows = C.entity_resolution_blocked(spark, SF_DIR).collect()
+    assert rows, "expected at least one fuzzy link at test scale"
+    for r in rows:
+        assert r.a_custkey < r.b_custkey
+        assert 1 <= r.dist <= C.ER_MAX_DIST
+        # the block is the zero-padded 9-digit id's first 6 digits —
+        # both endpoints must reproduce it
+        assert f"{r.a_custkey:09d}"[: C.ER_BLOCK_LEN] == r.blk
+        assert f"{r.b_custkey:09d}"[: C.ER_BLOCK_LEN] == r.blk
+
+
+# ------------------------------------------- label propagation / LPA
+
+
+def _pairs(spark):
+    from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_pairs
+
+    return [(r.da, r.db) for r in _simhash_pairs(spark, SF_DIR).collect()]
+
+
+def _components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+def test_lpa_communities_stay_within_components(spark):
+    """Labels only travel along edges, so a community can never span
+    two connected components; community sizes must also re-aggregate
+    consistently and cover every edge-incident node exactly once."""
+    pairs = _pairs(spark)
+    comp = _components(pairs)
+    out = C.label_propagation_communities(spark, SF_DIR).collect()
+    assert {r.doc_id for r in out} == set(comp), "node set != edge-incident set"
+    label_of = {r.doc_id: r.community for r in out}
+    for r in out:
+        # the adopted label is itself a node of the same component
+        assert comp[r.community] == comp[r.doc_id]
+    sizes = defaultdict(int)
+    for r in out:
+        sizes[r.community] += 1
+    for r in out:
+        assert r.comm_size == sizes[r.community]
+    assert label_of, "empty labeling"
+
+
+# --------------------------------------------------------- triangles
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Per-node triangle counts and coefficients against an independent
+    adjacency-set brute force over the same pair list."""
+    pairs = _pairs(spark)
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    pair_set = {(a, b) for a, b in pairs}
+    tri = defaultdict(int)
+    for a, b in pairs:
+        for c in adj[a] & adj[b]:
+            if b < c and (a, c) in pair_set:  # a < b < c counted once
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    out = C.dup_graph_triangle_count(spark, SF_DIR).collect()
+    assert {r.doc_id for r in out} == set(adj)
+    for r in out:
+        assert r.degree == len(adj[r.doc_id])
+        assert r.tri_cnt == tri.get(r.doc_id, 0)
+        assert 0.0 <= r.clustering_coeff <= 1.0
+
+
+# -------------------------------------------------------- domain cap
+
+
+def test_domain_cap_caps_and_is_deterministic(spark):
+    out1 = C.domain_cap_sampling(spark, SF_DIR).collect()
+    per_src = defaultdict(list)
+    for r in out1:
+        per_src[r.source].append(r)
+    from kafka_stream_faust_deprecated_spark.io import load_table
+
+    true_counts = {
+        r.source: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_src) == set(true_counts), "every source must survive the cap"
+    for src, rows in per_src.items():
+        assert len(rows) == min(C.DOMAIN_CAP, true_counts[src])
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+        assert all(r.src_total == true_counts[src] for r in rows)
+    # determinism: the kept set is a pure function of ids
+    kept1 = {(r.source, r.doc_id) for r in out1}
+    kept2 = {
+        (r.source, r.doc_id) for r in C.domain_cap_sampling(spark, SF_DIR).collect()
+    }
+    assert kept1 == kept2
+
+
+# -------------------------------------------------------- winsorize
+
+
+def test_winsorize_bounds_and_clip_fractions(spark):
+    out = C.winsorized_quality_zscore(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.p05 <= r.p95
+        assert r.p05 <= r.mean_wins <= r.p95, "clipped mean must sit in the band"
+        # exact p05/p95 put ~5% of mass outside each bound; allow slack
+        # for ties and small groups but catch an inert clip outright
+        assert 0 <= r.n_clipped_low <= 0.1 * r.n_docs + 2
+        assert 0 <= r.n_clipped_high <= 0.1 * r.n_docs + 2
+        assert r.std_wins >= 0.0
