@@ -87,6 +87,15 @@ QUERIES = (
     # the hard-negative query set stays fixed-size broadcast, PCA is
     # iterations x one scan with O(dim) driver state, and the OOV
     # relation is vocabulary-bounded.
+    # wave-3 curation ops. domain caps and winsorized moments are
+    # linear (source-keyed skinny windows / broadcast percentile
+    # relations). The ER and dup-graph queries are EXCLUDED for the
+    # same reason as the near-dup pair queries: replication copies
+    # names/texts verbatim, so cross-replica matches inflate their
+    # candidate sets quadratically — a property of the synthetic
+    # replication, not the plans.
+    "domain_cap_sampling",
+    "winsorized_quality_zscore",
     "join_bloom_prefilter",
     "zorder_layout_quality",
     "incremental_agg_maintenance",
