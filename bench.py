@@ -131,6 +131,10 @@ HEADLINE = (
     "dup_graph_triangle_count",
     "domain_cap_sampling",
     "winsorized_quality_zscore",
+    "timeseries_gap_fill",
+    "groupwise_linear_trend",
+    "categorical_mutual_information",
+    "basket_copurchase_rules",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -39,6 +39,7 @@ for _mod in (
     "extras",
     "layout",
     "curation",
+    "mining",
     "analytic",
     "temporal",
     "relational",
@@ -76,11 +77,18 @@ _promote(
         "extras",
         "layout",
         "curation",
+        "mining",
         "tpch",
         "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
+        # new in round 7 (stats/mining module, wave 4) — first driver
+        # record
+        "timeseries_gap_fill",
+        "groupwise_linear_trend",
+        "categorical_mutual_information",
+        "basket_copurchase_rules",
         # new in round 7 (entity-resolution/graph/curation module) —
         # first driver record
         "entity_resolution_blocked",

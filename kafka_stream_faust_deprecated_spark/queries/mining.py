@@ -1,0 +1,461 @@
+"""Time-series regularization, group-wise regression, dependence
+measures, and co-occurrence rule mining (round-7 wave 4).
+
+The capabilities this module adds, each as an oracle-checked query:
+
+* ``timeseries_gap_fill``         — per-user daily resample of the
+  event stream onto a regular grid with forward-fill (last observation
+  carried forward): the regularization step every downstream
+  time-series model (and every SQL comparison across users) needs
+  before it can difference, lag, or correlate series.
+* ``groupwise_linear_trend``      — per-event-type ordinary
+  least-squares trend (slope/intercept/R^2) of value over time,
+  computed from EXACT decimal sufficient statistics so the two engines
+  cannot drift on float summation order.
+* ``categorical_mutual_information`` — the lang x source dependence
+  structure of the corpus: joint/marginal distributions, pointwise
+  mutual information per cell, and the total mutual information — the
+  standard screen for "is a metadata column leaking another" before a
+  training mixture treats them as independent axes.
+* ``basket_copurchase_rules``     — market-basket association rules
+  over order baskets (brand pairs): support / confidence / lift with a
+  minimum-support cut, the classic co-occurrence mining shape whose
+  pair fan-out is bounded by basket size, not corpus size.
+
+Reference parity note: the reference app (``faust_app/ma_agg.py``, 308
+lines) has no resampling / regression / mining surface; these extend
+the engine for the large-scale analytics mandate (SURVEY.md §2b/§2c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_stream_faust_deprecated_spark.functions.rounding import (
+    round_det,
+    sql_round_det,
+)
+from kafka_stream_faust_deprecated_spark.io import load_table_parallel
+from kafka_stream_faust_deprecated_spark.registry import register
+
+# --------------------------------------------------------------------------
+# timeseries_gap_fill
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS d,
+           count(*) AS n_events,
+           {sql_round_det(
+               "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 4)}
+               AS day_avg
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+    FROM events
+),
+grid AS (
+    SELECT u.user_id, g.d
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+    ) g
+),
+j AS (
+    SELECT g.user_id, g.d,
+           coalesce(daily.n_events, 0) AS n_events,
+           daily.day_avg
+    FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d
+)
+SELECT user_id,
+       strftime(d, '%Y-%m-%d') AS day,
+       n_events::BIGINT AS n_events,
+       last_value(day_avg IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_filled,
+       (CASE WHEN day_avg IS NULL THEN 1 ELSE 0 END)::BIGINT AS gap_filled
+FROM j
+""",
+    tags=("E15", "E19"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample every user's event stream onto the corpus's shared
+    daily grid and forward-fill the gaps: per (user, day) the event
+    count and day-average value, with empty days materialized at
+    ``n_events = 0`` and their value carried forward from the user's
+    last observed day (LOCF; NULL before the first observation — no
+    value is invented). The day average divides an EXACT DECIMAL(18,2)
+    sum (the 2-decimal-column contract) and is rounded (4 dp) BEFORE
+    the fill, so both engines propagate the identical value.
+
+    Scale shape: the corpus collapses to the per-(user, day) aggregate
+    FIRST (one keyed exchange with map-side combine — the raw events
+    never feed the grid join), the grid is users x days rows built from
+    a broadcast 1-row global span (the cross join is BNLJ against one
+    row), and the forward-fill window rides a user-keyed exchange of
+    the grid — all downstream relations are grid-sized, which grows
+    with users x calendar, not with event volume.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d"), "value"
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.count("*").alias("n_events"),
+        round_det(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("day_avg"),
+    )
+    span = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    users = ev.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("day_avg", ignorenulls=True).over(w).alias("avg_value_filled"),
+        F.when(F.col("day_avg").isNull(), 1).otherwise(0).cast("bigint").alias(
+            "gap_filled"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# groupwise_linear_trend
+# --------------------------------------------------------------------------
+
+#: Day-index epoch for the OLS x axis. A fixed literal (not a
+#: data-derived min) keeps x an exact small integer in both engines.
+TREND_EPOCH = "2024-01-01"
+
+
+@register(
+    "groupwise_linear_trend",
+    oracle=f"""
+WITH pts AS (
+    SELECT event_type,
+           date_diff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) AS x,
+           CAST(value AS DECIMAL(18,2)) AS y
+    FROM events
+),
+s AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(x)::BIGINT AS sx,
+           sum(x * x)::BIGINT AS sxx,
+           sum(y) AS sy,
+           sum(x * y) AS sxy,
+           sum(y * y) AS syy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       {sql_round_det(
+           "(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))"
+           " / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0)", 4)}
+           AS slope,
+       {sql_round_det(
+           "(CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))"
+           " / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0)) * sx) / n", 4)}
+           AS intercept,
+       {sql_round_det(
+           "((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))"
+           " * (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)))"
+           " / nullif((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"
+           " * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)", 4)}
+           AS r2,
+       {sql_round_det("CAST(sx AS DOUBLE) / n", 4)} AS mean_x,
+       {sql_round_det("CAST(sy AS DOUBLE) / n", 4)} AS mean_y
+FROM s
+""",
+    tags=("E7", "E16"),
+)
+def groupwise_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (x = days since
+    {TREND_EPOCH}): slope, intercept, R^2, and the group means, all
+    derived from EXACT sufficient statistics — integer sums for
+    x / x^2 and DECIMAL(18,2) sums for the 2-decimal value column — so
+    the closed-form estimates are a fixed double expression over
+    identical inputs in both engines (no float-summation-order drift
+    anywhere; the [[verify-contract]] DECIMAL-sum idiom applied to
+    regression).
+
+    Scale shape: one event-type-keyed exchange of six map-side-combined
+    partial sums (the classic distributed-OLS shape — sufficient
+    statistics commute, so the corpus is read once and only k rows of
+    moments move); everything after the agg is per-group scalar math.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(TREND_EPOCH).cast("date")).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - F.col("sx") * sy  # sx kept integer where exact
+    # nullif-guarded denominators: a 1-point (or zero-variance) group
+    # has no trend — slope/intercept/r2 are NULL, never a crash, in
+    # BOTH engines (ANSI division would otherwise throw here).
+    den_x = F.nullif(n * sxx - sx * F.col("sx"), F.lit(0.0))
+    den_y = n * syy - sy * sy
+    slope = num / den_x
+    return s.select(
+        "event_type",
+        "n",
+        round_det(slope, 4).alias("slope"),
+        round_det((sy - slope * F.col("sx")) / n, 4).alias("intercept"),
+        round_det((num * num) / F.nullif(den_x * den_y, F.lit(0.0)), 4).alias("r2"),
+        round_det(sx / n, 4).alias("mean_x"),
+        round_det(sy / n, 4).alias("mean_y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# categorical_mutual_information
+# --------------------------------------------------------------------------
+
+
+@register(
+    "categorical_mutual_information",
+    oracle=f"""
+WITH joint AS (
+    SELECT lang, source, count(*)::BIGINT AS c_xy FROM documents GROUP BY 1, 2
+),
+m AS (
+    SELECT lang, source, c_xy,
+           sum(c_xy) OVER (PARTITION BY lang) AS c_lang,
+           sum(c_xy) OVER (PARTITION BY source) AS c_src,
+           sum(c_xy) OVER () AS n_total
+    FROM joint
+),
+cell AS (
+    SELECT lang, source, c_xy,
+           c_lang::BIGINT AS c_lang, c_src::BIGINT AS c_src,
+           n_total::BIGINT AS n_total,
+           {sql_round_det("CAST(c_xy AS DOUBLE) / n_total", 4)} AS p_joint,
+           {sql_round_det(
+               "log2((CAST(c_xy AS DOUBLE) * n_total) / (CAST(c_lang AS DOUBLE) * c_src))", 4)}
+               AS pmi,
+           CAST({sql_round_det(
+               "(CAST(c_xy AS DOUBLE) / n_total)"
+               " * log2((CAST(c_xy AS DOUBLE) * n_total) / (CAST(c_lang AS DOUBLE) * c_src))", 4)}
+               AS DECIMAL(18,4)) AS mi_contrib
+    FROM m
+)
+SELECT lang, source, c_xy, c_lang, c_src, n_total, p_joint, pmi,
+       CAST(mi_contrib AS DOUBLE) AS mi_contrib,
+       CAST(sum(mi_contrib) OVER () AS DOUBLE) AS mi_total
+FROM cell
+""",
+    tags=("E7", "E25"),
+)
+def categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lang x source dependence structure of the corpus: per
+    (lang, source) cell the joint/marginal counts, the joint
+    probability, the pointwise mutual information
+    ``log2(p_xy / (p_x * p_y))``, the cell's MI contribution, and the
+    corpus-level mutual information (the sum of contributions) — the
+    leakage screen run before treating two metadata axes as
+    independent mixture dimensions. Every probability is a ratio of
+    exact integer counts; the only floats are per-cell fixed
+    expressions, and the MI total sums 4-dp DECIMAL contributions so
+    its value cannot depend on summation order in either engine.
+
+    Scale shape: ONE corpus exchange (the (lang, source) count with
+    map-side combine); every window after it runs over the
+    catalog-bounded joint relation (|lang| x |source| rows — the
+    corpus_datacard share-normalization class), including the
+    single-partition global-sum windows, which are whitelisted as
+    bounded.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents").select("lang", "source")
+    joint = docs.groupBy("lang", "source").agg(F.count("*").alias("c_xy"))
+    m = joint.select(
+        "lang",
+        "source",
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("lang")).alias("c_lang"),
+        F.sum("c_xy").over(Window.partitionBy("source")).alias("c_src"),
+        F.sum("c_xy").over(
+            Window.partitionBy()
+        ).alias("n_total"),
+    )
+    p_joint = F.col("c_xy").cast("double") / F.col("n_total")
+    pmi = F.log2(
+        (F.col("c_xy").cast("double") * F.col("n_total"))
+        / (F.col("c_lang").cast("double") * F.col("c_src"))
+    )
+    cell = m.select(
+        "lang",
+        "source",
+        "c_xy",
+        F.col("c_lang").cast("bigint").alias("c_lang"),
+        F.col("c_src").cast("bigint").alias("c_src"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        round_det(p_joint, 4).alias("p_joint"),
+        round_det(pmi, 4).alias("pmi"),
+        round_det(p_joint * pmi, 4).cast("decimal(18,4)").alias("mi_contrib"),
+    )
+    return cell.select(
+        "lang",
+        "source",
+        "c_xy",
+        "c_lang",
+        "c_src",
+        "n_total",
+        "p_joint",
+        "pmi",
+        F.col("mi_contrib").cast("double").alias("mi_contrib"),
+        F.sum("mi_contrib")
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("mi_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# basket_copurchase_rules
+# --------------------------------------------------------------------------
+
+#: Minimum support as an exact integer predicate: keep a brand pair
+#: when ``n_ab * BASKET_SUPPORT_DEN >= n_orders`` (support >= 1%).
+#: Thresholding on exact integers — never on a float ratio — means the
+#: cut cannot flicker between engines.
+BASKET_SUPPORT_DEN = 100
+
+
+@register(
+    "basket_copurchase_rules",
+    oracle=f"""
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (
+    SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM ob
+),
+bc AS (
+    SELECT p_brand, count(*)::BIGINT AS c FROM ob GROUP BY 1
+),
+pc AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*)::BIGINT AS n_ab
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       ca.c AS n_a, cb.c AS n_b, n.n_orders AS n_orders,
+       {sql_round_det("CAST(n_ab AS DOUBLE) / n.n_orders", 4)} AS support,
+       {sql_round_det("CAST(n_ab AS DOUBLE) / ca.c", 4)} AS conf_a_to_b,
+       {sql_round_det("CAST(n_ab AS DOUBLE) / cb.c", 4)} AS conf_b_to_a,
+       {sql_round_det(
+           "(CAST(n_ab AS DOUBLE) * n.n_orders) / (CAST(ca.c AS DOUBLE) * cb.c)", 4)}
+           AS lift
+FROM pc
+JOIN bc ca ON ca.p_brand = pc.brand_a
+JOIN bc cb ON cb.p_brand = pc.brand_b
+CROSS JOIN n
+WHERE n_ab * {BASKET_SUPPORT_DEN} >= n.n_orders
+""",
+    tags=("E3", "E7", "E23"),
+)
+def basket_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    brand pair co-purchased in >= 1% of orders, the support, both
+    directional confidences, and the lift — the classic co-occurrence
+    rule-mining shape (here at pair length, where the full frequency
+    table is exactly computable and oracle-checkable). The support cut
+    is an exact integer predicate (``n_ab * {BASKET_SUPPORT_DEN} >=
+    n_orders``), so the surviving pair set is bit-identical across
+    engines.
+
+    Scale shape: baskets form with one order-keyed exchange (the part
+    dim joins broadcast); pairs are generated INSIDE each basket by an
+    array expression — fan-out bounded by basket size squared (~tens),
+    never a corpus self-join — and both the pair counts and the brand
+    marginals are map-side-combined aggs over basket-sized relations.
+    The 1-row basket-count aggregate broadcasts (whitelisted BNLJ); the
+    25-row brand marginals broadcast-join the pair relation.
+    """
+    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table_parallel(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) -> "
+                "transform(slice(brands, i + 2, size(brands)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b"))
+    pc = pairs.groupBy("brand_a", "brand_b").agg(F.count("*").alias("n_ab"))
+    bc = baskets.select(F.explode("brands").alias("p_brand")).groupBy(
+        "p_brand"
+    ).agg(F.count("*").alias("c"))
+    n = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("n_a"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("n_b"))
+    j = (
+        pc.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("n_ab") * BASKET_SUPPORT_DEN >= F.col("n_orders"))
+    )
+    n_ab = F.col("n_ab").cast("double")
+    return j.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_orders",
+        round_det(n_ab / F.col("n_orders"), 4).alias("support"),
+        round_det(n_ab / F.col("n_a"), 4).alias("conf_a_to_b"),
+        round_det(n_ab / F.col("n_b"), 4).alias("conf_b_to_a"),
+        round_det(
+            (n_ab * F.col("n_orders"))
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            4,
+        ).alias("lift"),
+    )

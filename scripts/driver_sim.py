@@ -224,7 +224,14 @@ def main() -> int:
 
             with open(json_out, "w") as fh:
                 json.dump(
-                    {"seed": seed, "failures_by_perm": failures_by_perm}, fh, indent=2
+                    {
+                        "seed": seed,
+                        "n_queries": len(names),
+                        "sf_dir": sf_dir,
+                        "failures_by_perm": failures_by_perm,
+                    },
+                    fh,
+                    indent=2,
                 )
             print(f"wrote {json_out}")
         return 1 if flaky else 0

@@ -104,6 +104,16 @@ QUERIES = (
     "hard_negative_mining",
     "embedding_pca_power_iteration",
     "vocab_oov_coverage",
+    # wave-4 stats/mining ops. All linear under disjoint-key
+    # replication: gap-fill's grid is (users x days) with user_id
+    # offset-disjoint (8x users, same calendar), the OLS moments are a
+    # single scan into k groups, the MI joint relation keeps its cell
+    # set (counts just multiply), and basket pairs are generated inside
+    # offset-disjoint orderkeys (8x baskets, same brand vocabulary).
+    "timeseries_gap_fill",
+    "groupwise_linear_trend",
+    "categorical_mutual_information",
+    "basket_copurchase_rules",
 )
 
 

@@ -1,0 +1,132 @@
+"""Property tests for the stats/mining module (queries/mining.py) —
+value equivalence is the oracle harness's job (tests/test_oracle.py
+runs every registered query differentially); these pin the
+operator-specific guarantees the oracle comparison cannot see: the
+gap-fill grid is complete/regular and LOCF really carries the last
+observation, the OLS estimates match an independent NumPy fit, mutual
+information obeys its information-theoretic identities, and the basket
+rules obey the support/confidence/lift consistency equations.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_stream_faust_deprecated_spark.io import load_table_parallel
+from kafka_stream_faust_deprecated_spark.queries import mining as M
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------- gap fill / LOCF
+
+
+def test_gapfill_grid_complete_and_locf(spark):
+    """Every user carries exactly the shared calendar span (complete
+    regular grid), observed days pass through untouched, and each
+    filled day's value equals the user's most recent observed day's
+    value (LOCF) — NULL only before the first observation."""
+    rows = M.timeseries_gap_fill(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    spans = {tuple(sorted(r.day for r in rs)) for rs in by_user.values()}
+    assert len(spans) == 1, "all users must share one calendar grid"
+    days = spans.pop()
+    assert len(days) == len(set(days))
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.day)
+        last_seen = None
+        for r in rs:
+            if r.gap_filled == 0:
+                assert r.n_events > 0
+                last_seen = r.avg_value_filled
+            else:
+                assert r.n_events == 0
+                assert r.avg_value_filled == last_seen  # None before first
+    # at least one genuine gap and one genuine observation exist
+    assert any(r.gap_filled == 1 for r in rows)
+    assert any(r.gap_filled == 0 for r in rows)
+
+
+# ------------------------------------------------------ OLS trend
+
+
+def test_trend_matches_numpy_polyfit(spark):
+    """The closed-form per-group slope/intercept agree with an
+    independent NumPy least-squares fit of the same points, and R^2
+    lies in [0, 1]."""
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit(M.TREND_EPOCH).cast("date")
+            ).alias("x"),
+            "value",
+        )
+        .collect()
+    )
+    pts = defaultdict(lambda: ([], []))
+    for r in ev:
+        pts[r.event_type][0].append(float(r.x))
+        pts[r.event_type][1].append(float(r.value))
+    got = {r.event_type: r for r in M.groupwise_linear_trend(spark, SF_DIR).collect()}
+    assert set(got) == set(pts)
+    for et, (xs, ys) in pts.items():
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        assert abs(got[et].slope - slope) < 1e-3, et
+        assert abs(got[et].intercept - intercept) < 1e-2, et
+        assert 0.0 <= got[et].r2 <= 1.0
+        assert got[et].n == len(xs)
+
+
+# ------------------------------------------- mutual information
+
+
+def test_mi_identities(spark):
+    """Marginals sum to the total, probabilities are consistent, the
+    reported MI total equals the sum of the cell contributions, and MI
+    is bounded by min(H(lang), H(source))."""
+    rows = M.categorical_mutual_information(spark, SF_DIR).collect()
+    n = rows[0].n_total
+    assert all(r.n_total == n for r in rows)
+    assert sum(r.c_xy for r in rows) == n
+    lang_m = {r.lang: r.c_lang for r in rows}
+    src_m = {r.source: r.c_src for r in rows}
+    assert sum(lang_m.values()) == n
+    assert sum(src_m.values()) == n
+    mi = rows[0].mi_total
+    assert all(abs(r.mi_total - mi) < 1e-9 for r in rows)
+    assert abs(sum(r.mi_contrib for r in rows) - mi) < 1e-6
+    h_lang = -sum(c / n * math.log2(c / n) for c in lang_m.values())
+    h_src = -sum(c / n * math.log2(c / n) for c in src_m.values())
+    # rounding each cell at 4 dp perturbs the total by < #cells * 5e-5
+    slack = 5e-5 * len(rows) + 1e-9
+    assert -slack <= mi <= min(h_lang, h_src) + slack
+
+
+# ----------------------------------------------------- basket rules
+
+
+def test_basket_rules_consistency(spark):
+    """Every rule's support/confidence/lift reproduce from its integer
+    counts, the support cut holds exactly, pairs are canonically
+    oriented, and the pair count never exceeds either marginal."""
+    rows = M.basket_copurchase_rules(spark, SF_DIR).collect()
+    assert rows, "expected rules above min support at test scale"
+    n_orders = rows[0].n_orders
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.n_ab * M.BASKET_SUPPORT_DEN >= n_orders
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        # 4-dp rounded values sit within half an ulp-of-grid of the
+        # exact ratio (don't re-round in Python: round_det is HALF_UP,
+        # Python round is banker's — midpoints would disagree)
+        assert abs(r.support - r.n_ab / n_orders) <= 5.0001e-5
+        assert abs(r.conf_a_to_b - r.n_ab / r.n_a) <= 5.0001e-5
+        assert abs(r.conf_b_to_a - r.n_ab / r.n_b) <= 5.0001e-5
+        assert r.lift > 0

@@ -44,6 +44,8 @@ BNLJ_WHITELIST = {
         "broadcast side = the 8-row query set; the label<>label predicate "
         "is non-equi by design (same class as knn_cosine_bruteforce)"
     ),
+    "timeseries_gap_fill": "broadcast side = the 1-row global day span",
+    "basket_copurchase_rules": "broadcast side = the 1-row basket-count aggregate",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -87,6 +89,12 @@ SINGLE_PARTITION_WHITELIST = {
         "vocabulary-bounded, not corpus-bounded (same class as "
         "hot_key_profile) + the 1-row doc-count aggregate"
     ),
+    "timeseries_gap_fill": "global day-span aggregate: 1 row",
+    "categorical_mutual_information": (
+        "MI-total / share windows over the (lang, source) joint relation — "
+        "catalog-bounded (|lang| x |source| rows, the corpus_datacard class)"
+    ),
+    "basket_copurchase_rules": "global basket-count aggregate: 1 row",
 }
 
 
