@@ -135,6 +135,10 @@ HEADLINE = (
     "groupwise_linear_trend",
     "categorical_mutual_information",
     "basket_copurchase_rules",
+    "skyline_pareto_frontier",
+    "robust_mad_outliers",
+    "cusum_changepoint",
+    "seasonal_decompose_events",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -40,6 +40,7 @@ for _mod in (
     "layout",
     "curation",
     "mining",
+    "robust",
     "analytic",
     "temporal",
     "relational",
@@ -83,6 +84,12 @@ _promote(
     ),
     pin_first=(
         "flagship_sma_5row",
+        # new in round 7 (robust/dominance module, wave 5) — first
+        # driver record
+        "skyline_pareto_frontier",
+        "robust_mad_outliers",
+        "cusum_changepoint",
+        "seasonal_decompose_events",
         # new in round 7 (stats/mining module, wave 4) — first driver
         # record
         "timeseries_gap_fill",
@@ -137,6 +144,10 @@ _promote(
         "dedup_incremental_ingest",
         "table_profile_orders",
         "minhash_estimate_calibration",
+        # index 50 — first past the ~50-query sample window. Wave 5
+        # overfilled the window by one; this is the conscious demotion
+        # (family sibling mixture_language_sampling holds a green r4
+        # driver row; self-check green at both SFs).
         "sample_mixture_apply",
     ),
 )

@@ -1,0 +1,456 @@
+"""Dominance analysis, robust statistics, changepoint detection, and
+seasonal decomposition (round-7 wave 5).
+
+The capabilities this module adds, each as an oracle-checked query:
+
+* ``skyline_pareto_frontier``   — the 2-D skyline (Pareto-optimal set)
+  of the part catalog under (minimize price, maximize size): the
+  classic dominance query OLAP engines ship as SKYLINE OF, computed
+  with the sort-sweep formulation instead of the naive O(n^2)
+  NOT-EXISTS self-join.
+* ``robust_mad_outliers``       — median / MAD robust z-scores per
+  event type with the Iglewicz-Hoaglin |z| > 3.5 outlier cut: the
+  outlier screen that, unlike mean/stddev z-scores, is not itself
+  corrupted by the outliers it hunts.
+* ``cusum_changepoint``         — per-event-type CUSUM (cumulative sum
+  of deviations from the series mean) with the argmax |CUSUM| reported
+  as the changepoint candidate: the standard level-shift detector for
+  monitoring pipelines.
+* ``seasonal_decompose_events`` — the hour-of-day seasonal profile per
+  event type (seasonal means, offsets from the type mean, and the
+  fraction of variance the seasonal component explains): the
+  decomposition every anomaly detector needs before it can separate
+  "3am is always quiet" from "3am broke".
+
+Reference parity note: the reference app (``faust_app/ma_agg.py``, 308
+lines) has no dominance / robust-stats / changepoint surface; these
+extend the engine for the large-scale analytics mandate
+(SURVEY.md §2b/§2c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_stream_faust_deprecated_spark.functions.rounding import (
+    round_det,
+    sql_round_det,
+)
+from kafka_stream_faust_deprecated_spark.io import load_table_parallel
+from kafka_stream_faust_deprecated_spark.registry import register
+
+# --------------------------------------------------------------------------
+# skyline_pareto_frontier
+# --------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto_frontier",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price_d, p_size
+    FROM part
+),
+lvl AS (
+    SELECT price_d, max(p_size) AS max_sz FROM p GROUP BY 1
+),
+marked AS (
+    SELECT price_d, max_sz,
+           max(max_sz) OVER (
+               ORDER BY price_d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM lvl
+),
+fp AS (
+    SELECT price_d, max_sz FROM marked
+    WHERE prev_max IS NULL OR max_sz > prev_max
+)
+SELECT p.p_partkey,
+       CAST(p.price_d AS DOUBLE) AS price,
+       p.p_size,
+       CAST(dense_rank() OVER (ORDER BY p.price_d) AS BIGINT)
+           AS frontier_rank
+FROM p JOIN fp ON p.price_d = fp.price_d AND p.p_size = fp.max_sz
+""",
+    tags=("E7", "E10", "E12"),
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto frontier of the part catalog under (minimize
+    retail price, maximize size): a part is on the skyline iff no part
+    is both no-more-expensive and no-smaller with at least one strict.
+    Computed by the sort-sweep identity — collapse to per-price max
+    size, then a price-ordered running max marks exactly the price
+    levels whose max size strictly exceeds every strictly-cheaper
+    level; ties survive together (equal (price, size) rows never
+    dominate each other). Every comparison is on the exact
+    DECIMAL(12,2) price and integer size — no float predicate, so the
+    frontier set is bit-identical across engines.
+
+    Scale shape: the naive skyline is an O(n^2) NOT-EXISTS self-join;
+    this plan is one price-keyed exchange with map-side combine (the
+    per-price max), a running-max window over the DISTINCT-PRICE
+    relation — bounded by the 2-decimal price domain, not the catalog
+    (the equi_depth_histogram class) — and one broadcast join of the
+    frontier price levels (at most |size domain| rows: frontier sizes
+    strictly increase) back to the catalog scan.
+    """
+    p = load_table_parallel(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price_d"),
+        "p_size",
+    )
+    lvl = p.groupBy("price_d").agg(F.max("p_size").alias("max_sz"))
+    sweep = Window.orderBy("price_d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fp = (
+        lvl.withColumn("prev_max", F.max("max_sz").over(sweep))
+        .where(F.col("prev_max").isNull() | (F.col("max_sz") > F.col("prev_max")))
+        .select(
+            F.col("price_d").alias("f_price"), F.col("max_sz").alias("f_size")
+        )
+    )
+    frontier = p.join(
+        F.broadcast(fp),
+        (F.col("price_d") == F.col("f_price")) & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "price_d", "p_size")
+    return frontier.select(
+        "p_partkey",
+        F.col("price_d").cast("double").alias("price"),
+        "p_size",
+        F.dense_rank()
+        .over(Window.orderBy("price_d"))
+        .cast("bigint")
+        .alias("frontier_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# robust_mad_outliers
+# --------------------------------------------------------------------------
+
+#: Iglewicz-Hoaglin modified-z-score constant and cut: z = 0.6745 *
+#: (x - median) / MAD, outlier when |z| > 3.5. The cut compares the
+#: 4-dp-rounded z in both engines, so the flagged set cannot flicker
+#: on last-ulp drift.
+MAD_Z_SCALE = 0.6745
+MAD_Z_CUT = 3.5
+
+
+@register(
+    "robust_mad_outliers",
+    oracle=f"""
+WITH st AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           {sql_round_det("quantile_cont(value, 0.5)", 4)} AS med
+    FROM events GROUP BY 1
+),
+d AS (
+    SELECT e.event_type, e.value, st.n, st.med,
+           abs(e.value - st.med) AS dev
+    FROM events e JOIN st USING (event_type)
+),
+m AS (
+    SELECT event_type,
+           {sql_round_det("quantile_cont(dev, 0.5)", 4)} AS mad
+    FROM d GROUP BY 1
+),
+z AS (
+    SELECT d.event_type, d.n, d.med, m.mad,
+           {sql_round_det(
+               f"{MAD_Z_SCALE} * (d.value - d.med) / nullif(m.mad, 0)", 4)} AS z
+    FROM d JOIN m USING (event_type)
+)
+SELECT event_type, n, med, mad,
+       sum(CASE WHEN abs(z) > {MAD_Z_CUT} THEN 1 ELSE 0 END)::BIGINT
+           AS n_outliers,
+       {sql_round_det(
+           f"CAST(sum(CASE WHEN abs(z) > {MAD_Z_CUT} THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / n", 4)} AS outlier_share,
+       max(abs(z)) AS max_abs_z
+FROM z GROUP BY event_type, n, med, mad
+""",
+    tags=("E7", "E16"),
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen per event type: the exact
+    median of value, the median absolute deviation around it, the count
+    and share of rows whose Iglewicz-Hoaglin modified z-score
+    ``0.6745 * (x - med) / MAD`` exceeds {MAD_Z_CUT} in magnitude, and
+    the max |z| observed. Both medians are exact interpolated
+    percentiles over the identical double multiset (no summation
+    anywhere), rounded to 4 dp before any downstream arithmetic, so
+    every per-row z is the same fixed double expression in both
+    engines; the outlier cut compares the ROUNDED z (the
+    [[verify-contract]] threshold rule) and max |z| is
+    order-independent.
+
+    Scale shape: two event-type-keyed aggregations (median, then MAD)
+    with the 5-row stats broadcast back between them — the corpus is
+    scanned twice and never re-keyed on anything unbounded. Exact
+    per-group percentiles sort each group at scale; the 100 TB path
+    swaps both for ``approx_percentile`` (same two-pass shape, sketch
+    merge instead of sort) once the +-0.1% quantile error is
+    acceptable — the cut logic is unchanged.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        round_det(F.percentile("value", F.lit(0.5)), 4).alias("med"),
+    )
+    d = ev.join(F.broadcast(st), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    m = d.groupBy("event_type").agg(
+        round_det(F.percentile("dev", F.lit(0.5)), 4).alias("mad")
+    )
+    z = d.join(F.broadcast(m), "event_type").withColumn(
+        "z",
+        round_det(
+            F.lit(MAD_Z_SCALE)
+            * (F.col("value") - F.col("med"))
+            / F.nullif(F.col("mad"), F.lit(0.0)),
+            4,
+        ),
+    )
+    flag = F.when(F.abs(F.col("z")) > MAD_Z_CUT, 1).otherwise(0)
+    return z.groupBy("event_type", "n", "med", "mad").agg(
+        F.sum(flag).cast("bigint").alias("n_outliers"),
+        round_det(F.sum(flag).cast("double") / F.col("n"), 4).alias(
+            "outlier_share"
+        ),
+        F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cusum_changepoint
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_type, ts, event_id,
+           CAST(value AS DECIMAL(18,2)) AS d
+    FROM events
+),
+st AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           {sql_round_det("CAST(sum(d) AS DOUBLE) / count(*)", 4)} AS mean_v
+    FROM ev GROUP BY 1
+),
+c AS (
+    SELECT ev.event_type, ev.ts, ev.event_id, st.n, st.mean_v,
+           sum(ev.d) OVER (
+               PARTITION BY ev.event_type ORDER BY ev.ts, ev.event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS run,
+           row_number() OVER (
+               PARTITION BY ev.event_type ORDER BY ev.ts, ev.event_id
+           ) AS i
+    FROM ev JOIN st USING (event_type)
+),
+k AS (
+    SELECT event_type, ts, event_id, n, mean_v, i,
+           {sql_round_det("abs(CAST(run AS DOUBLE) - i * mean_v)", 4)}
+               AS abs_cusum
+    FROM c
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY abs_cusum DESC, ts, event_id
+    ) AS rk
+    FROM k
+)
+SELECT event_type, n, mean_v,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+       i::BIGINT AS cp_index,
+       abs_cusum AS max_abs_cusum
+FROM r WHERE rk = 1
+""",
+    tags=("E7", "E10", "E15"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint candidate: walk the series in
+    (ts, event_id) order, accumulate S_i = sum of the first i values,
+    form CUSUM_i = S_i - i * mean (the cumulative deviation from the
+    series mean — a level shift makes |CUSUM| peak at the shift point),
+    and report the row with the maximum |CUSUM| per type with its
+    timestamp and position. The running sum is an EXACT DECIMAL(18,2)
+    prefix sum (order-fixed, associativity-immune), the mean is rounded
+    to 4 dp before use, and the argmax ranks on the ROUNDED |CUSUM|
+    with a (ts, event_id) lexicographic tiebreak — the
+    [[verify-contract]] rank rule, so the winner cannot flicker between
+    engines.
+
+    Scale shape: one event-type-keyed exchange feeds both windows (the
+    prefix sum and the argmax rank reuse the same partitioning); the
+    5-row mean/count stats broadcast back. With few huge groups the
+    per-group sort is the bound — the 100 TB path is the textbook
+    two-pass distributed prefix sum (range-partition each series by
+    time, per-partition local sums, broadcast the per-partition
+    offsets) with identical output.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("d"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        round_det(F.sum("d").cast("double") / F.count("*"), 4).alias("mean_v"),
+    )
+    order = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    k = (
+        ev.join(F.broadcast(st), "event_type")
+        .withColumn("run", F.sum("d").over(run))
+        .withColumn("i", F.row_number().over(order))
+        .withColumn(
+            "abs_cusum",
+            round_det(
+                F.abs(F.col("run").cast("double") - F.col("i") * F.col("mean_v")),
+                4,
+            ),
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("abs_cusum").desc(), "ts", "event_id"
+    )
+    return (
+        k.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            "mean_v",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("cp_ts"),
+            F.col("i").cast("bigint").alias("cp_index"),
+            F.col("abs_cusum").alias("max_abs_cusum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal_decompose_events
+# --------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_events",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(value AS DECIMAL(18,2)) AS d
+    FROM events
+),
+h AS (
+    SELECT event_type, hr, count(*)::BIGINT AS n_h,
+           sum(d) AS sy, sum(d * d) AS syy
+    FROM ev GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type, hr, n_h, sy, syy,
+           sum(n_h) OVER (PARTITION BY event_type) AS n_t,
+           sum(sy) OVER (PARTITION BY event_type) AS sy_t,
+           sum(syy) OVER (PARTITION BY event_type) AS syy_t,
+           CAST({sql_round_det(
+               "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_h", 6)}
+               AS DECIMAL(18,6)) AS ssb_term
+    FROM h
+),
+agg AS (
+    SELECT event_type, hr, n_h, sy, n_t, sy_t, syy_t,
+           CAST(sum(ssb_term) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS ssb_raw
+    FROM t
+)
+SELECT event_type, hr, n_h,
+       {sql_round_det("CAST(sy AS DOUBLE) / n_h", 4)} AS hod_avg,
+       {sql_round_det("CAST(sy_t AS DOUBLE) / n_t", 4)} AS type_avg,
+       {sql_round_det(
+           "CAST(sy AS DOUBLE) / n_h - CAST(sy_t AS DOUBLE) / n_t", 4)}
+           AS seasonal_offset,
+       {sql_round_det(
+           "(ssb_raw - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / n_t)"
+           " / nullif(CAST(syy_t AS DOUBLE)"
+           "          - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE) / n_t, 0)",
+           4)} AS seasonal_strength
+FROM agg
+""",
+    tags=("E7", "E10", "E15"),
+)
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition per event type: for every
+    (type, hour) cell the row count, the hour mean, the type mean, the
+    seasonal offset (hour mean - type mean), and the type's seasonal
+    strength — the between-hour share of total variance
+    ``SSB / SST`` (the eta-squared of hour-of-day), which is ~0 when
+    the hour explains nothing and ~1 when the series is pure
+    seasonality. All moments are EXACT decimal sums; SSB's per-hour
+    terms ``sy_h^2 / n_h`` are rounded to 6-dp DECIMAL before the
+    cross-hour sum (the mi_contrib idiom) so no float is ever summed in
+    either engine.
+
+    Scale shape: ONE corpus exchange — the (type, hour) aggregate with
+    map-side combine; every window after it runs over the bounded
+    |types| x 24 relation partitioned by type. The output is
+    catalog-sized, never corpus-sized.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.col("value").cast("decimal(18,2)").alias("d"),
+    )
+    h = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum("d").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).alias("syy"),
+    )
+    byt = Window.partitionBy("event_type")
+    t = h.select(
+        "event_type",
+        "hr",
+        "n_h",
+        "sy",
+        F.sum("n_h").over(byt).alias("n_t"),
+        F.sum("sy").over(byt).alias("sy_t"),
+        F.sum("syy").over(byt).alias("syy_t"),
+        round_det(
+            F.col("sy").cast("double") * F.col("sy").cast("double") / F.col("n_h"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("ssb_term"),
+    )
+    agg = t.withColumn(
+        "ssb_raw", F.sum("ssb_term").over(byt).cast("double")
+    )
+    sy = F.col("sy").cast("double")
+    sy_t = F.col("sy_t").cast("double")
+    syy_t = F.col("syy_t").cast("double")
+    sst = syy_t - sy_t * sy_t / F.col("n_t")
+    return agg.select(
+        "event_type",
+        "hr",
+        "n_h",
+        round_det(sy / F.col("n_h"), 4).alias("hod_avg"),
+        round_det(sy_t / F.col("n_t"), 4).alias("type_avg"),
+        round_det(sy / F.col("n_h") - sy_t / F.col("n_t"), 4).alias(
+            "seasonal_offset"
+        ),
+        round_det(
+            (F.col("ssb_raw") - sy_t * sy_t / F.col("n_t"))
+            / F.nullif(sst, F.lit(0.0)),
+            4,
+        ).alias("seasonal_strength"),
+    )

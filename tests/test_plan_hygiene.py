@@ -95,6 +95,12 @@ SINGLE_PARTITION_WHITELIST = {
         "catalog-bounded (|lang| x |source| rows, the corpus_datacard class)"
     ),
     "basket_copurchase_rules": "global basket-count aggregate: 1 row",
+    "skyline_pareto_frontier": (
+        "sort-sweep running max over the DISTINCT-PRICE relation "
+        "(2-decimal price domain, the equi_depth_histogram class) + "
+        "frontier rank over the skyline itself (<= |size domain| rows: "
+        "frontier sizes strictly increase)"
+    ),
 }
 
 

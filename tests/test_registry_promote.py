@@ -14,7 +14,12 @@ def test_round6_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
     # Every query whose implementation changed in round 6 sits inside
-    # the driver's ~50-query sample window.
+    # the driver's ~50-query sample window — except sample_mixture_apply,
+    # consciously demoted to index 50 (first in line past the window)
+    # when round-7 wave 5 overfilled the 50 slots: it is the lowest-risk
+    # record-less query (its family sibling mixture_language_sampling
+    # holds a green r4 driver row and it is self-check-green at both
+    # SFs), so it waits for round 8.
     for changed in (
         "grouping_sets_events",
         "ann_cosine_ivf",
@@ -26,9 +31,9 @@ def test_round6_pins_lead_registration_order():
         "dedup_incremental_ingest",
         "table_profile_orders",
         "minhash_estimate_calibration",
-        "sample_mixture_apply",
     ):
         assert names.index(changed) < 50, f"{changed} outside sampled prefix"
+    assert names.index("sample_mixture_apply") == 50
 
 
 def test_promote_unknown_pin_fails_loudly():

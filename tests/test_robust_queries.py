@@ -1,0 +1,134 @@
+"""Property tests for the robust/dominance module (queries/robust.py) —
+value equivalence is the oracle harness's job (tests/test_oracle.py
+runs every registered query differentially); these pin the
+operator-specific guarantees the oracle comparison cannot see: the
+skyline really is the non-dominated set (checked against a brute-force
+O(n^2) dominance scan), the MAD screen matches an independent NumPy
+median/MAD computation, the CUSUM argmax matches a NumPy prefix-sum
+replay, and the seasonal decomposition obeys its variance identities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kafka_stream_faust_deprecated_spark.io import load_table_parallel
+from kafka_stream_faust_deprecated_spark.queries import robust as R
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------------------ skyline
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The returned frontier equals the brute-force non-dominated set
+    under (min price, max size), and frontier sizes strictly increase
+    with price level."""
+    parts = (
+        load_table_parallel(spark, SF_DIR, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    pts = [(round(r.p_retailprice, 2), r.p_size, r.p_partkey) for r in parts]
+    expected = set()
+    for price, size, key in pts:
+        dominated = any(
+            (op <= price and os >= size and (op < price or os > size))
+            for op, os, _ in pts
+        )
+        if not dominated:
+            expected.add(key)
+    rows = R.skyline_pareto_frontier(spark, SF_DIR).collect()
+    assert {r.p_partkey for r in rows} == expected
+    lvl = sorted({(r.price, r.p_size, r.frontier_rank) for r in rows})
+    for (p0, s0, r0), (p1, s1, r1) in zip(lvl, lvl[1:]):
+        if p1 > p0:
+            assert s1 > s0, "frontier sizes must strictly increase"
+            assert r1 > r0
+        else:  # ties share price, size, and rank
+            assert (s1, r1) == (s0, r0)
+
+
+# ------------------------------------------------------ MAD outliers
+
+
+def test_mad_matches_numpy(spark):
+    """Median, MAD, and the outlier count per type match an
+    independent NumPy computation of the Iglewicz-Hoaglin screen."""
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = {}
+    for r in ev:
+        vals.setdefault(r.event_type, []).append(r.value)
+    out = {r.event_type: r for r in R.robust_mad_outliers(spark, SF_DIR).collect()}
+    assert set(out) == set(vals)
+    for et, v in vals.items():
+        a = np.asarray(v)
+        med = round(float(np.median(a)), 4)
+        mad = round(float(np.median(np.abs(a - med))), 4)
+        r = out[et]
+        assert r.n == len(a)
+        assert r.med == med
+        assert r.mad == mad
+        z = np.round(0.6745 * (a - med) / mad, 4)
+        assert r.n_outliers == int(np.sum(np.abs(z) > 3.5))
+        assert abs(r.max_abs_z - float(np.max(np.abs(z)))) < 1e-9
+
+
+# ------------------------------------------------------------- CUSUM
+
+
+def test_cusum_matches_numpy_replay(spark):
+    """The reported changepoint position and |CUSUM| peak match a
+    NumPy replay of the exact prefix-sum definition per type."""
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    out = {r.event_type: r for r in R.cusum_changepoint(spark, SF_DIR).collect()}
+    assert set(out) == set(series)
+    for et, rows in series.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        v = np.asarray([round(x, 2) for _, _, x in rows])
+        mean = round(float(v.sum()) / len(v), 4)
+        cusum = np.round(np.abs(np.cumsum(v) - (np.arange(len(v)) + 1) * mean), 4)
+        r = out[et]
+        assert r.n == len(v)
+        assert r.mean_v == mean
+        peak = float(cusum.max())
+        assert abs(r.max_abs_cusum - peak) < 1e-9
+        # reported index is the EARLIEST attaining the peak
+        assert r.cp_index == int(np.argmax(cusum)) + 1
+
+
+# -------------------------------------------------------- seasonality
+
+
+def test_seasonal_identities(spark):
+    """Per type: 24 hour cells, counts sum to the type total, the
+    n-weighted mean of hour offsets is ~0, and the seasonal strength
+    is a valid variance fraction in [0, 1]."""
+    rows = R.seasonal_decompose_events(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert len(rs) == 24
+        assert len({r.hr for r in rs}) == 24
+        n_t = sum(r.n_h for r in rs)
+        # one shared type_avg and strength per type
+        assert len({r.type_avg for r in rs}) == 1
+        assert len({r.seasonal_strength for r in rs}) == 1
+        s = rs[0].seasonal_strength
+        assert 0.0 <= s <= 1.0
+        w_off = sum(r.n_h * r.seasonal_offset for r in rs) / n_t
+        assert abs(w_off) < 1e-3  # offsets are centered (4-dp rounding slack)
+        for r in rs:
+            assert abs((r.hod_avg - r.type_avg) - r.seasonal_offset) < 2e-4
