@@ -139,6 +139,9 @@ HEADLINE = (
     "robust_mad_outliers",
     "cusum_changepoint",
     "seasonal_decompose_events",
+    "attribution_linear_touch",
+    "nearest_event_join",
+    "bpe_merge_pairs",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -149,5 +149,11 @@ _promote(
         # (family sibling mixture_language_sampling holds a green r4
         # driver row; self-check green at both SFs).
         "sample_mixture_apply",
+        # wave 5b (51-53) — also past the window this round: the
+        # r6-changed queries above keep their slots (grouping_sets was
+        # the r5 red row); these rotate into the r8 prefix.
+        "attribution_linear_touch",
+        "nearest_event_join",
+        "bpe_merge_pairs",
     ),
 )

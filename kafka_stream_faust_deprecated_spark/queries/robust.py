@@ -22,6 +22,23 @@ The capabilities this module adds, each as an oracle-checked query:
   decomposition every anomaly detector needs before it can separate
   "3am is always quiet" from "3am broke".
 
+Wave 5b adds temporal alignment, attribution, and BPE pair mining:
+
+* ``attribution_linear_touch``  — linear multi-touch attribution:
+  every purchase splits one unit of credit equally across the user's
+  click/view touches in the preceding 3 days, aggregated per touch
+  type — the marketing-analytics shape whose naive form is a corpus
+  self-join but whose real fan-out is bounded by per-user activity.
+* ``nearest_event_join``        — the BIDIRECTIONAL nearest-neighbor
+  temporal join (each purchase paired with the user's nearest click in
+  either direction): the sensor-alignment primitive as-of joins only
+  half-solve, computed in ONE user-keyed sort via last/first
+  IGNORE NULLS windows instead of two joins.
+* ``bpe_merge_pairs``           — the pair-count step of a BPE
+  tokenizer trainer: collapse the corpus to its word-frequency table
+  FIRST, generate adjacent character pairs over the vocabulary only,
+  and rank merge candidates by frequency-weighted pair count.
+
 Reference parity note: the reference app (``faust_app/ma_agg.py``, 308
 lines) has no dominance / robust-stats / changepoint surface; these
 extend the engine for the large-scale analytics mandate
@@ -453,4 +470,312 @@ def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(sst, F.lit(0.0)),
             4,
         ).alias("seasonal_strength"),
+    )
+
+
+# --------------------------------------------------------------------------
+# attribution_linear_touch
+# --------------------------------------------------------------------------
+
+#: Attribution lookback window (days before the purchase) and the
+#: touch types that earn credit.
+ATTR_WINDOW_DAYS = 3
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+@register(
+    "attribution_linear_touch",
+    oracle=f"""
+WITH p AS (
+    SELECT user_id, event_id AS pid, ts AS pts
+    FROM events WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, event_type, event_id AS tid, ts AS tts
+    FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+    SELECT p.pid, t.event_type, t.tid,
+           count(*) OVER (PARTITION BY p.pid) AS n_touch
+    FROM p JOIN t
+      ON p.user_id = t.user_id
+     AND t.tts <= p.pts
+     AND t.tts >= p.pts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+c AS (
+    SELECT event_type, tid, pid,
+           CAST({sql_round_det("1.0 / n_touch", 6)} AS DECIMAL(18,6))
+               AS credit
+    FROM j
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_touches_credited,
+       count(DISTINCT pid)::BIGINT AS n_purchases_touched,
+       CAST(sum(credit) AS DOUBLE) AS total_credit
+FROM c GROUP BY event_type
+""",
+    tags=("E3", "E5", "E7"),
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase distributes one
+    unit of conversion credit equally across the user's click/view
+    touches in the {ATTR_WINDOW_DAYS} days up to the purchase, and the
+    credit is rolled up per touch type (touch count, distinct purchases
+    reached, total credit). Per-touch credit ``1 / n_touch`` is rounded
+    to 6-dp DECIMAL before the cross-row sum (the mi_contrib idiom), so
+    the totals are exact and summation-order-independent in both
+    engines.
+
+    Scale shape: the purchase x touch pairing is a user-keyed equi-join
+    with the time-window predicate applied as a post-join filter — both
+    sides exchange ONCE on user_id and the fan-out is bounded by
+    per-user activity in the lookback window, never the corpus; the
+    per-purchase touch count rides a window over that bounded join
+    output, and the final rollup is a touch-type-keyed agg over
+    credit rows.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    t = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+    )
+    j = p.join(t, "user_id").where(
+        (F.col("tts") <= F.col("pts"))
+        & (
+            F.col("tts")
+            >= F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+        )
+    )
+    j = j.withColumn("n_touch", F.count("*").over(Window.partitionBy("pid")))
+    c = j.select(
+        "event_type",
+        "tid",
+        "pid",
+        round_det(F.lit(1.0) / F.col("n_touch"), 6)
+        .cast("decimal(18,6)")
+        .alias("credit"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_touches_credited"),
+        F.countDistinct("pid").cast("bigint").alias("n_purchases_touched"),
+        F.sum("credit").cast("double").alias("total_credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# nearest_event_join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nearest_event_join",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, event_type, event_id, ts,
+           epoch(date_trunc('second', ts))::BIGINT AS sec
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+w AS (
+    SELECT user_id, event_type, event_id, ts, sec,
+           last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_click_sec,
+           first_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_click_sec
+    FROM ev
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       (sec - prev_click_sec) AS prev_gap_sec,
+       (next_click_sec - sec) AS next_gap_sec,
+       CASE
+           WHEN prev_click_sec IS NULL AND next_click_sec IS NULL THEN 'none'
+           WHEN next_click_sec IS NULL THEN 'prev'
+           WHEN prev_click_sec IS NULL THEN 'next'
+           WHEN sec - prev_click_sec <= next_click_sec - sec THEN 'prev'
+           ELSE 'next'
+       END AS nearest_side,
+       CASE
+           WHEN prev_click_sec IS NULL AND next_click_sec IS NULL THEN NULL
+           WHEN next_click_sec IS NULL THEN sec - prev_click_sec
+           WHEN prev_click_sec IS NULL THEN next_click_sec - sec
+           WHEN sec - prev_click_sec <= next_click_sec - sec
+               THEN sec - prev_click_sec
+           ELSE next_click_sec - sec
+       END AS nearest_gap_sec
+FROM w
+WHERE event_type = 'purchase'
+""",
+    tags=("E5", "E6", "E10"),
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-neighbor temporal join: pair every
+    purchase with the same user's nearest click in EITHER direction
+    (as-of joins are backward-only — sensor alignment and
+    session-stitching need both sides), reporting both gaps, the chosen
+    side, and the winning gap, ties to the earlier click. Gaps are
+    exact integer SECOND differences on the second-truncated epoch
+    (`unix_timestamp` == duckdb `epoch(date_trunc('second', ts))`, the
+    sessionize_capped idiom — TZ-free and NTZ-safe); no float anywhere,
+    so the chosen side cannot flicker between engines.
+
+    Scale shape: ONE user-keyed exchange and one sort serve the whole
+    query — both event roles are interleaved in a single per-user
+    timeline and the prev/next click timestamps come from last/first
+    IGNORE-NULLS frames over it. The naive formulation (purchase x
+    click join + per-purchase min-|gap| rank) shuffles the fan-out
+    product; this plan never materializes it.
+    """
+    ev = (
+        load_table_parallel(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    click_sec = F.when(F.col("event_type") == "click", F.col("sec"))
+    w = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "sec",
+        F.last(click_sec, ignorenulls=True)
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_click_sec"),
+        F.first(click_sec, ignorenulls=True)
+        .over(order.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_click_sec"),
+    )
+    prev_gap = F.col("sec") - F.col("prev_click_sec")
+    next_gap = F.col("next_click_sec") - F.col("sec")
+    both_null = (
+        F.col("prev_click_sec").isNull() & F.col("next_click_sec").isNull()
+    )
+    prev_wins = (
+        F.col("next_click_sec").isNull()
+        | (F.col("prev_click_sec").isNotNull() & (prev_gap <= next_gap))
+    )
+    return w.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        prev_gap.alias("prev_gap_sec"),
+        next_gap.alias("next_gap_sec"),
+        F.when(both_null, "none")
+        .when(prev_wins, "prev")
+        .otherwise("next")
+        .alias("nearest_side"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(prev_wins, prev_gap)
+        .otherwise(next_gap)
+        .alias("nearest_gap_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_pairs
+# --------------------------------------------------------------------------
+
+#: Number of top merge candidates reported (with full deterministic
+#: tiebreaks the cut cannot flicker).
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=f"""
+WITH words AS (
+    SELECT w AS word, count(*)::BIGINT AS freq
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) t
+    WHERE w <> ''
+    GROUP BY w
+),
+pairs AS (
+    SELECT pair, sum(freq)::BIGINT AS pair_count,
+           count(*)::BIGINT AS n_words
+    FROM (
+        SELECT freq,
+               unnest([substr(word, i, 2)
+                       for i in generate_series(1, length(word) - 1)]) AS pair
+        FROM words
+        WHERE length(word) >= 2
+    ) t
+    GROUP BY pair
+),
+ranked AS (
+    SELECT pair, pair_count, n_words,
+           row_number() OVER (ORDER BY pair_count DESC, pair) AS merge_rank
+    FROM pairs
+)
+SELECT pair, pair_count, n_words, merge_rank::BIGINT AS merge_rank
+FROM ranked
+WHERE merge_rank <= {BPE_TOP_PAIRS}
+""",
+    tags=("E7", "E25"),
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-count step of a BPE tokenizer trainer: the top
+    {BPE_TOP_PAIRS} adjacent character pairs by frequency-weighted
+    count (the merge candidates), with the number of distinct words
+    containing each pair and the deterministic merge rank
+    (count DESC, pair ASC — integer counts plus a total lexicographic
+    order, so the ranking is bit-identical across engines).
+
+    Scale shape: the trainer's defining trick is here — the corpus
+    collapses to its WORD-FREQUENCY table first (one vocab-keyed
+    exchange with map-side combine; BPE never rescans the corpus), and
+    pair generation is a codegen substring transform over the
+    vocabulary relation only, with pair counts summing word
+    frequencies. The rank/limit runs over the alphabet^2-bounded pair
+    relation (TakeOrdered heap — no sort exchange of anything
+    corpus-sized).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("freq").cast("bigint").alias("pair_count"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+    )
+    ranked = pairs.withColumn(
+        "merge_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("pair_count").desc(), "pair"))
+        .cast("bigint"),
+    )
+    return ranked.where(F.col("merge_rank") <= BPE_TOP_PAIRS).select(
+        "pair", "pair_count", "n_words", "merge_rank"
     )

@@ -132,3 +132,119 @@ def test_seasonal_identities(spark):
         assert abs(w_off) < 1e-3  # offsets are centered (4-dp rounding slack)
         for r in rs:
             assert abs((r.hod_avg - r.type_avg) - r.seasonal_offset) < 2e-4
+
+
+# -------------------------------------------------------- attribution
+
+
+def test_attribution_credit_conservation(spark):
+    """Total credit across touch types equals the number of purchases
+    with >= 1 touch in the window (each such purchase distributes
+    exactly one unit, modulo 6-dp rounding), and every count is
+    internally consistent."""
+    rows = R.attribution_linear_touch(spark, SF_DIR).collect()
+    assert {r.event_type for r in rows} <= set(R.ATTR_TOUCH_TYPES)
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "event_id", "ts")
+        .collect()
+    )
+    touches = [
+        (r.user_id, r.ts) for r in ev if r.event_type in R.ATTR_TOUCH_TYPES
+    ]
+    from datetime import timedelta
+
+    look = timedelta(days=R.ATTR_WINDOW_DAYS)
+    attributed = sum(
+        1
+        for r in ev
+        if r.event_type == "purchase"
+        and any(u == r.user_id and r.ts - look <= t <= r.ts for u, t in touches)
+    )
+    total_credit = sum(r.total_credit for r in rows)
+    assert abs(total_credit - attributed) < 1e-2  # 6-dp per-touch rounding
+    n_purch = {r.event_type: r.n_purchases_touched for r in rows}
+    assert all(v <= attributed for v in n_purch.values())
+    assert max(n_purch.values()) <= attributed <= sum(n_purch.values())
+
+
+# ----------------------------------------------------- nearest event
+
+
+def test_nearest_event_matches_bruteforce(spark):
+    """Per purchase, the winning gap equals the brute-force min
+    |second-gap| over the user's clicks, with the prev-side tiebreak."""
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "event_id", "ts")
+        .collect()
+    )
+    import calendar
+
+    def sec(ts):
+        return calendar.timegm(ts.replace(microsecond=0).timetuple())
+
+    clicks = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append((sec(r.ts), r.ts, r.event_id))
+    out = {r.event_id: r for r in R.nearest_event_join(spark, SF_DIR).collect()}
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    assert len(out) == len(purchases)
+    for p in purchases:
+        r = out[p.event_id]
+        cs = clicks.get(p.user_id, [])
+        ps = sec(p.ts)
+        # brute force uses the full timeline ordering (ts, event_id)
+        prevs = [c for c in cs if (c[1], c[2]) < (p.ts, p.event_id)]
+        nexts = [c for c in cs if (c[1], c[2]) > (p.ts, p.event_id)]
+        if not cs:
+            assert r.nearest_side == "none" and r.nearest_gap_sec is None
+            continue
+        best_prev = max(prevs)[0] if prevs else None
+        best_next = min(nexts)[0] if nexts else None
+        if best_prev is None:
+            assert r.nearest_side == "next"
+            assert r.nearest_gap_sec == best_next - ps
+        elif best_next is None:
+            assert r.nearest_side == "prev"
+            assert r.nearest_gap_sec == ps - best_prev
+        elif ps - best_prev <= best_next - ps:
+            assert r.nearest_side == "prev"
+            assert r.nearest_gap_sec == ps - best_prev
+        else:
+            assert r.nearest_side == "next"
+            assert r.nearest_gap_sec == best_next - ps
+
+
+# --------------------------------------------------------------- BPE
+
+
+def test_bpe_pairs_match_python_counter(spark):
+    """The top merge candidates equal an independent Python
+    collections.Counter replay over the word-frequency table."""
+    from collections import Counter
+
+    docs = load_table_parallel(spark, SF_DIR, "documents").select("text").collect()
+    wf = Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wf[w] += 1
+    pc = Counter()
+    nw = Counter()
+    for w, f in wf.items():
+        seen = set()
+        for i in range(len(w) - 1):
+            pair = w[i : i + 2]
+            pc[pair] += f
+            seen.add(pair)
+        for pair in seen:
+            nw[pair] += 1
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: R.BPE_TOP_PAIRS]
+    rows = sorted(
+        R.bpe_merge_pairs(spark, SF_DIR).collect(), key=lambda r: r.merge_rank
+    )
+    assert [(r.pair, r.pair_count) for r in rows] == expected
+    for r in rows:
+        assert r.n_words == nw[r.pair]
