@@ -142,6 +142,10 @@ HEADLINE = (
     "attribution_linear_touch",
     "nearest_event_join",
     "bpe_merge_pairs",
+    "session_path_mining",
+    "ewma_smoothing_capped",
+    "conversion_latency_percentiles",
+    "dup_graph_link_prediction",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -155,5 +155,10 @@ _promote(
         "attribution_linear_touch",
         "nearest_event_join",
         "bpe_merge_pairs",
+        # wave 6 (54-57) — same deal: first driver record in round 8.
+        "session_path_mining",
+        "ewma_smoothing_capped",
+        "conversion_latency_percentiles",
+        "dup_graph_link_prediction",
     ),
 )

@@ -459,3 +459,289 @@ def basket_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# session_path_mining  (round-7 wave 6)
+# --------------------------------------------------------------------------
+
+#: Path length and top-k cut for the mined user-day event paths.
+PATH_LEN = 3
+PATH_TOP_K = 20
+
+
+@register(
+    "session_path_mining",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+           row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+s AS (
+    SELECT user_id, day,
+           max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+           max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+           max(CASE WHEN rn = 3 THEN event_type END) AS e3
+    FROM e WHERE rn <= {PATH_LEN}
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT concat_ws('>', e1, e2, e3) AS path, count(*)::BIGINT AS n_sessions
+    FROM s GROUP BY 1
+),
+tot AS (SELECT sum(n_sessions) AS t FROM p),
+ranked AS (
+    SELECT path, n_sessions,
+           {sql_round_det("CAST(n_sessions AS DOUBLE) / t", 4)} AS share,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+    FROM p CROSS JOIN tot
+)
+SELECT path, n_sessions, share, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {PATH_TOP_K}
+""",
+    tags=("E10", "E14", "E25"),
+)
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top {PATH_TOP_K} most common user-day opening paths: per
+    (user, day) session the first {PATH_LEN} event types in
+    (ts, event_id) order joined as ``a>b>c`` (shorter sessions keep
+    their shorter path — concat_ws skips the missing steps identically
+    in both engines), counted and ranked with share-of-sessions. The
+    rank is on exact integer counts with a lexicographic path tiebreak.
+
+    Scale shape: one (user, day)-keyed exchange feeds the ordering
+    window; the pivot to first/second/third is a map-side-combinable
+    agg over rows already filtered to rn <= {PATH_LEN}; everything
+    after lives on the path relation, bounded by |event_type|^{PATH_LEN}
+    — the share join broadcasts the 1-row total (whitelisted BNLJ) and
+    the rank window rides the bounded path relation.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "ts", "event_id"
+    )
+    order = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    e = ev.withColumn("rn", F.row_number().over(order)).where(
+        F.col("rn") <= PATH_LEN
+    )
+    s = e.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    p = s.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count("*").cast("bigint").alias("n_sessions"))
+    tot = p.agg(F.sum("n_sessions").alias("t"))
+    ranked = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            round_det(F.col("n_sessions").cast("double") / F.col("t"), 4).alias(
+                "share"
+            ),
+            F.row_number()
+            .over(Window.orderBy(F.col("n_sessions").desc(), "path"))
+            .cast("bigint")
+            .alias("rnk"),
+        )
+    )
+    return ranked.where(F.col("rnk") <= PATH_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# ewma_smoothing_capped  (round-7 wave 6)
+# --------------------------------------------------------------------------
+
+#: Smoothing factor and the finite window the EWMA is computed over.
+#: A CAPPED window makes the recursive EWMA expressible as a fixed
+#: finite weighted sum — identical left-to-right float arithmetic in
+#: both engines — while (1-alpha)^14 ~ 0.7% bounds the truncation.
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 14
+
+
+@register(
+    "ewma_smoothing_capped",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*)::BIGINT AS n_events,
+           {sql_round_det(
+               "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+               " / count(*)", 4)} AS day_avg
+    FROM events GROUP BY 1, 2
+),
+arrd AS (
+    SELECT event_type, day, n_events, day_avg,
+           list(day_avg) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+           ) AS arr
+    FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, day_avg,
+       len(arr)::BIGINT AS window_n,
+       {sql_round_det(
+           f"list_sum([arr[i] * pow({1 - EWMA_ALPHA}, len(arr) - i)"
+           f" for i in generate_series(1, len(arr))])"
+           f" * {EWMA_ALPHA} / (1 - pow({1 - EWMA_ALPHA}, len(arr)))", 4)}
+           AS ewma
+FROM arrd
+""",
+    tags=("E10", "E16", "E17"),
+)
+def ewma_smoothing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exponentially weighted moving average of the
+    daily mean value, alpha = {EWMA_ALPHA}, over a capped
+    {EWMA_WINDOW}-day window: the smoothing baseline monitoring
+    dashboards draw. The cap turns the textbook recursion into a
+    finite weighted sum over the window array — both engines multiply
+    the SAME 4-dp day averages by the SAME power weights and sum
+    left-to-right over at most {EWMA_WINDOW} terms, so the float
+    result is bit-identical; the truncated tail mass (1-alpha)^
+    {EWMA_WINDOW} is under 1%, and the normalization divides by the
+    window's actual weight mass so series starts are unbiased.
+
+    Scale shape: the corpus collapses to the (type, day) daily
+    aggregate FIRST (one keyed exchange with map-side combine); the
+    window array and the weighted fold are codegen array expressions
+    over the calendar-bounded daily relation — nothing corpus-sized is
+    ever re-exchanged.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("d"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        round_det(F.sum("d").cast("double") / F.count("*"), 4).alias("day_avg"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    arrd = daily.withColumn("arr", F.collect_list("day_avg").over(w))
+    beta = 1 - EWMA_ALPHA
+    ewma = F.expr(
+        f"aggregate(transform(arr, (x, i) -> x * pow({beta}, size(arr) - 1 - i)), "
+        f"0D, (a, b) -> a + b) * {EWMA_ALPHA} / (1 - pow({beta}, size(arr)))"
+    )
+    return arrd.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "day_avg",
+        F.size("arr").cast("bigint").alias("window_n"),
+        round_det(ewma, 4).alias("ewma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# conversion_latency_percentiles  (round-7 wave 6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "conversion_latency_percentiles",
+    oracle="""
+WITH su AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+pu AS (
+    SELECT e.user_id, min(e.ts) AS first_purchase_ts
+    FROM events e JOIN su ON su.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+    GROUP BY 1
+),
+d AS (
+    SELECT su.user_id,
+           epoch(date_trunc('second', pu.first_purchase_ts))
+               - epoch(date_trunc('second', su.signup_ts)) AS delay_sec
+    FROM su JOIN pu USING (user_id)
+),
+n AS (SELECT count(*)::BIGINT AS n_signups FROM su)
+SELECT n.n_signups,
+       count(*)::BIGINT AS n_converted,
+       round(CAST(count(*) AS DOUBLE) / n.n_signups, 4) AS conv_rate,
+       min(delay_sec)::BIGINT AS min_sec,
+       round(quantile_cont(delay_sec, 0.25), 4) AS p25_sec,
+       round(quantile_cont(delay_sec, 0.50), 4) AS p50_sec,
+       round(quantile_cont(delay_sec, 0.75), 4) AS p75_sec,
+       round(quantile_cont(delay_sec, 0.90), 4) AS p90_sec,
+       max(delay_sec)::BIGINT AS max_sec
+FROM d CROSS JOIN n
+GROUP BY n.n_signups
+""",
+    tags=("E6", "E7", "E15"),
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase conversion latency: of the users who
+    ever signed up, how many later purchased, and the distribution
+    (min / p25 / p50 / p75 / p90 / max, in seconds) of the delay from
+    FIRST signup to FIRST subsequent purchase — the activation-funnel
+    latency card. Delays are exact integer second differences on the
+    second-truncated epoch; the percentiles are exact interpolated
+    quantiles over that integer multiset (identical halving in both
+    engines), rounded to 4 dp.
+
+    Scale shape: two slim per-user min-aggregates (signup, then
+    qualifying purchase — the signup floor broadcast onto the purchase
+    scan), one user-keyed join of two user-sized relations, and a
+    single global aggregate over the per-user delay relation (1 partial
+    row per task + the broadcast 1-row signup count). Nothing larger
+    than |users| survives past the first aggregates.
+    """
+    ev = load_table_parallel(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(su), "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    d = su.join(pu, "user_id").select(
+        (
+            F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("delay_sec")
+    )
+    n = su.agg(F.count("*").cast("bigint").alias("n_signups"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("n_signups")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            round_det(
+                F.count("*").cast("double") / F.col("n_signups"), 4
+            ).alias("conv_rate"),
+            F.min("delay_sec").cast("bigint").alias("min_sec"),
+            round_det(F.percentile("delay_sec", F.lit(0.25)), 4).alias("p25_sec"),
+            round_det(F.percentile("delay_sec", F.lit(0.50)), 4).alias("p50_sec"),
+            round_det(F.percentile("delay_sec", F.lit(0.75)), 4).alias("p75_sec"),
+            round_det(F.percentile("delay_sec", F.lit(0.90)), 4).alias("p90_sec"),
+            F.max("delay_sec").cast("bigint").alias("max_sec"),
+        )
+        .select(
+            "n_signups",
+            "n_converted",
+            "conv_rate",
+            "min_sec",
+            "p25_sec",
+            "p50_sec",
+            "p75_sec",
+            "p90_sec",
+            "max_sec",
+        )
+    )

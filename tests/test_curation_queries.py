@@ -152,3 +152,41 @@ def test_winsorize_bounds_and_clip_fractions(spark):
         assert 0 <= r.n_clipped_low <= 0.1 * r.n_docs + 2
         assert 0 <= r.n_clipped_high <= 0.1 * r.n_docs + 2
         assert r.std_wins >= 0.0
+
+
+# ------------------------------------------------ link prediction
+
+
+def test_link_prediction_candidates_are_nonedges_with_common_neighbors(spark):
+    """Every predicted link shares >= 1 neighbor, is NOT an existing
+    edge, its Jaccard is consistent with the reported counts, and the
+    ranking is by (jaccard DESC, doc_a, doc_b)."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_pairs
+    from kafka_stream_faust_deprecated_spark.queries import curation as C
+
+    pairs = {
+        (r.da, r.db) for r in _simhash_pairs(spark, SF_DIR).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = sorted(
+        C.dup_graph_link_prediction(spark, SF_DIR).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert 0 < len(rows) <= C.LINKPRED_TOP_K
+    prev = None
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in pairs, "predicted link already an edge"
+        na, nb = adj[r.doc_a], adj[r.doc_b]
+        assert r.common_neighbors == len(na & nb) >= 1
+        assert r.deg_a == len(na) and r.deg_b == len(nb)
+        assert r.jaccard == round(
+            len(na & nb) / (len(na) + len(nb) - len(na & nb)), 6
+        )
+        key = (-r.jaccard, r.doc_a, r.doc_b)
+        if prev is not None:
+            assert prev < key
+        prev = key

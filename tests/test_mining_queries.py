@@ -130,3 +130,95 @@ def test_basket_rules_consistency(spark):
         assert abs(r.conf_a_to_b - r.n_ab / r.n_a) <= 5.0001e-5
         assert abs(r.conf_b_to_a - r.n_ab / r.n_b) <= 5.0001e-5
         assert r.lift > 0
+
+
+# ------------------------------------------------ session path mining
+
+
+def test_session_paths_match_python_replay(spark):
+    """The top paths equal an independent Python replay over the raw
+    events (first PATH_LEN types per user-day in (ts, event_id) order),
+    and shares are counts over the total session count."""
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    sessions = defaultdict(list)
+    for r in ev:
+        sessions[(r.user_id, r.ts.date())].append((r.ts, r.event_id, r.event_type))
+    from collections import Counter
+
+    paths = Counter()
+    for key, rows in sessions.items():
+        rows.sort()
+        paths[">".join(t for _, _, t in rows[: M.PATH_LEN])] += 1
+    total = sum(paths.values())
+    expected = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[: M.PATH_TOP_K]
+    out = sorted(
+        M.session_path_mining(spark, SF_DIR).collect(), key=lambda r: r.rnk
+    )
+    assert [(r.path, r.n_sessions) for r in out] == expected
+    for r in out:
+        assert r.share == round(r.n_sessions / total, 4)
+
+
+# --------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_numpy_fold(spark):
+    """Every row's EWMA equals the finite weighted fold over its own
+    reported window of daily averages, replayed in NumPy from the raw
+    daily aggregation."""
+    rows = M.ewma_smoothing_capped(spark, SF_DIR).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r
+    a, b = M.EWMA_ALPHA, 1 - M.EWMA_ALPHA
+    for et, days in series.items():
+        ordered = [days[d] for d in sorted(days)]
+        for i, r in enumerate(ordered):
+            win = ordered[max(0, i - (M.EWMA_WINDOW - 1)) : i + 1]
+            assert r.window_n == len(win)
+            num = sum(
+                x.day_avg * b ** (len(win) - 1 - j) for j, x in enumerate(win)
+            )
+            expect = round(num * a / (1 - b ** len(win)), 4)
+            assert abs(r.ewma - expect) < 1e-9, (et, r.day)
+        # smoothing shrinks variance vs the raw dailies
+        raw = np.var([r.day_avg for r in ordered])
+        smooth = np.var([r.ewma for r in ordered])
+        assert smooth <= raw
+
+
+# ------------------------------------------------- conversion latency
+
+
+def test_conversion_latency_matches_python(spark):
+    """Counts and quantiles match a Python replay of first-signup ->
+    first-subsequent-purchase delays."""
+    ev = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    signup, purchase = {}, defaultdict(list)
+    for r in ev:
+        if r.event_type == "signup":
+            signup[r.user_id] = min(signup.get(r.user_id, r.ts), r.ts)
+        elif r.event_type == "purchase":
+            purchase[r.user_id].append(r.ts)
+    delays = []
+    for u, s in signup.items():
+        after = [p for p in purchase.get(u, []) if p >= s]
+        if after:
+            d = min(after).replace(microsecond=0) - s.replace(microsecond=0)
+            delays.append(int(d.total_seconds()))
+    (r,) = M.conversion_latency_percentiles(spark, SF_DIR).collect()
+    assert r.n_signups == len(signup)
+    assert r.n_converted == len(delays)
+    assert r.conv_rate == round(len(delays) / len(signup), 4)
+    arr = np.asarray(sorted(delays), dtype=float)
+    assert r.min_sec == int(arr.min()) and r.max_sec == int(arr.max())
+    for q, col in ((0.25, r.p25_sec), (0.5, r.p50_sec), (0.9, r.p90_sec)):
+        assert abs(col - round(float(np.quantile(arr, q)), 4)) < 1e-9

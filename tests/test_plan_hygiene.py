@@ -46,6 +46,10 @@ BNLJ_WHITELIST = {
     ),
     "timeseries_gap_fill": "broadcast side = the 1-row global day span",
     "basket_copurchase_rules": "broadcast side = the 1-row basket-count aggregate",
+    "session_path_mining": "broadcast side = the 1-row session-total aggregate",
+    "conversion_latency_percentiles": (
+        "broadcast side = the 1-row signup-count aggregate"
+    ),
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -100,6 +104,14 @@ SINGLE_PARTITION_WHITELIST = {
         "(2-decimal price domain, the equi_depth_histogram class) + "
         "frontier rank over the skyline itself (<= |size domain| rows: "
         "frontier sizes strictly increase)"
+    ),
+    "session_path_mining": (
+        "rank window over the path relation — bounded by "
+        "|event_type|^PATH_LEN, not the corpus"
+    ),
+    "conversion_latency_percentiles": (
+        "global latency percentile aggregate over the per-user delay "
+        "relation (<= |users| rows) after two per-user min-aggregates"
     ),
 }
 
