@@ -114,6 +114,25 @@ QUERIES = (
     "groupwise_linear_trend",
     "categorical_mutual_information",
     "basket_copurchase_rules",
+    # wave-5/6 robust + mining ops. All linear under disjoint-key
+    # replication: the skyline's distinct-price/size domains are copied
+    # verbatim (per-price groups just gain rows), MAD/CUSUM/seasonal/
+    # EWMA group or sort per event_type over 8x rows, attribution and
+    # the nearest/latency/path queries key on offset-disjoint users,
+    # and BPE's vocabulary is unchanged (frequencies x8). The link
+    # prediction query is EXCLUDED like every dup-graph pair query:
+    # verbatim text replicas inflate its candidate set quadratically —
+    # a property of the synthetic replication, not the plan.
+    "skyline_pareto_frontier",
+    "robust_mad_outliers",
+    "cusum_changepoint",
+    "seasonal_decompose_events",
+    "attribution_linear_touch",
+    "nearest_event_join",
+    "bpe_merge_pairs",
+    "session_path_mining",
+    "ewma_smoothing_capped",
+    "conversion_latency_percentiles",
 )
 
 
