@@ -146,6 +146,10 @@ HEADLINE = (
     "ewma_smoothing_capped",
     "conversion_latency_percentiles",
     "dup_graph_link_prediction",
+    "order_reorder_intervals",
+    "weighted_median_price",
+    "source_quantile_normalization",
+    "gini_concentration_index",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

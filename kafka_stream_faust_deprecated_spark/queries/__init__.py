@@ -160,5 +160,10 @@ _promote(
         "ewma_smoothing_capped",
         "conversion_latency_percentiles",
         "dup_graph_link_prediction",
+        # wave 7 (58-61) — same deal.
+        "order_reorder_intervals",
+        "weighted_median_price",
+        "source_quantile_normalization",
+        "gini_concentration_index",
     ),
 )

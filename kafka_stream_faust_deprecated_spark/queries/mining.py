@@ -745,3 +745,68 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             "max_sec",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# order_reorder_intervals  (round-7 wave 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_reorder_intervals",
+    oracle=f"""
+WITH o AS (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_date
+    FROM orders
+),
+g AS (
+    SELECT o_custkey,
+           date_diff('day', prev_date, o_orderdate) AS gap_days
+    FROM o WHERE prev_date IS NOT NULL
+)
+SELECT o_custkey AS custkey,
+       count(*)::BIGINT + 1 AS n_orders,
+       min(gap_days)::BIGINT AS min_gap_days,
+       max(gap_days)::BIGINT AS max_gap_days,
+       {sql_round_det("CAST(sum(gap_days) AS DOUBLE) / count(*)", 4)}
+           AS mean_gap_days
+FROM g GROUP BY o_custkey
+""",
+    tags=("E7", "E10", "E15"),
+)
+def order_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase cadence: for every customer with >= 2
+    orders, the min / max / mean gap in days between consecutive
+    orders (ordered by (date, orderkey) — a total order, so the lag
+    sequence is identical in both engines). Gaps are exact integer day
+    differences; the mean divides two integers.
+
+    Scale shape: ONE customer-keyed exchange serves both the lag
+    window and the per-customer aggregate (same partitioning, reused);
+    nothing larger than the orders table moves, and the output is
+    customer-sized. The classic RFM-adjacent cadence feature without any
+    self-join.
+    """
+    o = load_table_parallel(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").alias("gap_days"),
+        )
+    )
+    return g.groupBy("o_custkey").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_orders"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        round_det(F.sum("gap_days").cast("double") / F.count("*"), 4).alias(
+            "mean_gap_days"
+        ),
+    ).withColumnRenamed("o_custkey", "custkey")

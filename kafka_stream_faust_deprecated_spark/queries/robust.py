@@ -779,3 +779,229 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("merge_rank") <= BPE_TOP_PAIRS).select(
         "pair", "pair_count", "n_words", "merge_rank"
     )
+
+
+# --------------------------------------------------------------------------
+# weighted_median_price  (round-7 wave 7)
+# --------------------------------------------------------------------------
+
+#: Weighted quantiles reported, as integer percent points. The pick is
+#: the inverted-CDF lower weighted quantile: the smallest value whose
+#: cumulative weight reaches q of the total — an EXACT integer/decimal
+#: predicate (cumw * 100 >= q * total), never a float comparison.
+WEIGHTED_QS = (25, 50, 75)
+
+
+@register(
+    "weighted_median_price",
+    oracle=f"""
+WITH lvl AS (
+    SELECT CAST(p_retailprice AS DECIMAL(12,2)) AS price_d,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+),
+c AS (
+    SELECT price_d, w,
+           sum(w) OVER (ORDER BY price_d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+           sum(w) OVER () AS total
+    FROM lvl
+),
+q AS (SELECT unnest([{", ".join(str(q) for q in WEIGHTED_QS)}]) AS pct)
+SELECT q.pct::BIGINT AS pct,
+       min(c.price_d)::DOUBLE AS price,
+       CAST(max(c.total) AS DOUBLE) AS total_weight
+FROM q JOIN c ON c.cumw * 100 >= q.pct * c.total
+GROUP BY q.pct
+""",
+    tags=("E7", "E10"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles (p25 / p50 / p75): the price
+    below which {WEIGHTED_QS} percent of SOLD UNITS (not of parts)
+    fall — the weighted-median primitive SQL lacks, as the inverted
+    CDF over the price-level weight distribution. The pick predicate
+    is exact integer x DECIMAL arithmetic (``cumw * 100 >= pct *
+    total``), so the chosen prices are bit-identical across engines.
+
+    Scale shape: the corpus collapses to the DISTINCT-PRICE level
+    first (one price-keyed exchange with map-side combine of
+    DECIMAL weights — the part dim broadcasts into the fact scan);
+    the cumulative-weight window and the quantile pick run over the
+    2-decimal-price-domain-bounded level relation (the
+    equi_depth_histogram class, whitelisted single-partition), with
+    the 3-row quantile spec broadcast onto it.
+    """
+    li = load_table_parallel(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    part = load_table_parallel(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("decimal(12,2)").alias("price_d")
+    )
+    lvl = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("price_d")
+        .agg(F.sum("qty").alias("w"))
+    )
+    c = lvl.select(
+        "price_d",
+        "w",
+        F.sum("w")
+        .over(
+            Window.orderBy("price_d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumw"),
+        F.sum("w").over(Window.partitionBy()).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in WEIGHTED_QS])).alias("pct")
+    picked = c.select(qs, "price_d", "cumw", "total").where(
+        F.col("cumw") * 100 >= F.col("pct") * F.col("total")
+    )
+    return picked.groupBy("pct").agg(
+        F.min("price_d").cast("double").alias("price"),
+        F.max("total").cast("double").alias("total_weight"),
+    ).select(F.col("pct").cast("bigint").alias("pct"), "price", "total_weight")
+
+
+# --------------------------------------------------------------------------
+# source_quantile_normalization  (round-7 wave 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_quantile_normalization",
+    oracle=f"""
+WITH r AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS src_rank,
+           count(*) OVER (PARTITION BY source) AS src_n
+    FROM documents
+)
+SELECT doc_id, source, n_chars, src_rank::BIGINT AS src_rank,
+       src_n::BIGINT AS src_n,
+       {sql_round_det(
+           "CAST(src_rank - 1 AS DOUBLE) / nullif(src_n - 1, 0)", 6)}
+           AS src_pct
+FROM r
+""",
+    tags=("E10", "E25"),
+)
+def source_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of document length: each
+    document's rank percentile within ITS OWN source (rank by
+    (n_chars, doc_id) — a total order, so ranks are exact integers and
+    identical in both engines; percentile = (rank-1)/(n-1)). This is
+    the feature-calibration step that makes 'long for a crawl page'
+    and 'long for a paper' comparable before cross-source quality
+    cuts or mixture weighting.
+
+    Scale shape: ONE source-keyed exchange serves both windows (rank
+    and group count share the partitioning); output is corpus-sized by
+    design (a per-document feature column). With few huge sources the
+    per-source sort is the bound — the 100 TB refinement is the
+    two-pass distributed rank (range-partition by (source, n_chars),
+    per-partition counts broadcast as offsets), identical output.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+        F.count("*").over(Window.partitionBy("source")).cast("bigint").alias(
+            "src_n"
+        ),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "src_rank",
+        "src_n",
+        round_det(
+            (F.col("src_rank") - 1).cast("double")
+            / F.nullif((F.col("src_n") - 1).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("src_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gini_concentration_index  (round-7 wave 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gini_concentration_index",
+    oracle=f"""
+WITH r AS (
+    SELECT source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS i
+    FROM documents
+),
+s AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(i * n_chars)::BIGINT AS weighted_sum
+    FROM r GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       {sql_round_det(
+           "(2.0 * weighted_sum - (n_docs + 1.0) * total_chars)"
+           " / (CAST(n_docs AS DOUBLE) * total_chars)", 6)} AS gini
+FROM s
+""",
+    tags=("E7", "E10"),
+)
+def gini_concentration_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length — the
+    concentration diagnostic (0 = every doc equal, -> 1 = a few giants
+    hold all the mass) curation runs before trusting per-source token
+    budgets. Computed from the rank identity ``G = (2 * sum(i * x_i) -
+    (n+1) * sum(x_i)) / (n * sum(x_i))`` over the ascending
+    (n_chars, doc_id) total order: every sum is an exact BIGINT, so
+    the only float is one fixed closed-form expression per source.
+
+    Scale shape: ONE source-keyed exchange serves the rank window and
+    the moment aggregate (shared partitioning, map-side-combinable
+    integer sums); output is |sources| rows. Same two-pass
+    distributed-rank refinement as source_quantile_normalization at
+    100 TB.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    s = r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("i") * F.col("n_chars")).cast("bigint").alias("weighted_sum"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        round_det(
+            (
+                2.0 * F.col("weighted_sum")
+                - (F.col("n_docs") + F.lit(1.0)) * F.col("total_chars")
+            )
+            / (F.col("n_docs").cast("double") * F.col("total_chars")),
+            6,
+        ).alias("gini"),
+    )

@@ -133,6 +133,15 @@ QUERIES = (
     "session_path_mining",
     "ewma_smoothing_capped",
     "conversion_latency_percentiles",
+    # wave-7 distributional ops. Linear: cadence is customer-keyed
+    # (offset-disjoint customers), the weighted-median level relation
+    # is price-domain-bounded (weights just multiply), and the
+    # quantile-norm / Gini windows sort 8x rows within the same
+    # source set (n log n).
+    "order_reorder_intervals",
+    "weighted_median_price",
+    "source_quantile_normalization",
+    "gini_concentration_index",
 )
 
 

@@ -113,6 +113,11 @@ SINGLE_PARTITION_WHITELIST = {
         "global latency percentile aggregate over the per-user delay "
         "relation (<= |users| rows) after two per-user min-aggregates"
     ),
+    "weighted_median_price": (
+        "cumulative-weight window over the DISTINCT-PRICE level "
+        "relation — bounded by the 2-decimal price domain (the "
+        "equi_depth_histogram class)"
+    ),
 }
 
 

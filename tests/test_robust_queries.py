@@ -248,3 +248,119 @@ def test_bpe_pairs_match_python_counter(spark):
     assert [(r.pair, r.pair_count) for r in rows] == expected
     for r in rows:
         assert r.n_words == nw[r.pair]
+
+
+# ----------------------------------------------- weighted quantiles
+
+
+def test_weighted_median_matches_python(spark):
+    """Each picked price equals the smallest price whose cumulative
+    quantity share reaches the target percent, replayed in Python."""
+    li = load_table_parallel(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_quantity"
+    ).collect()
+    part = {
+        r.p_partkey: round(r.p_retailprice, 2)
+        for r in load_table_parallel(spark, SF_DIR, "part")
+        .select("p_partkey", "p_retailprice")
+        .collect()
+    }
+    from collections import defaultdict as dd
+
+    w = dd(float)
+    for r in li:
+        w[part[r.l_partkey]] += r.l_quantity
+    total = sum(w.values())
+    levels = sorted(w)
+    out = {r.pct: r for r in R.weighted_median_price(spark, SF_DIR).collect()}
+    assert set(out) == set(R.WEIGHTED_QS)
+    for pct in R.WEIGHTED_QS:
+        cum = 0.0
+        for price in levels:
+            cum += w[price]
+            if cum * 100 >= pct * total:
+                assert out[pct].price == price
+                break
+        assert abs(out[pct].total_weight - total) < 1e-6
+    assert out[25].price <= out[50].price <= out[75].price
+
+
+# ------------------------------------------- quantile normalization
+
+
+def test_source_quantile_normalization_properties(spark):
+    """Within each source: ranks are a permutation of 1..n, percentiles
+    are monotone in (n_chars, doc_id), and span [0, 1]."""
+    rows = R.source_quantile_normalization(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        assert {r.src_rank for r in rs} == set(range(1, n + 1))
+        assert all(r.src_n == n for r in rs)
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        for i, r in enumerate(rs):
+            assert r.src_rank == i + 1
+            assert r.src_pct == round(i / (n - 1), 6)
+        assert rs[0].src_pct == 0.0 and rs[-1].src_pct == 1.0
+
+
+# ---------------------------------------------------------- cadence
+
+
+def test_reorder_intervals_match_python(spark):
+    """Gap stats per customer match a Python replay over sorted
+    (date, orderkey) sequences; single-order customers are absent."""
+    orders = load_table_parallel(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    seq = {}
+    for r in orders:
+        seq.setdefault(r.o_custkey, []).append((r.o_orderdate, r.o_orderkey))
+    out = {r.custkey: r for r in M_reorder(spark)}
+    for ck, os_ in seq.items():
+        if len(os_) < 2:
+            assert ck not in out
+            continue
+        os_.sort()
+        gaps = [
+            (b[0] - a[0]).days for a, b in zip(os_, os_[1:])
+        ]
+        r = out[ck]
+        assert r.n_orders == len(os_)
+        assert r.min_gap_days == min(gaps) and r.max_gap_days == max(gaps)
+        assert r.mean_gap_days == round(sum(gaps) / len(gaps), 4)
+
+
+def M_reorder(spark):
+    from kafka_stream_faust_deprecated_spark.queries import mining as M
+
+    return M.order_reorder_intervals(spark, SF_DIR).collect()
+
+
+# --------------------------------------------------------------- Gini
+
+
+def test_gini_matches_numpy(spark):
+    """Per-source Gini equals the NumPy rank-identity computation and
+    sits in [0, 1)."""
+    docs = load_table_parallel(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    out = {r.source: r for r in R.gini_concentration_index(spark, SF_DIR).collect()}
+    assert set(out) == set(by_src)
+    for src, xs in by_src.items():
+        xs.sort()
+        v = np.asarray([x for x, _ in xs], dtype=float)
+        n = len(v)
+        i = np.arange(1, n + 1)
+        g = round((2 * float((i * v).sum()) - (n + 1) * float(v.sum()))
+                  / (n * float(v.sum())), 6)
+        r = out[src]
+        assert r.n_docs == n and r.total_chars == int(v.sum())
+        assert abs(r.gini - g) < 1e-9
+        assert 0.0 <= r.gini < 1.0
