@@ -369,15 +369,17 @@ def main() -> None:
     # scalars + streaming, compact separators); the derived normalized
     # dicts go to a side artifact committed per-round as
     # BENCH_SELF_r{N}.json.
+    # 2-dp per-query times on the wire (83 entries: every byte counts
+    # against the tail-capture budget); full 3-dp times, the pre/post
+    # calibration pair, and the normalized dicts live in the committed
+    # side artifact.
     compact = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": {q: round(t, 2) for q, t in times.items()},
         "sf": sf,
         "calibration_sec": calib,
-        "calibration_pre_sec": calib_pre,
-        "calibration_post_sec": calib_post,
         "calibration_stages_sec": calib_stages,
         "streaming": streaming,
     }
@@ -387,7 +389,14 @@ def main() -> None:
     )
     with open(self_path, "w") as fh:
         json.dump(
-            {**compact, "normalized": normalized, "normalized_stages": normalized_stages},
+            {
+                **compact,
+                "queries": times,
+                "calibration_pre_sec": calib_pre,
+                "calibration_post_sec": calib_post,
+                "normalized": normalized,
+                "normalized_stages": normalized_stages,
+            },
             fh,
             indent=1,
         )

@@ -529,10 +529,14 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the purchase x touch pairing is a user-keyed equi-join
     with the time-window predicate applied as a post-join filter — both
     sides exchange ONCE on user_id and the fan-out is bounded by
-    per-user activity in the lookback window, never the corpus; the
-    per-purchase touch count rides a window over that bounded join
-    output, and the final rollup is a touch-type-keyed agg over
-    credit rows.
+    per-user activity in the lookback window, never the corpus. The
+    fan-out is then IMMEDIATELY collapsed to the (purchase, touch-type)
+    count relation (map-side combine — at most |touch types| rows per
+    purchase survive), the per-purchase total rides a skinny
+    pid-keyed window over that collapsed relation, and per-type credit
+    is ``cnt * round(1/n_touch, 6)`` — exactly the per-touch sum, since
+    every touch of one purchase shares the same n_touch. The raw
+    fan-out rows are never re-exchanged.
     """
     ev = load_table_parallel(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
@@ -541,7 +545,6 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
         "user_id",
         "event_type",
-        F.col("event_id").alias("tid"),
         F.col("ts").alias("tts"),
     )
     j = p.join(t, "user_id").where(
@@ -551,18 +554,24 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
         )
     )
-    j = j.withColumn("n_touch", F.count("*").over(Window.partitionBy("pid")))
-    c = j.select(
+    per_type = j.groupBy("pid", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    per_type = per_type.withColumn(
+        "n_touch", F.sum("cnt").over(Window.partitionBy("pid"))
+    )
+    c = per_type.select(
         "event_type",
-        "tid",
         "pid",
-        round_det(F.lit(1.0) / F.col("n_touch"), 6)
-        .cast("decimal(18,6)")
-        .alias("credit"),
+        "cnt",
+        (
+            F.col("cnt").cast("decimal(18,0)")
+            * round_det(F.lit(1.0) / F.col("n_touch"), 6).cast("decimal(18,6)")
+        ).alias("credit"),
     )
     return c.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_touches_credited"),
-        F.countDistinct("pid").cast("bigint").alias("n_purchases_touched"),
+        F.sum("cnt").cast("bigint").alias("n_touches_credited"),
+        F.count("*").cast("bigint").alias("n_purchases_touched"),
         F.sum("credit").cast("double").alias("total_credit"),
     )
 
