@@ -150,6 +150,12 @@ HEADLINE = (
     "weighted_median_price",
     "source_quantile_normalization",
     "gini_concentration_index",
+    "ohlc_bars_daily",
+    "vwap_daily",
+    "bollinger_bands",
+    "rsi_cutler",
+    "max_drawdown_daily",
+    "symbol_return_correlation",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

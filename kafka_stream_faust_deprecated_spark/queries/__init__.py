@@ -41,6 +41,7 @@ for _mod in (
     "curation",
     "mining",
     "robust",
+    "ticker",
     "analytic",
     "temporal",
     "relational",
@@ -165,5 +166,13 @@ _promote(
         "weighted_median_price",
         "source_quantile_normalization",
         "gini_concentration_index",
+        # wave 8 (62-67, queries/ticker.py) — past the window; first
+        # driver record lands when they rotate into the r8 prefix.
+        "ohlc_bars_daily",
+        "vwap_daily",
+        "bollinger_bands",
+        "rsi_cutler",
+        "max_drawdown_daily",
+        "symbol_return_correlation",
     ),
 )
