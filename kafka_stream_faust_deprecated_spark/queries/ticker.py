@@ -613,8 +613,13 @@ def symbol_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus collapses to calendar-bounded bars, the
     universe is picked by a TakeOrderedAndProject top-K (never a
     global single-partition rank over all symbols) and broadcast; the
-    pair join is day-keyed with at most {CORR_TOP_K} rows per day, so
-    the pair relation is K^2 x calendar — independent of corpus size.
+    K-symbol return relation then folds into per-day arrays (one
+    day-keyed exchange over a <= K-rows-per-day relation) and the
+    pairs expand JVM-side inside each day row, bounded by K^2 x
+    calendar — independent of corpus size. The single-lineage array
+    form is deliberate: the naive two-branch self-join evaluates the
+    corpus-sized bar pipeline TWICE (Spark's exchange reuse does not
+    fire across the alias-renamed branches), this one exactly once.
     """
     t = _ticks(spark, sf_dir)
     topk = (
@@ -638,19 +643,22 @@ def symbol_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("r"),
     ).where(F.col("r").isNotNull())
-    a = rets.select(
-        F.col("user_id").alias("user_a"),
-        F.col("day").alias("day"),
-        F.col("r").alias("ra"),
+    day_groups = rets.groupBy("day").agg(
+        F.collect_list(F.struct("user_id", "r")).alias("us")
     )
-    b = rets.select(
-        F.col("user_id").alias("user_b"),
-        F.col("day").alias("day_b"),
-        F.col("r").alias("rb"),
+    flat = (
+        day_groups.select(F.explode("us").alias("a"), "us")
+        .select("a", F.explode("us").alias("b"))
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.r").alias("ra"),
+            F.col("b.r").alias("rb"),
+        )
     )
     pairs = (
-        a.join(b, (a["day"] == b["day_b"]) & (a["user_a"] < b["user_b"]))
-        .groupBy("user_a", "user_b")
+        flat.groupBy("user_a", "user_b")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.sum("ra").alias("sx"),
