@@ -156,6 +156,12 @@ HEADLINE = (
     "rsi_cutler",
     "max_drawdown_daily",
     "symbol_return_correlation",
+    "fk_integrity_audit",
+    "pk_uniqueness_audit",
+    "beta_capm_daily",
+    "intraday_volume_curve",
+    "turnover_autocorr",
+    "mixture_temperature_plan",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -42,6 +42,7 @@ for _mod in (
     "mining",
     "robust",
     "ticker",
+    "audit",
     "analytic",
     "temporal",
     "relational",
@@ -174,5 +175,12 @@ _promote(
         "rsi_cutler",
         "max_drawdown_daily",
         "symbol_return_correlation",
+        # wave 9 (68-73, queries/audit.py) — same deal.
+        "fk_integrity_audit",
+        "pk_uniqueness_audit",
+        "beta_capm_daily",
+        "intraday_volume_curve",
+        "turnover_autocorr",
+        "mixture_temperature_plan",
     ),
 )

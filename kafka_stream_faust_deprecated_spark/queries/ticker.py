@@ -463,15 +463,19 @@ run AS (
     FROM bars
 ),
 dd AS (
+    -- nullif: a zero running peak (a symbol whose prices open at
+    -- 0.00) yields NULL drawdown instead of an ANSI divide error;
+    -- NULLS LAST pins the rank order identically in both engines
     SELECT user_id, day, close_px, peak_px, n_days,
            {sql_round_det(
                "(CAST(peak_px AS DOUBLE) - CAST(close_px AS DOUBLE))"
-               " / CAST(peak_px AS DOUBLE)", 6)} AS drawdown,
+               " / nullif(CAST(peak_px AS DOUBLE), 0.0)", 6)} AS drawdown,
            row_number() OVER (
                PARTITION BY user_id
                ORDER BY {sql_round_det(
                    "(CAST(peak_px AS DOUBLE) - CAST(close_px AS DOUBLE))"
-                   " / CAST(peak_px AS DOUBLE)", 6)} DESC, day
+                   " / nullif(CAST(peak_px AS DOUBLE), 0.0)",
+                   6)} DESC NULLS LAST, day
            ) AS rn
     FROM run
 )
@@ -514,7 +518,7 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drawdown = round_det(
         (F.col("peak_px").cast("double") - F.col("close_px").cast("double"))
-        / F.col("peak_px").cast("double"),
+        / F.nullif(F.col("peak_px").cast("double"), F.lit(0.0)),
         6,
     )
     dd = run.select(
@@ -527,7 +531,7 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(
             Window.partitionBy("user_id").orderBy(
-                drawdown.desc(), F.col("day")
+                drawdown.desc_nulls_last(), F.col("day")
             )
         )
         .alias("rn"),
@@ -565,20 +569,26 @@ topk AS (
     )
 ),
 rets AS (
+    -- nullif: a zero previous close yields a NULL return (Spark's
+    -- ANSI mode errors on the division where DuckDB yields inf)
     SELECT b.user_id, b.day,
            CAST({sql_round_det(
-               "CAST(b.close_px AS DOUBLE) / CAST(lag(b.close_px) OVER ("
-               "PARTITION BY b.user_id ORDER BY b.day) AS DOUBLE) - 1.0",
+               "CAST(b.close_px AS DOUBLE) / nullif(CAST(lag(b.close_px)"
+               " OVER (PARTITION BY b.user_id ORDER BY b.day) AS DOUBLE),"
+               " 0.0) - 1.0",
                6)} AS DECIMAL(18,6)) AS r
     FROM bars b JOIN topk USING (user_id)
 ),
 pairs AS (
+    -- DECIMAL(19,6) casts force DuckDB's int128 multiply path: a
+    -- DECIMAL(<=18) product runs in int64 and overflows its raw
+    -- representation once |return| exceeds ~1e3
     SELECT a.user_id AS user_a, b.user_id AS user_b,
            count(*)::BIGINT AS n_days,
            sum(a.r) AS sx, sum(b.r) AS sy,
-           sum(a.r * b.r) AS sxy,
-           sum(a.r * a.r) AS sxx,
-           sum(b.r * b.r) AS syy
+           sum(CAST(a.r AS DECIMAL(19,6)) * CAST(b.r AS DECIMAL(19,6))) AS sxy,
+           sum(CAST(a.r AS DECIMAL(19,6)) * CAST(a.r AS DECIMAL(19,6))) AS sxx,
+           sum(CAST(b.r AS DECIMAL(19,6)) * CAST(b.r AS DECIMAL(19,6))) AS syy
     FROM rets a JOIN rets b
       ON a.day = b.day AND a.user_id < b.user_id
     WHERE a.r IS NOT NULL AND b.r IS NOT NULL
@@ -636,7 +646,9 @@ def symbol_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         round_det(
             F.col("close_px").cast("double")
-            / F.lag("close_px").over(series).cast("double")
+            / F.nullif(
+                F.lag("close_px").over(series).cast("double"), F.lit(0.0)
+            )
             - 1.0,
             6,
         )

@@ -50,6 +50,10 @@ BNLJ_WHITELIST = {
     "conversion_latency_percentiles": (
         "broadcast side = the 1-row signup-count aggregate"
     ),
+    "mixture_temperature_plan": (
+        "broadcast side = the 1-row corpus-totals aggregate "
+        "(the equi_depth_histogram class)"
+    ),
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -117,6 +121,10 @@ SINGLE_PARTITION_WHITELIST = {
         "cumulative-weight window over the DISTINCT-PRICE level "
         "relation — bounded by the 2-decimal price domain (the "
         "equi_depth_histogram class)"
+    ),
+    "mixture_temperature_plan": (
+        "global corpus-totals aggregate over the (lang, source) bucket "
+        "relation: 1 partial row per task (the corpus_datacard class)"
     ),
 }
 
