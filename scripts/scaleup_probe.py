@@ -142,6 +142,29 @@ QUERIES = (
     "weighted_median_price",
     "source_quantile_normalization",
     "gini_concentration_index",
+    # wave-8 ticker ops. Linear: every query collapses the tick corpus
+    # to (user, day) bars first (8x users, same calendar), the
+    # band/RSI/drawdown windows sort per offset-disjoint user, and the
+    # correlation universe is a FIXED top-K (the pair relation stays
+    # K^2 x calendar at any scale — only the bar collapse grows).
+    "ohlc_bars_daily",
+    "vwap_daily",
+    "bollinger_bands",
+    "rsi_cutler",
+    "max_drawdown_daily",
+    "symbol_return_correlation",
+    # wave-9 audit/factor/mixture ops. Linear: the FK/PK audits are
+    # key-keyed joins/aggregates over offset-disjoint keys, the CAPM
+    # market series is calendar-bounded (8x rows per day, same days),
+    # the intraday curve is |types| x 24-bounded, the autocorr moments
+    # are user-keyed, and the mixture plan's bucket set is copied
+    # verbatim (token counts just multiply).
+    "fk_integrity_audit",
+    "pk_uniqueness_audit",
+    "beta_capm_daily",
+    "intraday_volume_curve",
+    "turnover_autocorr",
+    "mixture_temperature_plan",
 )
 
 
