@@ -162,6 +162,10 @@ HEADLINE = (
     "intraday_volume_curve",
     "turnover_autocorr",
     "mixture_temperature_plan",
+    "benford_digit_audit",
+    "psi_value_drift",
+    "twap_daily",
+    "seasonal_residual_anomalies",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

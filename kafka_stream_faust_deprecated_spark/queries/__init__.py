@@ -43,6 +43,7 @@ for _mod in (
     "robust",
     "ticker",
     "audit",
+    "monitor",
     "analytic",
     "temporal",
     "relational",
@@ -182,5 +183,10 @@ _promote(
         "intraday_volume_curve",
         "turnover_autocorr",
         "mixture_temperature_plan",
+        # wave 10 (74-77, queries/monitor.py) — same deal.
+        "benford_digit_audit",
+        "psi_value_drift",
+        "twap_daily",
+        "seasonal_residual_anomalies",
     ),
 )

@@ -165,6 +165,14 @@ QUERIES = (
     "intraday_volume_curve",
     "turnover_autocorr",
     "mixture_temperature_plan",
+    # wave-10 monitoring ops. Linear: the digit/bucket/hour relations
+    # are fixed-size (9 / types x 10 / types x 24) regardless of input,
+    # TWAP is the (user, day)-keyed bar shape over offset-disjoint
+    # users, and the PSI/seasonal stats joins broadcast tiny relations.
+    "benford_digit_audit",
+    "psi_value_drift",
+    "twap_daily",
+    "seasonal_residual_anomalies",
 )
 
 

@@ -126,6 +126,10 @@ SINGLE_PARTITION_WHITELIST = {
         "global corpus-totals aggregate over the (lang, source) bucket "
         "relation: 1 partial row per task (the corpus_datacard class)"
     ),
+    "benford_digit_audit": (
+        "total window over the 9-row digit relation (the "
+        "price_histogram class)"
+    ),
 }
 
 
