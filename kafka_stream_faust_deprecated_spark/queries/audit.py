@@ -235,15 +235,17 @@ rets AS (
     "beta_capm_daily",
     oracle=f"""
 WITH {_T_SQL}, {_BARS_SQL}, {_RETS_SQL},
-mkt AS (
-    SELECT day,
-           CAST({sql_round_det(
-               "CAST(sum(r) AS DOUBLE) / count(*)", 6)} AS DECIMAL(18,6)) AS m
-    FROM rets WHERE r IS NOT NULL GROUP BY day
-),
 j AS (
-    SELECT rets.user_id, rets.r, mkt.m
-    FROM rets JOIN mkt USING (day) WHERE rets.r IS NOT NULL
+    -- the market mean is a day-keyed WINDOW over the single return
+    -- lineage, not an aggregate re-joined onto it: the aggregate+join
+    -- diamond evaluates the corpus-sized bar pipeline twice (Spark's
+    -- exchange reuse does not fire across the branches)
+    SELECT user_id, r,
+           CAST({sql_round_det(
+               "CAST(sum(r) OVER (PARTITION BY day) AS DOUBLE)"
+               " / CAST(count(r) OVER (PARTITION BY day) AS DOUBLE)",
+               6)} AS DECIMAL(18,6)) AS m
+    FROM rets WHERE r IS NOT NULL
 ),
 mo AS (
     -- the DECIMAL(19,6) casts force DuckDB's int128 multiply path:
@@ -295,10 +297,13 @@ def beta_capm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate variance yields NULL via nullif.
 
     Scale shape: the corpus collapses to calendar-bounded bars (one
-    (user, day) exchange), the market series is a day-keyed aggregate
-    of the calendar-bounded return relation and is broadcast back, and
-    the per-symbol moments partial-aggregate map-side. Nothing
-    corpus-sized moves twice; driver state is zero.
+    (user, day) exchange) exactly ONCE — the market mean attaches as a
+    day-keyed WINDOW over the single return lineage (an aggregate
+    re-joined onto rets would evaluate the bar pipeline twice; Spark's
+    exchange reuse does not fire across the branches), then the
+    per-symbol moments partial-aggregate map-side. Every post-bar
+    exchange moves the skinny (user, day, r) relation; driver state is
+    zero.
     """
     bars = _daily_bars(spark, sf_dir)
     series = Window.partitionBy("user_id").orderBy("day")
@@ -316,14 +321,18 @@ def beta_capm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("r"),
     ).where(F.col("r").isNotNull())
-    mkt = rets.groupBy("day").agg(
+    byday = Window.partitionBy("day")
+    j = rets.select(
+        "user_id",
+        "r",
         round_det(
-            F.sum("r").cast("double") / F.count(F.lit(1)), 6
+            F.sum("r").over(byday).cast("double")
+            / F.count("r").over(byday).cast("double"),
+            6,
         )
         .cast("decimal(18,6)")
-        .alias("m")
+        .alias("m"),
     )
-    j = rets.join(F.broadcast(mkt), "day")
     mo = (
         j.groupBy("user_id")
         .agg(
