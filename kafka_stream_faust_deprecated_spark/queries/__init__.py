@@ -44,6 +44,7 @@ for _mod in (
     "ticker",
     "audit",
     "monitor",
+    "inference",
     "analytic",
     "temporal",
     "relational",

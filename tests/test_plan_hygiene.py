@@ -54,6 +54,11 @@ BNLJ_WHITELIST = {
         "broadcast side = the 1-row corpus-totals aggregate "
         "(the equi_depth_histogram class)"
     ),
+    "acf_daily_multilag": (
+        "broadcast side = the 1-row series-stats aggregate "
+        "(the equi_depth_histogram totals class)"
+    ),
+    "ks_value_drift": "broadcast sides = the two 1-row sample-totals aggregates",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -129,6 +134,24 @@ SINGLE_PARTITION_WHITELIST = {
     "benford_digit_audit": (
         "total window over the 9-row digit relation (the "
         "price_histogram class)"
+    ),
+    "chi_square_independence": (
+        "marginal/total windows + the global chi2 aggregate over the "
+        "(lang, source) cell relation — catalog-bounded (the "
+        "categorical_mutual_information class)"
+    ),
+    "welch_t_test_values": (
+        "conditional-aggregation pivot over the 2-row per-arm moment "
+        "relation: 1 partial row per task"
+    ),
+    "acf_daily_multilag": (
+        "global series-stats aggregate over the calendar-bounded daily "
+        "relation: 1 partial row per task"
+    ),
+    "ks_value_drift": (
+        "cumulative-CDF window over the DISTINCT-CENTS relation — "
+        "bounded by the 2-decimal value domain (the "
+        "equi_depth_histogram class) + the 1-row totals/max aggregates"
     ),
 }
 
