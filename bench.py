@@ -166,6 +166,15 @@ HEADLINE = (
     "psi_value_drift",
     "twap_daily",
     "seasonal_residual_anomalies",
+    "chi_square_independence",
+    "welch_t_test_values",
+    "acf_daily_multilag",
+    "ks_value_drift",
+    "dup_graph_kcore",
+    "dup_graph_reachability",
+    "anova_f_oneway",
+    "mann_whitney_u",
+    "distinct_hll_rollup",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

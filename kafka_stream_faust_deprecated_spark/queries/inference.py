@@ -502,3 +502,241 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_05"),
         F.when(ks_d > crit, F.lit(1)).otherwise(F.lit(0)).alias("drift_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# anova_f_oneway
+# --------------------------------------------------------------------------
+
+
+@register(
+    "anova_f_oneway",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sv,
+           sum(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2))) AS svv
+    FROM events GROUP BY event_type
+),
+t AS (
+    SELECT event_type, n,
+           CAST(sv AS DOUBLE) AS sv, CAST(svv AS DOUBLE) AS svv,
+           sum(n) OVER ()::BIGINT AS n_tot,
+           CAST(sum(sv) OVER () AS DOUBLE) AS sv_tot,
+           count(*) OVER ()::BIGINT AS k
+    FROM s
+),
+terms AS (
+    SELECT n_tot, k,
+           CAST({sql_round_det(
+               "n * (sv / n - sv_tot / n_tot) * (sv / n - sv_tot / n_tot)", 6)}
+               AS DECIMAL(18,6)) AS ssb_term,
+           CAST({sql_round_det("svv - sv * sv / n", 6)}
+               AS DECIMAL(18,6)) AS ssw_term
+    FROM t
+),
+agg AS (
+    SELECT max(n_tot) AS n_total, max(k) AS k_groups,
+           CAST(sum(ssb_term) AS DOUBLE) AS ssb,
+           CAST(sum(ssw_term) AS DOUBLE) AS ssw
+    FROM terms
+)
+SELECT k_groups, n_total,
+       {sql_round_det("ssb", 2)} AS ss_between,
+       {sql_round_det("ssw", 2)} AS ss_within,
+       (k_groups - 1) AS dof1,
+       (n_total - k_groups) AS dof2,
+       {sql_round_det(
+           "(ssb / nullif(k_groups - 1, 0))"
+           " / nullif(ssw / nullif(n_total - k_groups, 0), 0.0)", 4)} AS f_stat,
+       {sql_round_det("ssb / nullif(ssb + ssw, 0.0)", 6)} AS eta_sq
+FROM agg
+""",
+    tags=("E7",),
+)
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of mean event value across ALL event types
+    (the k-arm generalization of ``welch_t_test_values``): between- and
+    within-group sums of squares from exact per-type sufficient
+    statistics, the F statistic, and the eta-squared effect size. Each
+    group's SSB/SSW term is a fixed scalar over exact DECIMAL inputs,
+    rounded to 6 dp and summed as DECIMAL — order-independent in both
+    engines.
+
+    Scale shape: one corpus scan collapsing to the |event_type|-bounded
+    moment relation with map-side combine; the total windows, the term
+    sums, and the final one-row selection all run over that bounded
+    relation (single-partition stages whitelisted — the
+    welch_t_test_values class).
+    """
+    ev = load_table_parallel(spark, sf_dir, "events").select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.sum(
+            F.col("value").cast("decimal(9,2)") * F.col("value").cast("decimal(9,2)")
+        ).alias("svv"),
+    )
+    t = s.select(
+        "event_type",
+        "n",
+        F.col("sv").cast("double").alias("sv"),
+        F.col("svv").cast("double").alias("svv"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("n_tot"),
+        F.sum(F.col("sv"))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("sv_tot"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("k"),
+    )
+    gm = F.col("sv_tot") / F.col("n_tot")
+    mean_i = F.col("sv") / F.col("n")
+    terms = t.select(
+        "n_tot",
+        "k",
+        round_det(F.col("n") * (mean_i - gm) * (mean_i - gm), 6)
+        .cast("decimal(18,6)")
+        .alias("ssb_term"),
+        round_det(F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"), 6)
+        .cast("decimal(18,6)")
+        .alias("ssw_term"),
+    )
+    agg = terms.agg(
+        F.max("n_tot").alias("n_total"),
+        F.max("k").alias("k_groups"),
+        F.sum("ssb_term").cast("double").alias("ssb"),
+        F.sum("ssw_term").cast("double").alias("ssw"),
+    )
+    msb = F.col("ssb") / F.nullif(F.col("k_groups") - 1, F.lit(0))
+    msw = F.col("ssw") / F.nullif(F.col("n_total") - F.col("k_groups"), F.lit(0))
+    return agg.select(
+        "k_groups",
+        "n_total",
+        round_det(F.col("ssb"), 2).alias("ss_between"),
+        round_det(F.col("ssw"), 2).alias("ss_within"),
+        (F.col("k_groups") - 1).alias("dof1"),
+        (F.col("n_total") - F.col("k_groups")).alias("dof2"),
+        round_det(msb / F.nullif(msw, F.lit(0.0)), 4).alias("f_stat"),
+        round_det(
+            F.col("ssb") / F.nullif(F.col("ssb") + F.col("ssw"), F.lit(0.0)), 6
+        ).alias("eta_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mann_whitney_u
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_u",
+    oracle=f"""
+WITH b AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CASE WHEN event_type = '{T_TEST_GROUP_A}' THEN 1 ELSE 0 END AS is_a
+    FROM events
+    WHERE event_type IN ('{T_TEST_GROUP_A}', '{T_TEST_GROUP_B}')
+),
+g AS (
+    SELECT cents, sum(is_a)::BIGINT AS ca, sum(1 - is_a)::BIGINT AS cb
+    FROM b GROUP BY cents
+),
+t AS (SELECT sum(ca)::BIGINT AS n1, sum(cb)::BIGINT AS n2,
+             sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))::BIGINT AS ties
+      FROM g),
+c AS (
+    SELECT ca, cb,
+           (sum(ca + cb) OVER (ORDER BY cents)
+            - (ca + cb))::BIGINT AS prev_cum
+    FROM g
+),
+r AS (
+    -- 2 * rank-sum of sample A stays integral under midrank ties:
+    -- each tied block contributes ca * (2*prev + block + 1)
+    SELECT sum(ca * (2 * prev_cum + ca + cb + 1))::BIGINT AS r1_twice
+    FROM c
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       {sql_round_det("CAST(r1_twice AS DOUBLE) / 2.0"
+                      " - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0", 1)} AS u_stat,
+       {sql_round_det(
+           "(CAST(r1_twice AS DOUBLE) / 2.0"
+           " - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0"
+           " - CAST(n1 AS DOUBLE) * n2 / 2.0)"
+           " / nullif(sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)"
+           " * ((n1 + n2 + 1)"
+           " - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)"
+           " * (n1 + n2 - 1)))), 0.0)", 4)} AS z_stat
+FROM r, t
+""",
+    tags=("E7", "E10"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test between the '{T_TEST_GROUP_A}' and
+    '{T_TEST_GROUP_B}' arms (the nonparametric twin of
+    ``welch_t_test_values``): U from the midrank rank-sum of arm A and
+    the normal-approximation z with the tie correction. Arithmetic is
+    exact until the last step: the doubled rank-sum of a tied block,
+    ``ca * (2*prev_cum + block + 1)``, is an exact BIGINT (midranks
+    are half-integers, so twice the rank-sum is integral), and the tie
+    term sums t^3 - t as BIGINT, so U and z are fixed scalar
+    expressions over exact integers in both engines.
+
+    Scale shape: the ks_value_drift template — one corpus exchange
+    collapsing to the value-domain-bounded distinct-cents relation
+    (map-side combine); the cumulative-rank window and the rank-sum /
+    tie aggregates run over that bounded relation (whitelisted), and
+    the 1-row totals attach as a broadcast cross join.
+    """
+    ev = (
+        load_table_parallel(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(T_TEST_GROUP_A, T_TEST_GROUP_B))
+        .select("event_type", "value")
+    )
+    b = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == T_TEST_GROUP_A, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    g = b.groupBy("cents").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    blk = F.col("ca") + F.col("cb")
+    t = g.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(blk * blk * blk - blk).alias("ties"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "ca",
+        "cb",
+        (F.sum(blk).over(w) - blk).cast("bigint").alias("prev_cum"),
+    )
+    r = c.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("prev_cum") + F.col("ca") + F.col("cb") + 1)
+        ).alias("r1_twice")
+    )
+    j = r.join(F.broadcast(t))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u = F.col("r1_twice").cast("double") / 2.0 - n1d * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        (n1d * n2d / 12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("ties").cast("double") / (nd * (nd - 1))
+        )
+    )
+    z = (u - n1d * n2d / 2.0) / F.nullif(sigma, F.lit(0.0))
+    return j.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        round_det(u, 1).alias("u_stat"),
+        round_det(z, 4).alias("z_stat"),
+    )

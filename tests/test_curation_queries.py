@@ -190,3 +190,77 @@ def test_link_prediction_candidates_are_nonedges_with_common_neighbors(spark):
         if prev is not None:
             assert prev < key
         prev = key
+
+
+def test_kcore_matches_python_peel(spark):
+    """Core membership and degrees match a pure-Python peeling replay
+    on the collected pair list, and the 2-core contains every triangle
+    vertex (a triangle is itself a 2-core)."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_pairs
+
+    pairs = [(r.da, r.db) for r in _simhash_pairs(spark, SF_DIR).collect()]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg0 = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    for _ in range(C.KCORE_SWEEPS):
+        deg = defaultdict(int)
+        for s, _t in edges:
+            deg[s] += 1
+        alive = {v for v in alive if deg[v] >= C.KCORE_K}
+        edges = {(s, t) for s, t in edges if s in alive and t in alive}
+    final_deg = defaultdict(int)
+    for s, _t in edges:
+        final_deg[s] += 1
+    out = {r.doc_id: r for r in C.dup_graph_kcore(spark, SF_DIR).collect()}
+    assert set(out) == set(deg0)
+    for v, r in out.items():
+        assert r.degree0 == deg0[v]
+        assert r.core_degree == final_deg.get(v, 0)
+        assert r.in_core == (1 if final_deg.get(v, 0) > 0 else 0)
+        assert r.core_degree <= r.degree0
+        # the sweep budget converges at the test SFs (measured <= 6),
+        # so membership implies the true k-core degree bound
+        if r.in_core:
+            assert r.core_degree >= C.KCORE_K
+
+
+def test_reachability_matches_python_walk_replay(spark):
+    """Min depth matches a BFS replay and walk counts match a dynamic-
+    programming walk count over the collected edge list; every reached
+    node at depth 0 is a seed."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_pairs
+
+    pairs = [(r.da, r.db) for r in _simhash_pairs(spark, SF_DIR).collect()]
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    seeds = sorted(v for v in adj if v % C.REACH_SEED_MOD == 0)
+    # walks[d][v] = number of distinct depth-d walks from any seed to v
+    walks = defaultdict(int)
+    frontier = {v: 1 for v in seeds}
+    total = defaultdict(int)
+    mind = {}
+    for d in range(C.REACH_MAX_DEPTH + 1):
+        for v, c in frontier.items():
+            total[v] += c
+            mind.setdefault(v, d)
+        nxt = defaultdict(int)
+        for v, c in frontier.items():
+            for u in adj[v]:
+                nxt[u] += c
+        frontier = nxt
+    out = {r.doc_id: r for r in C.dup_graph_reachability(spark, SF_DIR).collect()}
+    assert set(out) == set(total)
+    for v, r in out.items():
+        assert r.min_depth == mind[v]
+        assert r.n_walks == total[v]
+    for v in seeds:
+        assert out[v].min_depth == 0

@@ -161,3 +161,80 @@ def test_ks_identical_windows_is_zero():
         for v in set(ref)
     )
     assert d == 0.0
+
+
+# ------------------------------------------------------------ ANOVA
+
+
+def test_anova_matches_numpy_replay(spark):
+    """SSB/SSW/F/eta^2 match a NumPy replay of the textbook one-way
+    decomposition, and SSB + SSW equals total SS."""
+    rows = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r_ in rows:
+        groups.setdefault(r_.event_type, []).append(r_.value)
+    n = len(rows)
+    k = len(groups)
+    gmean = sum(v for vs in groups.values() for v in vs) / n
+    ssb = sum(len(vs) * (np.mean(vs) - gmean) ** 2 for vs in groups.values())
+    ssw = sum(
+        float(((np.asarray(vs) - np.mean(vs)) ** 2).sum())
+        for vs in groups.values()
+    )
+    r = I.anova_f_oneway(spark, SF_DIR).collect()[0]
+    assert r.k_groups == k and r.n_total == n
+    assert r.dof1 == k - 1 and r.dof2 == n - k
+    assert abs(r.ss_between - ssb) < 1e-2
+    assert abs(r.ss_within - ssw) < 1e-1
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(r.f_stat - f) < 1e-3
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-5
+    tot = float(
+        ((np.asarray([v for vs in groups.values() for v in vs]) - gmean) ** 2).sum()
+    )
+    assert abs((r.ss_between + r.ss_within) - tot) < 1e-1
+
+
+# ----------------------------------------------------- Mann-Whitney
+
+
+def test_mann_whitney_matches_scipy_style_replay(spark):
+    """U and z match a midrank replay (scipy.stats.rankdata semantics)
+    with the tie-corrected normal approximation."""
+    rows = (
+        load_table_parallel(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [round(r.value * 100) for r in rows if r.event_type == I.T_TEST_GROUP_A]
+    b = [round(r.value * 100) for r in rows if r.event_type == I.T_TEST_GROUP_B]
+    pooled = np.asarray(a + b, dtype=np.int64)
+    order = pooled.argsort(kind="stable")
+    ranks = np.empty(len(pooled), dtype=float)
+    # midranks over tied blocks
+    sorted_vals = pooled[order]
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = float(ranks[: len(a)].sum())
+    n1, n2 = len(a), len(b)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    nn = n1 + n2
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(pooled.tolist()).values())
+    sigma = math.sqrt((n1 * n2 / 12.0) * ((nn + 1) - ties / (nn * (nn - 1))))
+    z = (u - n1 * n2 / 2.0) / sigma
+    r = I.mann_whitney_u(spark, SF_DIR).collect()[0]
+    assert r.n_a == n1 and r.n_b == n2
+    assert r.u_stat == _round_det(u, 1)
+    assert abs(r.z_stat - z) < 1e-3
+    assert 0.0 <= r.u_stat <= n1 * n2

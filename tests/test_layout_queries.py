@@ -230,3 +230,31 @@ def test_oov_vocab_covers_most_tokens(spark):
     for r in rows:
         assert 0.0 <= r["oov_rate"] <= 1.0
         assert r["oov_tokens"] <= r["total_tokens"]
+
+
+def test_hll_rollup_bounds_and_merge_consistency(spark):
+    """Merged-sketch estimates sit within the lgK error budget of the
+    exact distinct counts; the merged estimate never exceeds the sum of
+    daily estimates (union <= disjoint-sum) by more than sketch noise;
+    and rerunning yields identical rows (order/partitioning
+    insensitivity of the register array)."""
+    from kafka_stream_faust_deprecated_spark.queries.layout import (
+        distinct_hll_rollup,
+    )
+
+    out1 = {r.event_type: r for r in distinct_hll_rollup(spark, SF_DIR).collect()}
+    out2 = {r.event_type: r for r in distinct_hll_rollup(spark, SF_DIR).collect()}
+    assert out1.keys() == out2.keys() and len(out1) > 0
+    for et, r in out1.items():
+        # lgK=12 -> ~1.6% RSE; allow 5 sigma-ish headroom on small sets
+        assert abs(r.est_merged - r.exact_distinct) <= max(
+            0.08 * r.exact_distinct, 3
+        )
+        assert r.rel_error <= 0.08 or r.exact_distinct < 40
+        assert r.est_merged <= r.sum_daily_estimates * 1.02 + 3
+        r2 = out2[et]
+        assert (r.est_merged, r.sum_daily_estimates, r.exact_distinct) == (
+            r2.est_merged,
+            r2.sum_daily_estimates,
+            r2.exact_distinct,
+        )

@@ -59,6 +59,7 @@ BNLJ_WHITELIST = {
         "(the equi_depth_histogram totals class)"
     ),
     "ks_value_drift": "broadcast sides = the two 1-row sample-totals aggregates",
+    "mann_whitney_u": "broadcast side = the 1-row sample-totals/ties aggregate",
 }
 
 #: Exchange SinglePartition is acceptable ONLY over relations whose
@@ -152,6 +153,17 @@ SINGLE_PARTITION_WHITELIST = {
         "cumulative-CDF window over the DISTINCT-CENTS relation — "
         "bounded by the 2-decimal value domain (the "
         "equi_depth_histogram class) + the 1-row totals/max aggregates"
+    ),
+    "anova_f_oneway": (
+        "total windows + SSB/SSW sums over the |event_type|-bounded "
+        "moment relation: 1 partial row per task (the "
+        "welch_t_test_values class)"
+    ),
+    "mann_whitney_u": (
+        "cumulative-rank window over the DISTINCT-CENTS relation — "
+        "bounded by the 2-decimal value domain (the "
+        "equi_depth_histogram class) + the 1-row rank-sum/ties "
+        "aggregates"
     ),
 }
 
