@@ -175,6 +175,7 @@ HEADLINE = (
     "anova_f_oneway",
     "mann_whitney_u",
     "distinct_hll_rollup",
+    "lateral_topk_per_nation",
 )
 
 #: The calibration divisor: ONE scan + a 6-group hash agg whose plan has

@@ -573,3 +573,57 @@ def scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# lateral_topk_per_nation  (wave 11 — correlated LATERAL subquery surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle="""
+SELECT n.n_name, s.c_custkey, s.c_name, s.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) s
+""",
+    tags=("E3", "E12"),
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation, written as a
+    correlated LATERAL table subquery (the SQL:1999 lateral-join
+    surface Spark 4 resolves through its correlated-subquery decorrelation
+    rules) — the same SQL runs verbatim in both engines. Deterministic
+    tiebreak: (c_acctbal DESC, c_custkey).
+
+    Spark-first note: this is deliberately the SQL twin of the
+    DataFrame ``topk_per_group`` (window + rank) — Catalyst
+    DECORRELATES the lateral LIMIT subquery into exactly that shape (a
+    partitioned rank filter over one customer exchange joined to the
+    broadcast 25-row nation dim), so the declarative form costs the
+    same plan; no per-nation re-execution survives optimization.
+
+    Scale shape: one customer exchange keyed by the correlation key
+    (nationkey) feeding the decorrelated per-nation rank; nation
+    broadcasts. Nothing scales beyond |customer| + |nation| x k.
+    """
+    from kafka_stream_faust_deprecated_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT n.n_name, s.c_custkey, s.c_name, s.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) s
+""")

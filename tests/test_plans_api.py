@@ -64,3 +64,18 @@ def test_pq_and_ivfpq_census_pinned(spark):
         df = get_query(name).fn(spark, SF_DIR)
         c = assert_census(df, max_data=1, forbid_keys=("vec_id",))
         assert c["data_keys"] == ["qid"], (name, c["data_keys"])
+
+
+def test_lateral_topk_census_pinned(spark):
+    """The correlated LATERAL (ORDER BY ... LIMIT) subquery must keep
+    decorrelating to the topk_per_group shape: ONE c_nationkey
+    exchange with a map-side WindowGroupLimit, nation broadcast — a
+    per-outer-row re-execution (or a second keyed exchange) appearing
+    means the decorrelation rule stopped firing."""
+    from kafka_stream_faust_deprecated_spark.registry import get_query
+
+    df = get_query("lateral_topk_per_nation").fn(spark, SF_DIR)
+    c = assert_census(df, max_data=1)
+    assert c["data_keys"] == ["c_nationkey"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
