@@ -189,5 +189,18 @@ _promote(
         "psi_value_drift",
         "twap_daily",
         "seasonal_residual_anomalies",
+        # wave 11 (78-88, round 8: queries/inference.py + graph/sketch/
+        # SQL-surface additions) — past the ~50 sample window; first
+        # driver record when they rotate forward in round 9.
+        "chi_square_independence",
+        "welch_t_test_values",
+        "acf_daily_multilag",
+        "ks_value_drift",
+        "anova_f_oneway",
+        "mann_whitney_u",
+        "dup_graph_kcore",
+        "dup_graph_reachability",
+        "distinct_hll_rollup",
+        "lateral_topk_per_nation",
     ),
 )

@@ -173,6 +173,26 @@ QUERIES = (
     "psi_value_drift",
     "twap_daily",
     "seasonal_residual_anomalies",
+    # wave-11 inference/sketch/SQL-surface ops. Linear: the chi-square
+    # and ANOVA cell/moment relations are catalog-bounded (counts just
+    # multiply), the t-test collapses to 2 rows of moments, the
+    # ACF daily relation is calendar-bounded, the KS/MWU distinct-cents
+    # relations copy the value domain verbatim (per-cent counts x8),
+    # the HLL rollup moves fixed-size register blobs (8x distinct
+    # users, same sketch bytes), and the LATERAL top-k decorrelates to
+    # the nationkey-partitioned WindowGroupLimit (8x nations, same
+    # per-nation group size). The kcore/reachability dup-graph queries
+    # are EXCLUDED like every dup-graph pair query: verbatim text
+    # replicas inflate the candidate pair set quadratically — a
+    # property of the synthetic replication, not the plans.
+    "chi_square_independence",
+    "welch_t_test_values",
+    "acf_daily_multilag",
+    "ks_value_drift",
+    "anova_f_oneway",
+    "mann_whitney_u",
+    "distinct_hll_rollup",
+    "lateral_topk_per_nation",
 )
 
 
