@@ -339,6 +339,10 @@ def acf_daily_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join (the equi_depth totals idiom, whitelisted).
     """
     ev = load_table_parallel(spark, sf_dir, "events")
+    # eager localCheckpoint: the calendar-bounded daily relation feeds
+    # THREE subtrees (stats, lag probes, lag join side) whose pruned
+    # plans differ, so ReuseExchange cannot merge them — without the
+    # checkpoint the corpus would be scanned three times.
     daily = (
         ev.select(
             F.datediff(
@@ -347,6 +351,7 @@ def acf_daily_multilag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("idx")
         .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=True)
     )
     st = daily.agg(
         F.count("*").alias("n"),
@@ -460,9 +465,16 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts") <= F.lit(KS_SPLIT_DATE).cast("date"), F.lit(1)
         ).otherwise(F.lit(0)).alias("half1"),
     )
-    g = b.groupBy("cents").agg(
-        F.sum("half1").alias("c1"),
-        F.sum(1 - F.col("half1")).alias("c2"),
+    # eager localCheckpoint: the value-domain-bounded cents relation
+    # feeds both the totals aggregate and the CDF window; their pruned
+    # subtrees differ, so without it the corpus is scanned twice.
+    g = (
+        b.groupBy("cents")
+        .agg(
+            F.sum("half1").alias("c1"),
+            F.sum(1 - F.col("half1")).alias("c2"),
+        )
+        .localCheckpoint(eager=True)
     )
     t = g.agg(
         F.sum("c1").alias("n1"),
@@ -700,9 +712,15 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_a"),
     )
-    g = b.groupBy("cents").agg(
-        F.sum("is_a").alias("ca"),
-        F.sum(1 - F.col("is_a")).alias("cb"),
+    # eager localCheckpoint: same two-consumer shape as ks_value_drift
+    # (totals + cumulative-rank window) — one corpus scan, not two.
+    g = (
+        b.groupBy("cents")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(1 - F.col("is_a")).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
     )
     blk = F.col("ca") + F.col("cb")
     t = g.agg(
