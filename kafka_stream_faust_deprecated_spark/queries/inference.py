@@ -17,12 +17,17 @@ The capabilities this module adds, each as an oracle-checked query:
   asymptotic 5% critical value: the nonparametric drift test PSI
   (``psi_value_drift``) approximates with buckets; KS is exact, no
   binning choice.
+* ``anova_f_oneway``          — one-way ANOVA F across ALL event
+  types with eta-squared: the k-arm generalization of the t-test.
+* ``mann_whitney_u``          — the Mann-Whitney U rank test with
+  midrank ties and the tie-corrected normal approximation: the
+  nonparametric twin of the t-test.
 
 Reference parity note: the reference app (``faust_app/ma_agg.py``, 308
 lines) has no statistical-testing surface; these extend the engine for
 the large-scale analytics mandate (SURVEY.md §2b/§2c).
 
-Determinism contract shared by all four: every sufficient statistic is
+Determinism contract shared by all six: every sufficient statistic is
 an exact integer or DECIMAL aggregate (counts, integer-cent sums,
 integer products), so the floating-point work is a fixed scalar
 expression over exact inputs evaluated identically in both engines;
