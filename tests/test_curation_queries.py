@@ -264,3 +264,21 @@ def test_reachability_matches_python_walk_replay(spark):
         assert r.n_walks == total[v]
     for v in seeds:
         assert out[v].min_depth == 0
+
+
+def test_reachability_survives_fresh_session(spark):
+    """The r8 permutation sweep caught reachability red under
+    spark.newSession(): the app-wide pair memo hands back a DataFrame
+    owned by an OLDER session, and temp views registered on it were
+    invisible to the new session's sql(). Pin the fix: same rows from
+    the base session and from a fresh session sharing the app."""
+    base = {
+        (r.doc_id, r.min_depth, r.n_walks)
+        for r in C.dup_graph_reachability(spark, SF_DIR).collect()
+    }
+    fresh = spark.newSession()
+    again = {
+        (r.doc_id, r.min_depth, r.n_walks)
+        for r in C.dup_graph_reachability(fresh, SF_DIR).collect()
+    }
+    assert base == again
