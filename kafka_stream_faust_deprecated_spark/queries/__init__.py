@@ -60,17 +60,18 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-7 prefix (~50): round 6 ended WITHOUT a driver correctness
-# record (no CORRECTNESS_r06.json was produced), so the round-6
-# rotation targets still lack their driver rows and the r6 prefix
-# stands — with round 7's NEW queries pinned directly after flagship
-# for their first record: the PQ-ANN index, the CDC merge, capped
-# sessionization, the skew profiler, the equi-depth histogram, BM25,
-# the split/shuffle pair, IVFPQ, the bigram LM, containment dedup,
-# PMI collocations, the Zipf fit, and the embedding-norm screen.
-# After the pins: relational/scalars/temporal (last driver
-# record predates the round-5 rounding conversion, commit b9df45a)
-# with llm's head filling the remaining slots.
+# Round-8 prefix (exactly 50): CORRECTNESS_r06 landed 50/50 green on
+# the previous prefix, so every pin there now has a driver row. This
+# round clears the verification backlog the round-6 verdict ranked #1:
+# the 40 registered queries with NO driver record ever (waves 5b-11
+# plus gapfill_forward_fill / stream_static_enrich, which were in no
+# pin list), plus grouping_sets_events for a second consecutive green
+# row (it was the r5 red row), plus 8 head queries of relational/
+# scalars/temporal/llm whose driver rows predate the round-5 rounding
+# conversion (commit b9df45a) — starting verdict item #3 early. The
+# module order after the pins continues the re-record debt so any
+# sampling overflow lands on it. NO new queries this round: surface
+# growth is frozen until the driver backlog clears (verdict #2).
 _promote(
     (
         "flagship",
@@ -83,115 +84,53 @@ _promote(
         "layout",
         "curation",
         "mining",
+        "ticker",
+        "audit",
+        "monitor",
+        "inference",
+        "robust",
         "tpch",
         "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
-        # new in round 7 (robust/dominance module, wave 5) — first
-        # driver record
-        "skyline_pareto_frontier",
-        "robust_mad_outliers",
-        "cusum_changepoint",
-        "seasonal_decompose_events",
-        # new in round 7 (stats/mining module, wave 4) — first driver
-        # record
-        "timeseries_gap_fill",
-        "groupwise_linear_trend",
-        "categorical_mutual_information",
-        "basket_copurchase_rules",
-        # new in round 7 (entity-resolution/graph/curation module) —
-        # first driver record
-        "entity_resolution_blocked",
-        "label_propagation_communities",
-        "dup_graph_triangle_count",
-        "domain_cap_sampling",
-        "winsorized_quality_zscore",
-        # new in round 7 (layout/runtime-filter/sketch module) — first
-        # driver record
-        "join_bloom_prefilter",
-        "zorder_layout_quality",
-        "incremental_agg_maintenance",
-        "hard_negative_mining",
-        "heavy_hitters_cms_estimate",
-        "interval_coverage_islands",
-        "embedding_pca_power_iteration",
-        "vocab_oov_coverage",
-        # new in round 7 — first driver record
-        "ann_cosine_pq",
-        "merge_upsert_snapshot",
-        "sessionize_capped",
-        "hot_key_profile",
-        "equi_depth_histogram",
-        "bm25_retrieval_topk",
-        "train_val_test_split",
-        "global_shuffle_shards",
-        "ann_cosine_ivfpq",
-        "doc_perplexity_bigram",
-        "neardup_shingle_containment",
-        "pmi_token_cooccurrence",
-        "token_zipf_slope",
-        "embedding_norm_outliers",
-        "source_unigram_divergence",
-        "sample_weighted_aes",
-        "heavy_hitters_exact",
-        "lang_confusion_matrix",
-        # new in round 6 / changed in round 6 — still awaiting a
-        # driver record (r6 produced none)
-        "grouping_sets_events",
-        "ann_cosine_ivf",
-        "kmeans_lloyd_step",
-        "semantic_dedup_semdedup",
-        "kmeans_train_3iter",
-        "doc_quality_gopher",
-        "doc_boilerplate_ngrams",
-        "dedup_incremental_ingest",
-        "table_profile_orders",
-        "minhash_estimate_calibration",
-        # index 50 — first past the ~50-query sample window. Wave 5
-        # overfilled the window by one; this is the conscious demotion
-        # (family sibling mixture_language_sampling holds a green r4
-        # driver row; self-check green at both SFs).
+        # never driver-sampled: index-50 demotion from the r6 window
         "sample_mixture_apply",
-        # wave 5b (51-53) — also past the window this round: the
-        # r6-changed queries above keep their slots (grouping_sets was
-        # the r5 red row); these rotate into the r8 prefix.
+        # wave 5b — never driver-sampled
         "attribution_linear_touch",
         "nearest_event_join",
         "bpe_merge_pairs",
-        # wave 6 (54-57) — same deal: first driver record in round 8.
+        # wave 6 — never driver-sampled
         "session_path_mining",
         "ewma_smoothing_capped",
         "conversion_latency_percentiles",
         "dup_graph_link_prediction",
-        # wave 7 (58-61) — same deal.
+        # wave 7 — never driver-sampled
         "order_reorder_intervals",
         "weighted_median_price",
         "source_quantile_normalization",
         "gini_concentration_index",
-        # wave 8 (62-67, queries/ticker.py) — past the window; first
-        # driver record lands when they rotate into the r8 prefix.
+        # wave 8 (queries/ticker.py) — never driver-sampled
         "ohlc_bars_daily",
         "vwap_daily",
         "bollinger_bands",
         "rsi_cutler",
         "max_drawdown_daily",
         "symbol_return_correlation",
-        # wave 9 (68-73, queries/audit.py) — same deal.
+        # wave 9 (queries/audit.py) — never driver-sampled
         "fk_integrity_audit",
         "pk_uniqueness_audit",
         "beta_capm_daily",
         "intraday_volume_curve",
         "turnover_autocorr",
         "mixture_temperature_plan",
-        # wave 10 (74-77, queries/monitor.py) — same deal.
+        # wave 10 (queries/monitor.py) — never driver-sampled
         "benford_digit_audit",
         "psi_value_drift",
         "twap_daily",
         "seasonal_residual_anomalies",
-        # wave 11 (78-88, round 8: queries/inference.py + graph/sketch/
-        # SQL-surface additions) — past the ~50 sample window; first
-        # driver record when they rotate forward in round 9.
+        # wave 11 (queries/inference.py + graph/sketch/SQL-surface) —
+        # never driver-sampled
         "chi_square_independence",
         "welch_t_test_values",
         "acf_daily_multilag",
@@ -202,5 +141,24 @@ _promote(
         "dup_graph_reachability",
         "distinct_hll_rollup",
         "lateral_topk_per_nation",
+        # in NO previous pin list and never sampled (r6 verdict called
+        # these two out by name)
+        "gapfill_forward_fill",
+        "stream_static_enrich",
+        # r5 red row, repaired + green in r6 — a second consecutive
+        # green row closes the one-red-row-per-round history (verdict
+        # item #7)
+        "grouping_sets_events",
+        # post-b9df45a re-record heads (verdict item #3, started early
+        # with the slots left in the 50-query window; the rest of these
+        # modules follows immediately after the pins in module order)
+        "scan_filter_project",
+        "agg_pricing_summary",
+        "string_functions",
+        "math_functions",
+        "tumbling_window_events",
+        "sliding_window_events",
+        "dedup_exact_documents",
+        "neardup_ngram_jaccard",
     ),
 )

@@ -1,0 +1,78 @@
+"""Pin the bench wire line under the driver's stdout capture.
+
+The driver records only the LAST 2000 characters of bench.py's stdout;
+BENCH_r05 and BENCH_r06 both came back ``parsed: null`` because the
+printed per-query dict grew with the headline suite and the line's
+head (the opening brace, flagship, every r5-comparable entry) fell off
+the capture. The fix is structural — ``bench.WIRE`` is a FROZEN subset
+that does not grow with ``bench.HEADLINE`` — and this test makes the
+budget mechanical: the WORST-CASE printed line (every number at its
+widest plausible rendering) must stay under 1900 bytes. Adding a wire
+entry without shrinking another fails here, not in the next driver
+round.
+"""
+
+import json
+
+import bench
+
+
+def _worst_case_line() -> str:
+    # Mirror bench.main()'s compact dict with every value at the widest
+    # rendering the formatters can produce: 2-dp query seconds up to
+    # 5 digits (a 99999-second query would be a different bug), the
+    # tpch suite total, 3-dp calibrations, and streaming ints at the
+    # fixture ceiling.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 9999999.999,
+        "unit": "sec",
+        "queries": {
+            **{q: 99999.99 for q in bench.WIRE},
+            "tpch_suite_21q": 99999.99,
+        },
+        "sf": 0.1,
+        "calibration_sec": 99999.999,
+        "calibration_stages_sec": 99999.999,
+        "streaming": {
+            b: {
+                "ticks_in": 99999999,
+                "rows_out": 99999999,
+                "sec": 99999.999,
+                "ticks_per_sec": 99999999,
+            }
+            for b in ("rocksdb", "hdfs")
+        },
+    }
+    return json.dumps(compact, separators=(",", ":"))
+
+
+def test_wire_line_fits_driver_capture():
+    line = _worst_case_line()
+    assert len(line) < 1900, (
+        f"worst-case wire line is {len(line)} bytes; the driver captures "
+        "2000 — shrink bench.WIRE (it is a frozen subset, not a mirror "
+        "of HEADLINE)"
+    )
+
+
+def test_wire_is_subset_of_headline():
+    missing = [q for q in bench.WIRE if q not in bench.HEADLINE]
+    assert not missing, f"WIRE entries not in HEADLINE: {missing}"
+    # Frozen size: growing WIRE requires consciously re-checking the
+    # byte budget above (the two tests move together).
+    assert len(bench.WIRE) <= 40
+
+
+def test_wire_keeps_cross_round_anchors():
+    # The entries every round-over-round perf comparison reads; losing
+    # any of these silently would orphan the historical record.
+    for anchor in (
+        "flagship_sma_5row",
+        "agg_pricing_summary",  # the calibration query itself
+        "tpch_q5_local_supplier_volume",
+        "ann_cosine_ivf",
+        "pipeline_curate",
+        "kmeans_train_3iter",
+    ):
+        assert anchor in bench.WIRE
