@@ -842,15 +842,21 @@ def distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table_parallel(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
+    # Build each (type, day) sketch ONCE and derive its estimate in a
+    # follow-up projection — naming the sketch_agg twice inside the
+    # aggregate (once for sk, once under hll_sketch_estimate) doubled
+    # the sketch-build work on the corpus-sized scan (round-7 fix).
     daily = ev.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
-        ).alias("est_day"),
-    )
+    ).withColumn("est_day", F.hll_sketch_estimate("sk"))
+    # Fix each per-day estimate to a bigint BEFORE the cross-day sum:
+    # summing raw double estimates in partition-dependent order and
+    # truncating could flip the last unit at an integer boundary; a sum
+    # of bigints is order-independent, keeping the docstring's
+    # stable-across-partitionings claim strict (round-7 fix).
     merged = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
-        F.sum("est_day").cast("bigint").alias("sum_daily_estimates"),
+        F.sum(F.round("est_day").cast("bigint")).alias("sum_daily_estimates"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
             "est_merged"
         ),

@@ -304,6 +304,58 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def psi_reference_profile(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+    """The OFFLINE half of the streaming drift deployment: freeze the
+    reference profile (per-type 4-dp decile cuts + 6-dp bucket shares)
+    with the SAME Spark expressions ``psi_value_drift`` uses, collected
+    to the driver as closure constants for
+    ``streaming/drift.py::psi_drift_stateful``. Bounded driver state:
+    |types| x (9 cuts + 10 shares). Not a registered query — it is the
+    profile exporter; its correctness is pinned transitively by the
+    cross-implementation test that feeds its output into the streaming
+    monitor and demands bit-for-bit equality with the batch query."""
+    ev = load_table_parallel(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"), F.col("value").alias("v"), "ts"
+    )
+    split = F.lit(f"{PSI_SPLIT} 00:00:00").cast("timestamp")
+    ref = ev.where(F.col("ts") < split)
+    cuts_df = ref.groupBy("et").agg(
+        *[
+            round_det(F.percentile("v", F.lit(q)), 4).alias(f"c{i+1}")
+            for i, q in enumerate(_PSI_DECILES)
+        ]
+    )
+    cuts = {
+        r["et"]: [r[f"c{i+1}"] for i in range(len(_PSI_DECILES))]
+        for r in cuts_df.collect()
+    }
+    bucket = F.lit(0)
+    for i in range(len(_PSI_DECILES)):
+        bucket = bucket + (F.col("v") > F.col(f"c{i+1}")).cast("int")
+    counts = (
+        ref.join(F.broadcast(cuts_df), "et")
+        .groupBy("et", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("rn"))
+        .collect()
+    )
+    n_ref: dict[str, int] = {}
+    raw: dict[str, list[int]] = {et: [0] * 10 for et in cuts}
+    for r in counts:
+        raw[r["et"]][r["bucket"]] = r["rn"]
+        n_ref[r["et"]] = n_ref.get(r["et"], 0) + r["rn"]
+    import math
+
+    shares = {
+        et: [
+            math.floor(c / n_ref[et] * 1e6 + 0.5) / 1e6 for c in raw[et]
+        ]
+        for et in raw
+    }
+    return cuts, shares
+
+
 # --------------------------------------------------------------------------
 # twap_daily
 # --------------------------------------------------------------------------

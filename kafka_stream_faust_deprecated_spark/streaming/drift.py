@@ -14,12 +14,16 @@ monitor is replay-deterministic even though intermediate emissions
 track micro-batch progress.
 
 Formula parity: bucket membership (value > 4-dp-rounded cut), the
-6-dp share rounding, the epsilon floor, and the 6-dp term rounding are
-copied from ``queries/monitor.py::psi_value_drift`` so a frozen
+6-dp share rounding, the epsilon floor, the 6-dp DECIMAL term fixing
+(emulated with exact integer micro-units), and the final 4-dp rounding
+are copied from ``queries/monitor.py::psi_value_drift`` so a frozen
 reference computed there yields a streaming PSI whose final value the
-batch query reproduces bit-for-bit (pinned by
+batch query reproduces bit-for-bit. Pinned by
 tests/test_streaming_drift.py across 1-file and 2-file splits of the
-same stream).
+same stream AND directly against the batch query's own output over the
+same events table (the profile comes from
+``queries/monitor.py::psi_reference_profile``, the offline half of the
+deployment).
 
 Reference parity note: the reference app (faust_app/ma_agg.py, 308
 lines) has no drift surface; this extends the streaming engine for the
@@ -55,16 +59,25 @@ def _round_det(x: float, digits: int) -> float:
 
 
 def _psi(counts: list[int], n: int, ref_shares: list[float]) -> float:
-    """The batch query's epsilon-floored, 6-dp-rounded PSI — summed in
-    fixed bucket order so the value is reproducible everywhere."""
+    """The batch query's PSI, reproduced step for step: 6-dp-floored
+    shares, per-bucket terms fixed to 6-dp DECIMAL (emulated here as
+    exact integer micro-units so the cross-bucket sum is the same
+    exact decimal sum the batch computes — a float accumulation of the
+    rounded terms could drift a last bit and flip the final rounding),
+    and the FINAL value rounded to 4 dp exactly like
+    ``queries/monitor.py::psi_value_drift`` (round 7 fix: this used to
+    round to 6 dp, so the docstring's bit-for-bit batch-parity claim
+    only held when the term sum happened to be 4-dp exact — now pinned
+    by a true cross-implementation test against the batch query's own
+    output, tests/test_streaming_drift.py)."""
     import math
 
-    psi = 0.0
+    micro = 0  # sum of DECIMAL(18,6) terms, in exact 1e-6 units
     for k in range(10):
         p = max(ref_shares[k], PSI_EPS)
         q = max(_round_det(counts[k] / n, 6), PSI_EPS) if n else PSI_EPS
-        psi += _round_det((p - q) * math.log(p / q), 6)
-    return _round_det(psi, 6)
+        micro += int(math.floor((p - q) * math.log(p / q) * 1e6 + 0.5))
+    return _round_det(micro / 1e6, 4)
 
 
 def _drift_fn(cuts: dict[str, list[float]], ref_shares: dict[str, list[float]]):

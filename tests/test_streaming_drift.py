@@ -169,6 +169,61 @@ def test_reference_against_itself_is_near_zero(spark, tmp_path):
         assert abs(fin[et].psi) < 1e-9
 
 
+def test_final_psi_matches_batch_query_output(spark, tmp_path):
+    """TRUE cross-implementation parity (round 7): the streaming
+    monitor, fed the real events table's comparison window and the
+    profile exported by ``psi_reference_profile`` (the offline half of
+    the deployment), must reproduce the batch ``psi_value_drift``
+    query's published psi and n_cmp bit-for-bit. The earlier replay
+    test compares the stream against a Python re-run of ``_psi``
+    itself, which is circular with respect to the final-rounding
+    contract — this one is not (it caught the 6-dp-vs-4-dp final
+    rounding mismatch this round)."""
+    from kafka_stream_faust_deprecated_spark.queries.monitor import (
+        PSI_SPLIT,
+        psi_reference_profile,
+        psi_value_drift,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cuts, shares = psi_reference_profile(spark, sf_dir)
+    batch = {
+        r.event_type: r for r in psi_value_drift(spark, sf_dir).collect()
+    }
+
+    from kafka_stream_faust_deprecated_spark.io import load_table
+
+    cmp_rows = (
+        load_table(spark, sf_dir, "events")
+        .where(f"ts >= timestamp'{PSI_SPLIT} 00:00:00'")
+        .select("event_type", "value")
+        .collect()
+    )
+    src = tmp_path / "src"
+    src.mkdir(parents=True)
+    with open(src / "cmp.json", "w") as fh:
+        for r in cmp_rows:
+            fh.write(
+                json.dumps({"event_type": r.event_type, "value": r.value})
+                + "\n"
+            )
+    q = (
+        psi_drift_stateful(_stream_df(spark, src), cuts, shares)
+        .writeStream.format("memory")
+        .queryName("drift_vs_batch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    fin = _final_per_key(spark.sql("SELECT * FROM drift_vs_batch").collect())
+    assert set(fin) == set(batch)
+    for et, b in batch.items():
+        assert fin[et].n_cmp == b.n_cmp, et
+        assert fin[et].psi == b.psi, (et, fin[et].psi, b.psi)
+
+
 def test_psi_formula_parity_with_monitor_constants():
     """The module's epsilon floor is the batch query's (one constant,
     imported not copied) and the term formula is non-negative."""
