@@ -50,7 +50,9 @@ STATE_STORE_PROVIDERS = {
 }
 
 
-def configure_state_store(spark: SparkSession, backend: str) -> None:
+def configure_state_store(
+    spark: SparkSession, backend: str, track_rows: bool = True
+) -> None:
     """Select the streaming state store backend for subsequently *started*
     queries (the provider class is captured when a streaming query starts,
     so already-running queries are unaffected — and a query restarted from
@@ -60,6 +62,17 @@ def configure_state_store(spark: SparkSession, backend: str) -> None:
     ``"rocksdb"`` (disk-backed state, the 100 TB choice). RocksDB also gets
     changelog checkpointing so per-batch checkpoint cost is the delta, not
     a full SST upload.
+
+    ``track_rows=False`` additionally disables RocksDB's
+    ``trackTotalNumberOfRows`` — Spark's documented write-path perf knob
+    (maintaining the count costs an extra lookup per put/delete). The
+    round-7 A/B on the 200-symbol bench fixture measured it worth
+    ~5-10% ticks/s (inside a noisy-sandbox spread; see BASELINE.md).
+    It stays ON by default because it zeroes the ``numRowsTotal``
+    progress metric that the engine's state-eviction observability
+    proof reads (``streaming/metrics.py``,
+    ``tests/test_streaming_stateful.py``) — flip it per-deployment when
+    dashboards don't consume state row counts.
     """
     provider = STATE_STORE_PROVIDERS[backend]
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
@@ -67,6 +80,10 @@ def configure_state_store(spark: SparkSession, backend: str) -> None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+            "true" if track_rows else "false",
         )
 
 
