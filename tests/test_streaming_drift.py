@@ -224,6 +224,55 @@ def test_final_psi_matches_batch_query_output(spark, tmp_path):
         assert fin[et].psi == b.psi, (et, fin[et].psi, b.psi)
 
 
+def test_drift_checkpoint_restart_resumes_counts(spark, tmp_path):
+    """Durability: stop the monitor mid-stream, start a NEW query on
+    the same checkpoint, feed the rest — the cumulative bucket counts
+    must come back from the state store, so the final PSI equals the
+    uninterrupted single-run value (which the split-invariance test
+    already ties to the batch formula)."""
+    cuts, shares = {}, {}
+    for et, vals in REF_VALUES.items():
+        cuts[et], shares[et] = _profile(vals)
+    rows = [("click", v) for v in CMP_VALUES["click"]]
+    half = len(rows) // 2
+
+    src = tmp_path / "src"
+    src.mkdir(parents=True)
+    _write(rows[:half], str(src / "a.json"))
+    os.utime(src / "a.json", (time.time() - 100, time.time() - 100))
+
+    collected: list = []
+
+    def _start():
+        # foreachBatch, not the memory sink — memory-sink queries
+        # refuse checkpoint recovery by design.
+        return (
+            psi_drift_stateful(_stream_df(spark, src), cuts, shares)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = _start()
+    q1.awaitTermination(300)
+    _write(rows[half:], str(src / "b.json"))
+    os.utime(src / "b.json", (time.time() - 50, time.time() - 50))
+    q2 = _start()
+    q2.awaitTermination(300)
+
+    fin = _final_per_key(collected)
+    assert fin["click"].n_cmp == len(CMP_VALUES["click"]), (
+        "state lost across restart"
+    )
+    assert fin["click"].psi == _python_psi(
+        CMP_VALUES["click"], cuts["click"], shares["click"]
+    )
+
+
 def test_psi_formula_parity_with_monitor_constants():
     """The module's epsilon floor is the batch query's (one constant,
     imported not copied) and the term formula is non-negative."""

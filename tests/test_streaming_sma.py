@@ -119,6 +119,40 @@ def test_sma_streaming_matches_golden(spark, tmp_path, backend):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_sma_rocksdb_untracked_rows_same_golden(spark, tmp_path):
+    """The round-7 perf knob (configure_state_store(track_rows=False),
+    RocksDB's documented trackTotalNumberOfRows write-path toggle,
+    measured ~5-10% ticks/s) is a METRICS choice, never a semantics
+    choice: the same golden must hold with row tracking off. Kept off
+    the engine default because the S21 eviction proof reads
+    numRowsTotal (test_streaming_stateful.py)."""
+    from kafka_stream_faust_deprecated_spark.session import configure_state_store
+
+    conf_keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+    )
+    prev = {k: spark.conf.get(k, None) for k in conf_keys}
+    configure_state_store(spark, "rocksdb", track_rows=False)
+    try:
+        ticks = build_fixture()
+        flush = [make_tick("ZZZ", 100_000, 1.0, 1, True)]
+        rows = _run_stream(
+            spark,
+            tmp_path,
+            [("f1.json", ticks), ("f2.json", flush)],
+            "sma_rocksdb_untracked",
+        )
+        assert all(r["symbol"] != "ZZZ" for r in rows)
+        _check_against_golden(rows, golden_sma(ticks))
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_sma_streaming_update_mode_converges_to_golden(spark, tmp_path):
     """S27's other half: ``update`` mode restores the reference's
     per-tick freshness — a window may be emitted in several micro-batches
