@@ -843,9 +843,11 @@ def distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     # Build each (type, day) sketch ONCE and derive its estimate in a
-    # follow-up projection — naming the sketch_agg twice inside the
-    # aggregate (once for sk, once under hll_sketch_estimate) doubled
-    # the sketch-build work on the corpus-sized scan (round-7 fix).
+    # follow-up projection. (Catalyst already deduplicated the earlier
+    # twice-named hll_sketch_agg — `Functions [1]` either way — so this
+    # is a clarity/guarantee rewrite, not a measured 2x; the guarantee
+    # is pinned by tests/test_layout_queries.py against a future
+    # non-identical second build, which would NOT dedup.)
     daily = ev.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
     ).withColumn("est_day", F.hll_sketch_estimate("sk"))

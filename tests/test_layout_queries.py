@@ -258,3 +258,30 @@ def test_hll_rollup_bounds_and_merge_consistency(spark):
             r2.sum_daily_estimates,
             r2.exact_distinct,
         )
+
+
+def test_hll_rollup_builds_each_sketch_once(spark):
+    """Round-7 plan-shape pin: the per-(type, day) sketch is aggregated
+    ONCE and est_day derived in a follow-up projection. Honesty note:
+    the pre-fix form (hll_sketch_agg named twice, once for sk and once
+    under hll_sketch_estimate) was ALREADY deduplicated by Catalyst —
+    verified: its physical plan carries `Functions [1]` too — so the
+    rewrite bought clarity and a guarantee, not a measured 2x. This pin
+    keeps the guarantee mechanical: one sketch-build function per
+    aggregate level (<= 2 plan mentions, partial + final), so a future
+    edit that introduces a NON-identical second sketch build (which
+    Catalyst would not dedup) fails here."""
+    from kafka_stream_faust_deprecated_spark.queries.layout import (
+        distinct_hll_rollup,
+    )
+
+    plan = (
+        distinct_hll_rollup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hll_sketch_agg") <= 2, (
+        "daily HLL sketch is being built more than once per aggregate "
+        f"level:\n{plan}"
+    )
