@@ -223,7 +223,10 @@ def build_fixture(dst: str) -> None:
 
 
 def main() -> None:
+    import json
+
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx8"
+    json_out = sys.argv[2] if len(sys.argv) > 2 else None
     build_fixture(dst)
     spark = get_spark(app_name="scaleup-probe")
     dirs = {"1x": BASE, f"{REPS}x": dst}
@@ -235,17 +238,45 @@ def main() -> None:
         get_query(q).fn(spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Round-9 methodology (the bench.py lessons applied here): the warm
+    # pass also absorbs memoized index builds / codegen, 3 interleaved
+    # passes instead of 2, a >1.3x-spread immediate re-sample pair, and
+    # per-(query, scale) SPREAD recorded so a contaminated cell
+    # self-identifies (the r8 table's kmeans 1x cell recorded the cold
+    # path and tpch_q5's ratio recorded locality decay — both
+    # adjudicated by isolated re-runs; see SCALE.md).
     for q in QUERIES:
         for d in dirs.values():
             once(q, d)  # warm
-    res = {(q, k): float("inf") for q in QUERIES for k in dirs}
-    for _ in range(2):  # interleaved passes (see bench.py rationale)
+    samples: dict[tuple, list] = {(q, k): [] for q in QUERIES for k in dirs}
+    for _ in range(3):
         for q in QUERIES:
             for k, d in dirs.items():
-                res[(q, k)] = min(res[(q, k)], once(q, d))
+                samples[(q, k)].append(once(q, d))
+    for (q, k), s in samples.items():
+        if max(s) / max(min(s), 1e-9) > 1.3:
+            s.extend(once(q, dirs[k]) for _ in range(2))
+    rows = {}
     for q in QUERIES:
-        a, b = res[(q, "1x")], res[(q, f"{REPS}x")]
-        print(f"{q:32s} 1x={a:6.2f}s {REPS}x={b:6.2f}s ratio={b / a:5.2f}")
+        a = min(samples[(q, "1x")])
+        b = min(samples[(q, f"{REPS}x")])
+        sa = round(max(samples[(q, "1x")]) / max(a, 1e-9), 2)
+        sb = round(max(samples[(q, f"{REPS}x")]) / max(b, 1e-9), 2)
+        rows[q] = {
+            "t1": round(a, 3),
+            "t8": round(b, 3),
+            "ratio": round(b / a, 2),
+            "spread1": sa,
+            "spread8": sb,
+        }
+        print(
+            f"{q:34s} 1x={a:6.2f}s {REPS}x={b:6.2f}s ratio={b / a:5.2f} "
+            f"spread={sa:4.1f}/{sb:4.1f}"
+        )
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"reps": REPS, "queries": rows}, fh, indent=1)
+        print(f"wrote {json_out}")
 
 
 if __name__ == "__main__":
