@@ -145,6 +145,61 @@ def test_exact_regime_matches_batch_twin(spark, tmp_path):
     assert all(r[1] == 1 for r in got_rows), "single burst => episode 1"
 
 
+def test_heavy_hitters_checkpoint_restart(spark, tmp_path):
+    """Durability: stop mid-burst (each user's counters half-built),
+    restart a new query on the same checkpoint, feed the rest + flush —
+    the emitted summaries must still be IDENTICAL to the batch twin
+    (restored Space-Saving counters, no episode split at the restart
+    boundary, no duplicates). foreachBatch because memory-sink queries
+    refuse checkpoint recovery."""
+    fixture = _exact_fixture()
+    # Split by EVENT TIME, not list position: the first run advances
+    # the watermark to its max event time, so any event routed to the
+    # post-restart file must not sit behind it (a list-position split
+    # puts all of user 2 behind user 1's watermark and the engine
+    # rightly drops them as late).
+    first = [r for r in fixture if r[2] <= 50]
+    rest = [r for r in fixture if r[2] > 50]
+    assert first and rest
+    src = tmp_path / "src"
+    src.mkdir()
+    collected: list = []
+
+    def _start():
+        return (
+            heavy_hitters_stateful(
+                _stream_df(spark, src), capacity=CAPACITY, k=K, horizon=HORIZON
+            )
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    p1 = src / "f1.json"
+    _write(first, str(p1))
+    os.utime(p1, (time.time() - 100, time.time() - 100))
+    q1 = _start()
+    q1.awaitTermination(300)
+
+    p2 = src / "f2.json"
+    _write(rest, str(p2))
+    os.utime(p2, (time.time() - 50, time.time() - 50))
+    p3 = src / "f3.json"
+    _write(_flush(100_000), str(p3))
+    os.utime(p3, (time.time() - 40, time.time() - 40))
+    q2 = _start()
+    q2.awaitTermination(300)
+
+    got_rows = sorted(tuple(r) for r in collected if r["user_id"] in (1, 2))
+    assert len(got_rows) == len(set(got_rows)), "restart re-emitted rows"
+    want = sorted(tuple(r) for r in _batch_twin(spark, fixture).collect())
+    assert got_rows == want
+
+
 def test_two_bursts_split_into_numbered_episodes(spark, tmp_path):
     """A user active in two >horizon-separated bursts must yield TWO
     well-defined summaries — episode 1 and 2, each row-identical to

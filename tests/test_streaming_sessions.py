@@ -167,6 +167,64 @@ def test_streaming_sessions_cap_split_counts(spark, tmp_path):
     assert u1[(2, 1)]["duration_sec"] == 60
 
 
+def test_streaming_sessions_checkpoint_restart(spark, tmp_path):
+    """Durability: stop the sessionizer mid-fixture — with user 1's
+    second gap-session HALF-FED, the hardest state to lose — restart a
+    new query on the same checkpoint, feed the rest + flush. The closed
+    sessions must equal the batch twin exactly, with no session split
+    at the restart boundary and no duplicates (append mode + restored
+    open-session state). Uses foreachBatch: memory-sink queries refuse
+    checkpoint recovery."""
+    fixture = _events()
+    first = [r for r in fixture if r[2] <= 400]
+    rest = [r for r in fixture if r[2] > 400]
+    assert first and rest  # the split lands inside u1's gap-session 2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    collected: list = []
+
+    def _start():
+        return (
+            sessionize_capped_stateful(_stream_df(spark, src), gap=GAP, cap=CAP)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    p1 = src / "f1.json"
+    _write(first, str(p1))
+    os.utime(p1, (time.time() - 100, time.time() - 100))
+    q1 = _start()
+    q1.awaitTermination(300)
+
+    p2 = src / "f2.json"
+    _write(rest, str(p2))
+    os.utime(p2, (time.time() - 50, time.time() - 50))
+    p3 = src / "f3.json"
+    _write(_flush(100_000), str(p3))
+    os.utime(p3, (time.time() - 40, time.time() - 40))
+    q2 = _start()
+    q2.awaitTermination(300)
+
+    flush_day = (T0 + timedelta(seconds=100_000)).strftime("%Y-%m-%d")
+    closed = [
+        r for r in collected if not r["session_start"].startswith(flush_day)
+    ]
+    keys = [_key(r) for r in closed]
+    assert len(keys) == len(set(keys)), "restart re-emitted sessions"
+    exp = _expected(spark, fixture)
+    assert set(keys) == set(exp)
+    for r in closed:
+        e = exp[_key(r)]
+        for c in ("n_events", "session_start", "session_end", "duration_sec"):
+            assert r[c] == e[c], (c, _key(r), r[c], e[c])
+
+
 def test_streaming_sessions_timeout_closes_idle(spark, tmp_path):
     """WITHOUT a flush event for user 2, the event-time timeout (armed
     at last+gap) must still close user 2's final session once user 1's
