@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Scale-up probe: measure headline queries at sf0.1 vs an 8x replica.
+"""Scale-up probe: measure headline queries at sf0.1 vs an Nx replica.
 
-Builds (once) an 8x copy of the sf0.1 fixture in which every replica
+Builds (once) an Nx copy of the sf0.1 fixture in which every replica
 gets a disjoint key range (+r * 1e9 on every join/identity key, applied
 consistently across tables so replica r's facts join replica r's dims —
 per-key group sizes stay constant and only the DATA VOLUME grows), then
@@ -13,7 +13,10 @@ near-dup candidate generation, which is why content-similarity queries
 are excluded; their scaling argument is the banded-candidate math in
 their docstrings).
 
-Usage: python scripts/scaleup_probe.py [out_dir_for_8x]
+Usage: python scripts/scaleup_probe.py [out_dir_for_replica] [json_out]
+Env:   SPARK_GRAFT_PROBE_REPS=N        replication factor (default 8)
+       SPARK_GRAFT_PROBE_QUERIES=a,b   probe a subset (default: all
+                                       probe-safe QUERIES below)
 """
 
 from __future__ import annotations
@@ -30,7 +33,10 @@ from kafka_stream_faust_deprecated_spark import get_spark
 from kafka_stream_faust_deprecated_spark.io import load_table
 from kafka_stream_faust_deprecated_spark.registry import get_query
 
-REPS = 8
+#: Replication factor; override with SPARK_GRAFT_PROBE_REPS (e.g. 32
+#: for the second scaling point — two points expose curvature a single
+#: ratio can't). 32 replicas x 1e9 key offset stays well inside int64.
+REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "8"))
 OFF = 10**9
 BASE = "/root/testdata/sf0.1"
 
@@ -225,8 +231,14 @@ def build_fixture(dst: str) -> None:
 def main() -> None:
     import json
 
-    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx8"
+    dst = sys.argv[1] if len(sys.argv) > 1 else f"/tmp/sfx{REPS}"
     json_out = sys.argv[2] if len(sys.argv) > 2 else None
+    queries = QUERIES
+    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    if subset:
+        queries = tuple(q.strip() for q in subset.split(",") if q.strip())
+        unknown = [q for q in queries if q not in QUERIES]
+        assert not unknown, f"not probe-safe (see QUERIES): {unknown}"
     build_fixture(dst)
     spark = get_spark(app_name="scaleup-probe")
     dirs = {"1x": BASE, f"{REPS}x": dst}
@@ -245,19 +257,19 @@ def main() -> None:
     # self-identifies (the r8 table's kmeans 1x cell recorded the cold
     # path and tpch_q5's ratio recorded locality decay — both
     # adjudicated by isolated re-runs; see SCALE.md).
-    for q in QUERIES:
+    for q in queries:
         for d in dirs.values():
             once(q, d)  # warm
-    samples: dict[tuple, list] = {(q, k): [] for q in QUERIES for k in dirs}
+    samples: dict[tuple, list] = {(q, k): [] for q in queries for k in dirs}
     for _ in range(3):
-        for q in QUERIES:
+        for q in queries:
             for k, d in dirs.items():
                 samples[(q, k)].append(once(q, d))
     for (q, k), s in samples.items():
         if max(s) / max(min(s), 1e-9) > 1.3:
             s.extend(once(q, dirs[k]) for _ in range(2))
     rows = {}
-    for q in QUERIES:
+    for q in queries:
         a = min(samples[(q, "1x")])
         b = min(samples[(q, f"{REPS}x")])
         sa = round(max(samples[(q, "1x")]) / max(a, 1e-9), 2)
