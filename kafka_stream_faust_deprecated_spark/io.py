@@ -117,6 +117,15 @@ def kafka_tick_source(
     Mirrors ``app.topic('kafka_per_sec_data', value_type=StockData)``
     (faust_app/ma_agg.py:40, consumed at :83-85). Deserialization happens
     JVM-side via ``from_json`` (no Python in the hot path).
+
+    Environment gate (re-probed 2026-08-15): this sandbox ships neither
+    a broker binary nor the ``spark-sql-kafka`` connector jar (pip
+    pyspark bundles no kafka jars), so the path is untestable live
+    here. On a real deployment add
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark ver>``.
+    Everything downstream of the source (decode -> SMA -> sink) is
+    golden-tested through ``file_tick_source`` and the custom
+    ``stock_ticks`` DataSource, which share this exact decode path.
     """
     raw = (
         spark.readStream.format("kafka")
