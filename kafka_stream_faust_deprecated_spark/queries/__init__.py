@@ -60,25 +60,29 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-8 prefix (exactly 50): CORRECTNESS_r06 landed 50/50 green on
-# the previous prefix, so every pin there now has a driver row. This
-# round clears the verification backlog the round-6 verdict ranked #1:
-# the 40 registered queries with NO driver record ever (waves 5b-11
-# plus gapfill_forward_fill / stream_static_enrich, which were in no
-# pin list), plus grouping_sets_events for a second consecutive green
-# row (it was the r5 red row), plus 8 head queries of relational/
-# scalars/temporal/llm whose driver rows predate the round-5 rounding
-# conversion (commit b9df45a) — starting verdict item #3 early. The
-# module order after the pins continues the re-record debt so any
-# sampling overflow lands on it. NO new queries this round: surface
-# growth is frozen until the driver backlog clears (verdict #2).
+# Round-9 prefix: CORRECTNESS_r07 landed 49/50 green + 1 rows-only-by-
+# design on the previous prefix, clearing the never-sampled backlog.
+# This round finishes the r7-verdict #1 item — the post-b9df45a
+# (round-5 rounding conversion) driver re-record: EVERY query whose
+# latest driver row predates the conversion (r4 or earlier — the
+# remaining relational/scalars/temporal/llm bodies beyond the 8 heads
+# r7 re-recorded, plus the scale-module head) rotates into the sampled
+# window now; the 7 that don't fit (scale tail + tpch q19-q22, r4
+# rows) are pinned IMMEDIATELY after position 50 so they form the r9
+# prefix (or get covered if the driver samples deeper). Slot 2 goes to
+# the ONE new query this round, neardup_containment_sketch — the
+# verdict-#2-mandated 100 TB containment path, which needs its first
+# driver row. After this window, every green row in the ledger except
+# those 7 pins-in-waiting is post-conversion current-code.
 _promote(
     (
         "flagship",
+        "scale",
+        "tpch",
+        "llm",
         "relational",
         "scalars",
         "temporal",
-        "llm",
         "analytic",
         "extras",
         "layout",
@@ -89,76 +93,73 @@ _promote(
         "monitor",
         "inference",
         "robust",
-        "tpch",
-        "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
-        # never driver-sampled: index-50 demotion from the r6 window
-        "sample_mixture_apply",
-        # wave 5b — never driver-sampled
-        "attribution_linear_touch",
-        "nearest_event_join",
-        "bpe_merge_pairs",
-        # wave 6 — never driver-sampled
-        "session_path_mining",
-        "ewma_smoothing_capped",
-        "conversion_latency_percentiles",
-        "dup_graph_link_prediction",
-        # wave 7 — never driver-sampled
-        "order_reorder_intervals",
-        "weighted_median_price",
-        "source_quantile_normalization",
-        "gini_concentration_index",
-        # wave 8 (queries/ticker.py) — never driver-sampled
-        "ohlc_bars_daily",
-        "vwap_daily",
-        "bollinger_bands",
-        "rsi_cutler",
-        "max_drawdown_daily",
-        "symbol_return_correlation",
-        # wave 9 (queries/audit.py) — never driver-sampled
-        "fk_integrity_audit",
-        "pk_uniqueness_audit",
-        "beta_capm_daily",
-        "intraday_volume_curve",
-        "turnover_autocorr",
-        "mixture_temperature_plan",
-        # wave 10 (queries/monitor.py) — never driver-sampled
-        "benford_digit_audit",
-        "psi_value_drift",
-        "twap_daily",
-        "seasonal_residual_anomalies",
-        # wave 11 (queries/inference.py + graph/sketch/SQL-surface) —
-        # never driver-sampled
-        "chi_square_independence",
-        "welch_t_test_values",
-        "acf_daily_multilag",
-        "ks_value_drift",
-        "anova_f_oneway",
-        "mann_whitney_u",
-        "dup_graph_kcore",
-        "dup_graph_reachability",
-        "distinct_hll_rollup",
-        "lateral_topk_per_nation",
-        # in NO previous pin list and never sampled (r6 verdict called
-        # these two out by name)
-        "gapfill_forward_fill",
-        "stream_static_enrich",
-        # r5 red row, repaired + green in r6 — a second consecutive
-        # green row closes the one-red-row-per-round history (verdict
-        # item #7)
-        "grouping_sets_events",
-        # post-b9df45a re-record heads (verdict item #3, started early
-        # with the slots left in the 50-query window; the rest of these
-        # modules follows immediately after the pins in module order)
-        "scan_filter_project",
-        "agg_pricing_summary",
-        "string_functions",
-        "math_functions",
-        "tumbling_window_events",
-        "sliding_window_events",
-        "dedup_exact_documents",
-        "neardup_ngram_jaccard",
+        # NEW this round (r7 verdict #2): the one-sided MinHash
+        # containment sketch — first driver row
+        "neardup_containment_sketch",
+        # llm module, driver rows r1-r4 only (pre-conversion)
+        "neardup_minhash_lsh",
+        "neardup_simhash",
+        "knn_cosine_bruteforce",
+        "ann_cosine_lsh",
+        "neardup_embedding_cosine",
+        "doc_token_stats",
+        "doc_token_counts_bpe",
+        "doc_quality_score",
+        "lang_id_lexicon",
+        "tfidf_top_terms",
+        "doc_fingerprint_minhash",
+        "multimodal_extract",
+        "multimodal_frame_sample",
+        "sample_stratified_hash",
+        "doc_unigram_nll",
+        "mixture_language_sampling",
+        "dedup_connected_components",
+        "doc_repetition_ratios",
+        "contamination_ngram_overlap",
+        "pipeline_curate",
+        # relational module, driver rows r1-r4 only
+        "filter_predicates",
+        "agg_count_distinct",
+        "join_orders_customer",
+        "join_left_with_nulls",
+        "join_full_outer",
+        "join_broadcast_dims_revenue",
+        "semi_join_customers",
+        "anti_join_customers",
+        "topk_orders_global",
+        "topk_per_group",
+        "set_ops_custkeys",
+        "pandas_grouped_agg",
+        "pandas_grouped_map_zscore",
+        "scalar_subquery_orders",
+        # scalars module, driver rows r1-r4 only
+        "datetime_functions",
+        "array_functions",
+        "json_functions",
+        "json_agg_by_key",
+        "json_structured",
+        "map_functions",
+        "pandas_scalar_textfeat",
+        "udtf_word_bigrams",
+        "variant_json_path",
+        "null_conditional_functions",
+        "bitwise_functions",
+        # temporal module, driver rows r1-r4 only
+        "session_window_events",
+        "stream_stream_join_events",
+        # scale module head, driver row r4 only — position 50
+        "join_salted_skew",
+        # ---- position 51+ : the pre-conversion remainder that doesn't
+        # fit the ~50-query window — first in line for the r9 prefix
+        "scd2_customer_history",
+        "funnel_conversion",
+        "cohort_retention",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_supply",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
     ),
 )

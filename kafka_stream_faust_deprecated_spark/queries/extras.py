@@ -2970,6 +2970,149 @@ def neardup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jac"),
     )
 
+#: One-sided containment sketch: samples per document. Each sample is
+#: the argmin shingle under an independent seeded md5 — a uniform
+#: with-replacement draw from the doc's shingle set, so the fraction of
+#: samples found in another doc's set is an unbiased estimate of THAT
+#: doc's containment in the other.
+CONTAIN_K = 24
+#: Candidate floor: >= this many of the {CONTAIN_K} samples must land in
+#: the other doc. 8/24 = est. containment 1/3 — half the emit threshold
+#: of {CONTAINMENT_THRESHOLD}, so a true pair needs a >2x downward
+#: sampling excursion to be missed (P[Binom(24, .6) < 8] ~ 2e-3 even at
+#: the threshold boundary; the fixtures' true pairs all have a side at
+#: containment 1.0, where the miss probability is exactly 0).
+CONTAIN_CAND_MIN = 8
+#: Bucket-side document-frequency cap: shingles present in more than
+#: this many documents are dropped from the PROBED side (never from the
+#: samples' verify stage). At 100 TB this is what bounds the join:
+#: zipf-hot boilerplate shingles would otherwise contribute df(s)^2
+#: candidate rows. Measured fixture max df is 25 (sf0.1), so the cap is
+#: a no-op at test scale; the synthetic hot-shingle pytest exercises it.
+CONTAIN_DF_CAP = 64
+
+
+@register(
+    "neardup_containment_sketch",
+    oracle=_containment_oracle(),
+    tags=("E23",),
+)
+def neardup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for asymmetric containment dedup — the one-sided
+    MinHash sketch `neardup_shingle_containment`'s docstring promises.
+    Same output contract as the exact baseline (pairs where either side
+    is >= {CONTAINMENT_THRESHOLD} contained, with exact containments and
+    Jaccard), but candidate generation never self-joins the full shingle
+    relation: each document is sketched as {CONTAIN_K} argmin-shingle
+    samples (a uniform with-replacement draw from its shingle set — so
+    "fraction of samples present in B" is an unbiased containment
+    estimator, unlike symmetric MinHash/LSH bands whose collision
+    probability tracks JACCARD and under-samples exactly the
+    low-jac/high-containment pairs this operator exists to find).
+
+    Scale shape: the sketch table is K rows/doc regardless of document
+    size; it probes the (doc_id, shingle) relation on the shingle key
+    after a document-frequency cap ({CONTAIN_DF_CAP}) removes zipf-hot
+    boilerplate from the probed side — join fan-out is bounded by
+    K x df_cap per document instead of sum(df^2). Candidates need
+    >= {CONTAIN_CAND_MIN}/{CONTAIN_K} sample hits (half the emit
+    threshold, so cap- and sampling-induced undercounting has 2x
+    headroom), then the rare survivors are broadcast into one exact
+    array_intersect verify pass over the cached shingle sets — exact
+    precision, exact emitted values, same rounding contract as the
+    baseline. Every direction is sketched, and for any qualifying pair
+    the SMALLER side's containment >= either side's (common <= min(na,
+    nb)), so one-sided detection covers both-side thresholds. Recall
+    vs the exact baseline is deterministic (seeded md5) and pinned at
+    1.0 for sf0.001/sf0.01/sf0.1 in tests + RECALL.json."""
+    from kafka_stream_faust_deprecated_spark.queries.llm import _doc_shingle_sets
+
+    cached = _doc_shingle_sets(spark, sf_dir).persist()
+    sets = cached.where(F.size("sh") > 0)
+    try:
+        # K argmin-shingle samples as ONE array projection (struct
+        # ordering compares the md5 field first, so array_min yields
+        # the shingle attaining the minimum hash) — zero shuffles, no
+        # explode until the bounded K-row sketch.
+        def _sample(i: int):
+            return lambda s: F.struct(
+                F.md5(F.concat(F.lit(f"c{i}|"), s)).alias("h"), s.alias("v")
+            )
+
+        sk = sets.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.array_min(F.transform(F.col("sh"), _sample(i)))["v"]
+                        for i in range(CONTAIN_K)
+                    ]
+                )
+            ).alias("i", "s"),
+        )
+        # Probed side: the exploded shingle relation minus zipf-hot
+        # shingles. df is a map-side-combined byproduct of the same
+        # cached stage (at 100 TB: the persisted corpus df relation).
+        probe = sets.select("doc_id", F.explode("sh").alias("s"))
+        dfreq = probe.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        probe = probe.join(
+            dfreq.where(F.col("df") <= CONTAIN_DF_CAP).select("s"), "s"
+        )
+        cand = (
+            sk.join(probe.select(F.col("doc_id").alias("other"), "s"), "s")
+            .where(F.col("doc_id") != F.col("other"))
+            .groupBy("doc_id", "other")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .where(F.col("hits") >= CONTAIN_CAND_MIN)
+            .select(
+                F.least("doc_id", "other").alias("da"),
+                F.greatest("doc_id", "other").alias("db"),
+            )
+            .distinct()
+        )
+        verified = (
+            F.broadcast(cand)
+            .join(
+                sets.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")),
+                "da",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")),
+                "db",
+            )
+            .select(
+                "da",
+                "db",
+                F.size(F.array_intersect("sha", "shb")).alias("common"),
+                F.size("sha").alias("na"),
+                F.size("shb").alias("nb"),
+            )
+        )
+        result = (
+            verified.withColumn("ca_raw", F.col("common") * 1.0 / F.col("na"))
+            .withColumn("cb_raw", F.col("common") * 1.0 / F.col("nb"))
+            .where(
+                (F.col("ca_raw") >= CONTAINMENT_THRESHOLD)
+                | (F.col("cb_raw") >= CONTAINMENT_THRESHOLD)
+            )
+            .select(
+                "da",
+                "db",
+                round_det(F.col("ca_raw"), 4).alias("contain_a"),
+                round_det(F.col("cb_raw"), 4).alias("contain_b"),
+                round_det(
+                    F.col("common")
+                    * 1.0
+                    / (F.col("na") + F.col("nb") - F.col("common")),
+                    4,
+                ).alias("jac"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Round 7 continuation — collocation mining, Zipf diagnostics, embedding QC
 # ---------------------------------------------------------------------------

@@ -42,6 +42,100 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
 @pytest.mark.parametrize(
     "sf_dir", [SF_DIR, "/root/testdata/sf0.1"], ids=["sf_small", "sf0.1"]
 )
+def test_containment_sketch_matches_exact(spark, sf_dir):
+    """The one-sided containment sketch must reproduce the exact
+    baseline's pair set AND its values at both fixture SFs: the verify
+    stage computes exact containments/jaccard for candidates, so
+    output == exact iff candidate recall is 1.0 — which is deterministic
+    here (seeded md5 sampling; every fixture true pair has a side at
+    containment 1.0, where all K samples land in the other set and the
+    miss probability is exactly zero)."""
+    exact = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"], r["jac"])
+        for r in get_query("neardup_shingle_containment").fn(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"], r["jac"])
+        for r in get_query("neardup_containment_sketch").fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture has no containment pairs?"
+    recall = len(set(sketch) & set(exact)) / len(exact)
+    _record_recall(
+        "neardup_containment_sketch", sf_dir.rsplit("/", 1)[-1], round(recall, 3)
+    )
+    assert sketch == exact
+
+
+def test_containment_sketch_df_cap_and_grey_zone(spark, tmp_path):
+    """Exercises the two paths the fixtures can't reach: (a) the
+    bucket-side document-frequency cap — a boilerplate shingle present
+    in > CONTAIN_DF_CAP docs is dropped from the probed side without
+    costing recall on rare-shingle-supported pairs; (b) a grey-zone
+    pair at containment ~0.67 (just above the 0.6 threshold, far from
+    the fixtures' all-1.0 pairs) still clears the CONTAIN_CAND_MIN
+    sampling floor."""
+    import pandas as pd
+
+    from kafka_stream_faust_deprecated_spark.queries.extras import (
+        CONTAIN_DF_CAP,
+        neardup_containment_sketch,
+        neardup_shingle_containment,
+    )
+    from kafka_stream_faust_deprecated_spark.queries.llm import _doc_shingles
+
+    docs = []
+    # > CONTAIN_DF_CAP docs sharing a boilerplate prefix; each gets 9
+    # unique tokens so no hot pair reaches 0.6 containment.
+    for i in range(CONTAIN_DF_CAP + 16):
+        uniq = " ".join(f"u{i}w{j}" for j in range(9))
+        docs.append((i, f"common boiler plate words {uniq}"))
+    # Planted full-containment pair on rare shingles.
+    a_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs.append((1000, a_text))
+    docs.append((1001, a_text + " india juliet kilo lima"))
+    # Grey-zone pair: C has 12 tokens -> 10 shingles, D shares the
+    # first 9 tokens -> 7 common shingles: contain_c = 0.7.
+    c_text = "m1 m2 m3 m4 m5 m6 m7 m8 m9 c1 c2 c3"
+    d_text = "m1 m2 m3 m4 m5 m6 m7 m8 m9 d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11"
+    docs.append((1002, c_text))
+    docs.append((1003, d_text))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf_dir = str(tmp_path)
+
+    # The cap path is actually exercised: the boilerplate shingle's df
+    # exceeds CONTAIN_DF_CAP on this corpus.
+    hot_df = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("s")
+        .count()
+        .where("s = 'common boiler plate'")
+        .collect()
+    )
+    assert hot_df and hot_df[0]["count"] > CONTAIN_DF_CAP
+
+    exact = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"])
+        for r in neardup_shingle_containment(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"])
+        for r in neardup_containment_sketch(spark, sf_dir).collect()
+    }
+    assert (1000, 1001) in sketch and sketch[(1000, 1001)][0] == 1.0
+    assert (1002, 1003) in sketch and sketch[(1002, 1003)][0] == 0.7
+    # No hot-boilerplate pair qualifies (by construction), so dropping
+    # capped shingles from the probe side costs nothing here — the
+    # sketch still reproduces the exact baseline.
+    assert sketch == exact
+
+
+@pytest.mark.parametrize(
+    "sf_dir", [SF_DIR, "/root/testdata/sf0.1"], ids=["sf_small", "sf0.1"]
+)
 def test_ann_recall_vs_bruteforce(spark, sf_dir, record_property):
     """Both ANN families vs the exact top-3, at two corpus sizes with NO
     hand retuning — bucket width / cell count derive from the corpus

@@ -10,103 +10,90 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round7_pins_lead_registration_order():
+def test_round9_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-7 contract (r6 verdict items #2/#3/#7): the 40 queries with
-    # NO driver record ever (waves 5b-11 + the two queries that were in
-    # no pin list) sit inside the driver's ~50-query sample window,
-    # plus grouping_sets_events (second consecutive green row after its
-    # r5 red) and the first post-rounding-conversion re-record heads of
-    # relational/scalars/temporal/llm.
-    backlog = (
-        "sample_mixture_apply",
-        "attribution_linear_touch",
-        "nearest_event_join",
-        "bpe_merge_pairs",
-        "session_path_mining",
-        "ewma_smoothing_capped",
-        "conversion_latency_percentiles",
-        "dup_graph_link_prediction",
-        "order_reorder_intervals",
-        "weighted_median_price",
-        "source_quantile_normalization",
-        "gini_concentration_index",
-        "ohlc_bars_daily",
-        "vwap_daily",
-        "bollinger_bands",
-        "rsi_cutler",
-        "max_drawdown_daily",
-        "symbol_return_correlation",
-        "fk_integrity_audit",
-        "pk_uniqueness_audit",
-        "beta_capm_daily",
-        "intraday_volume_curve",
-        "turnover_autocorr",
-        "mixture_temperature_plan",
-        "benford_digit_audit",
-        "psi_value_drift",
-        "twap_daily",
-        "seasonal_residual_anomalies",
-        "chi_square_independence",
-        "welch_t_test_values",
-        "acf_daily_multilag",
-        "ks_value_drift",
-        "anova_f_oneway",
-        "mann_whitney_u",
-        "dup_graph_kcore",
-        "dup_graph_reachability",
-        "distinct_hll_rollup",
-        "lateral_topk_per_nation",
-        "gapfill_forward_fill",
-        "stream_static_enrich",
+    # Round-9 contract (r7 verdict items #1/#2): the sampled window
+    # carries (a) the ONE new query — the 100 TB containment sketch,
+    # which needs its first driver row — and (b) every query whose
+    # latest driver row predates the b9df45a rounding conversion
+    # (r4-or-earlier rows: llm/relational/scalars/temporal bodies plus
+    # the scale-module head). After this window the ledger's only
+    # pre-conversion rows are the 7 pins-in-waiting at positions 51+.
+    window = (
+        "neardup_containment_sketch",
+        # llm (20)
+        "neardup_minhash_lsh",
+        "neardup_simhash",
+        "knn_cosine_bruteforce",
+        "ann_cosine_lsh",
+        "neardup_embedding_cosine",
+        "doc_token_stats",
+        "doc_token_counts_bpe",
+        "doc_quality_score",
+        "lang_id_lexicon",
+        "tfidf_top_terms",
+        "doc_fingerprint_minhash",
+        "multimodal_extract",
+        "multimodal_frame_sample",
+        "sample_stratified_hash",
+        "doc_unigram_nll",
+        "mixture_language_sampling",
+        "dedup_connected_components",
+        "doc_repetition_ratios",
+        "contamination_ngram_overlap",
+        "pipeline_curate",
+        # relational (14)
+        "filter_predicates",
+        "agg_count_distinct",
+        "join_orders_customer",
+        "join_left_with_nulls",
+        "join_full_outer",
+        "join_broadcast_dims_revenue",
+        "semi_join_customers",
+        "anti_join_customers",
+        "topk_orders_global",
+        "topk_per_group",
+        "set_ops_custkeys",
+        "pandas_grouped_agg",
+        "pandas_grouped_map_zscore",
+        "scalar_subquery_orders",
+        # scalars (11)
+        "datetime_functions",
+        "array_functions",
+        "json_functions",
+        "json_agg_by_key",
+        "json_structured",
+        "map_functions",
+        "pandas_scalar_textfeat",
+        "udtf_word_bigrams",
+        "variant_json_path",
+        "null_conditional_functions",
+        "bitwise_functions",
+        # temporal (2)
+        "session_window_events",
+        "stream_stream_join_events",
+        # scale head (1) — fills position 50 exactly
+        "join_salted_skew",
     )
-    for q in backlog + (
-        "grouping_sets_events",
-        "scan_filter_project",
-        "agg_pricing_summary",
-        "string_functions",
-        "math_functions",
-        "tumbling_window_events",
-        "sliding_window_events",
-        "dedup_exact_documents",
-        "neardup_ngram_jaccard",
-    ):
+    assert len(window) == 49  # + flagship = the 50-query sample
+    for q in window:
         assert names.index(q) < 50, f"{q} outside sampled prefix"
-    # Overflow past the window continues the post-b9df45a re-record
-    # debt (relational module next), so a driver sampling >50 helps.
-    assert names[50] in ("filter_predicates", "agg_count_distinct")
+    # Positions 51+ queue the pre-conversion remainder as the r9 prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "scd2_customer_history",
+        "funnel_conversion",
+        "cohort_retention",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_supply",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
+    )
+    for i, q in enumerate(overflow):
+        assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
 
 
-def test_promote_unknown_pin_fails_loudly():
-    """A typo'd pin must raise, not silently sample the wrong queries."""
-    snapshot = list(_REGISTRY.items())
-    try:
-        with pytest.raises(KeyError, match="no_such_query"):
-            promote(("flagship",), pin_first=("no_such_query",))
-    finally:
-        _REGISTRY.clear()
-        _REGISTRY.update(snapshot)
-
-
-def test_promote_is_stable_and_lossless():
-    """Re-promoting reorders but never adds/drops registrations, and
-    in-module relative order is preserved for unpinned queries."""
-    snapshot = list(_REGISTRY.items())
-    before = set(_REGISTRY)
-    try:
-        promote(("llm", "flagship"), pin_first=("flagship_sma_5row",))
-        assert set(_REGISTRY) == before
-        names = list(_REGISTRY)
-        assert names[0] == "flagship_sma_5row"
-        llm_names = [
-            n for n, s in _REGISTRY.items()
-            if s.fn.__module__.endswith(".llm")
-        ]
-        orig_llm = [
-            n for n, s in snapshot if s.fn.__module__.endswith(".llm")
-        ]
-        assert llm_names == orig_llm  # stable within module
-    finally:
-        _REGISTRY.clear()
-        _REGISTRY.update(snapshot)
+def test_promote_rejects_unknown_pin():
+    with pytest.raises(KeyError):
+        promote((), pin_first=("not_a_query",))
