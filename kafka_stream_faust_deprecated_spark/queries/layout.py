@@ -675,21 +675,27 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     (dominant-direction removal is the standard fix for anisotropic
     embedding spaces).
 
-    Iterative-algorithm pattern, same as kmeans_train_3iter: driver
-    state is the dim-length direction vector (a few hundred bytes)
-    pulled per iteration; each iteration is ONE corpus scan — the
-    per-row dot product against the literal v rides codegen, and the
-    component sums are a posexplode + 64-group aggregate with map-side
-    combine. Cross-engine determinism via the repo's rounding contract:
-    component sums and the normalized vector are rounded to 6 decimals
-    each iteration in BOTH engines (and the driver-side normalize uses
-    the same floor(x*s+0.5)/s rule — not Python banker's rounding), so
-    the chained float state can never drift apart. The oracle replays
-    the whole loop as chained CTEs.
+    Single-pass Gram form: because w = X^T(Xv) = (X^T X)v exactly (in
+    real arithmetic), the corpus is scanned ONCE to build the dim x dim
+    Gram matrix G — a posexplode + 64-group aggregate carrying the 64
+    per-row products, map-side combined to 64 rows x 64 sums — and all
+    {PCA_ITERS} iterations are O(dim^2) driver-side matvecs over the
+    collected G. (The r7 bench carried an unexplained 1.5x regression on
+    the per-iteration-scan form; isolated re-time confirmed ~0.8 s of
+    fixed per-job launch+exchange overhead x 3 sequential jobs, which
+    this fuses into one.) Cross-engine determinism via the repo's
+    rounding contract: the matvec result and the normalized vector are
+    rounded to 6 decimals each iteration (driver-side with the same
+    floor(x*s+0.5)/s rule — not Python banker's rounding), so chained
+    float state cannot drift; the oracle stays the mathematical spec —
+    the per-iteration row-sum loop as chained CTEs — which equals the
+    Gram form to fp noise orders of magnitude below the 6-decimal
+    contract.
 
-    100 TB shape: per-iteration driver traffic is O(dim); the corpus
-    never shuffles (posexplode feeds a 64-key partial agg); iterations
-    are strictly sequential by nature of the algorithm.
+    100 TB shape: ONE corpus scan total (previously one per iteration);
+    driver state is the O(dim^2) Gram matrix (64 KB at dim 64 — bounded
+    by the embedding width, not the corpus); the corpus never shuffles
+    (the 64-key partial agg moves 64 x 64 sums per partition).
     """
     import math as _math
 
@@ -698,20 +704,31 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         F.col("embedding").alias("x")
     )
+    g_rows = (
+        e.select(F.posexplode("x").alias("j", "xj"), "x")
+        .groupBy("j")
+        .agg(
+            *[
+                F.sum(
+                    F.col("xj").cast("double") * F.col("x")[k].cast("double")
+                ).alias(f"g{k}")
+                for k in range(EMBED_DIM)
+            ]
+        )
+        .collect()
+    )
+    G = [[0.0] * EMBED_DIM for _ in range(EMBED_DIM)]
+    for r in g_rows:
+        row = G[r["j"]]
+        for k in range(EMBED_DIM):
+            row[k] = r[f"g{k}"]
     v = _pca_v0(EMBED_DIM)
     norm = 1.0
     for _ in range(PCA_ITERS):
-        vlit = F.array(*[F.lit(c) for c in v])
-        d = e.select(F.col("x"), dot(F.col("x"), vlit).alias("d"))
-        w_rows = (
-            d.select(F.posexplode("x").alias("j", "xj"), "d")
-            .groupBy("j")
-            .agg(round_det(F.sum(F.col("xj").cast("double") * F.col("d")), 6).alias("w"))
-            .collect()
-        )
-        w = [0.0] * EMBED_DIM
-        for r in w_rows:
-            w[r["j"]] = r["w"]
+        w = [
+            _round_det_py(sum(G[j][k] * v[k] for k in range(EMBED_DIM)), 6)
+            for j in range(EMBED_DIM)
+        ]
         norm = _math.sqrt(sum(c * c for c in w))
         v = [_round_det_py(c / norm, 6) for c in w] if norm > 0 else v
     out = [(j, _round_det_py(v[j], 4), _round_det_py(norm, 4)) for j in range(EMBED_DIM)]
