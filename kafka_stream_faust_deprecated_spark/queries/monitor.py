@@ -320,7 +320,11 @@ def psi_reference_profile(
         F.col("event_type").alias("et"), F.col("value").alias("v"), "ts"
     )
     split = F.lit(f"{PSI_SPLIT} 00:00:00").cast("timestamp")
-    ref = ev.where(F.col("ts") < split)
+    # NULL values carry no bucket (batch psi_value_drift drops them via
+    # the grid join; a null comparison here would yield a null bucket
+    # key and raw[et][None] below) — filter explicitly so the frozen
+    # profile matches batch semantics on inputs WITH nulls too.
+    ref = ev.where(F.col("ts") < split).where(F.col("v").isNotNull())
     cuts_df = ref.groupBy("et").agg(
         *[
             round_det(F.percentile("v", F.lit(q)), 4).alias(f"c{i+1}")

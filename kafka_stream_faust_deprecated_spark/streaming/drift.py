@@ -97,8 +97,16 @@ def _drift_fn(cuts: dict[str, list[float]], ref_shares: dict[str, list[float]]):
             return
         for pdf in pdfs:
             for v in pdf["value"]:
-                b = 0
+                # NULL/NaN values carry no bucket — the batch
+                # psi_value_drift drops them via its grid join, so the
+                # streaming half must too (parity on null-bearing
+                # inputs; pandas surfaces SQL NULL as NaN here).
+                if v is None:
+                    continue
                 x = float(v)
+                if x != x:  # NaN (pandas' NULL representation)
+                    continue
+                b = 0
                 for c in kcuts:  # 9 rounded cuts -> bucket 1..10
                     if x > c:
                         b += 1

@@ -274,12 +274,15 @@ def main() -> None:
         b = min(samples[(q, f"{REPS}x")])
         sa = round(max(samples[(q, "1x")]) / max(a, 1e-9), 2)
         sb = round(max(samples[(q, f"{REPS}x")]) / max(b, 1e-9), 2)
+        # Generic key names: the replicated-side sample is "tN"
+        # (resolved by the top-level "reps" field), not "t8" — a 32x
+        # probe stored under "t8" misreads as an 8x figure (ADVICE r7).
         rows[q] = {
             "t1": round(a, 3),
-            "t8": round(b, 3),
+            "tN": round(b, 3),
             "ratio": round(b / a, 2),
             "spread1": sa,
-            "spread8": sb,
+            "spreadN": sb,
         }
         print(
             f"{q:34s} 1x={a:6.2f}s {REPS}x={b:6.2f}s ratio={b / a:5.2f} "

@@ -169,7 +169,9 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir, record_property):
     # rank near-orthogonal random vectors more finely); its floor is
     # looser because quantization error compounds at the smallest SF.
     floors = {
-        "ann_cosine_lsh": 0.6,
+        # measured 0.867 at both SFs every round since the 2-flip
+        # multiprobe landed; 0.8 (r7 verdict #5) catches probe-depth rot
+        "ann_cosine_lsh": 0.8,
         "ann_cosine_ivf": 0.2,
         "ann_cosine_pq": 0.1,
         # IVFPQ recall <= min(IVF, PQ): both prunings compound.

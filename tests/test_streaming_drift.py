@@ -154,6 +154,28 @@ def test_final_psi_is_split_invariant_and_matches_replay(spark, tmp_path):
         seen[r.event_type] = r.n_cmp
 
 
+def test_null_values_carry_no_bucket(spark, tmp_path):
+    """Parity on null-bearing input (ADVICE r7): batch psi_value_drift
+    drops NULL values via its grid join, so the streaming monitor must
+    neither count them in n_cmp nor bucket them (pandas surfaces the
+    SQL NULL as NaN, which would otherwise land in bucket 0)."""
+    cuts, shares = {}, {}
+    for et, vals in REF_VALUES.items():
+        cuts[et], shares[et] = _profile(vals)
+    vals = CMP_VALUES["click"]
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append(("click", v))
+        if i % 10 == 0:
+            rows.append(("click", None))
+    out = _run(
+        spark, tmp_path / "nulls", "drift_nulls", [("n.json", rows)], cuts, shares
+    )
+    fin = _final_per_key(out)
+    assert fin["click"].n_cmp == len(vals)
+    assert fin["click"].psi == _python_psi(vals, cuts["click"], shares["click"])
+
+
 def test_reference_against_itself_is_near_zero(spark, tmp_path):
     cuts, shares = {}, {}
     for et, vals in REF_VALUES.items():
