@@ -32,8 +32,9 @@ Spark 4's StatefulProcessor API exists in this build, but its streaming
 Python driver worker imports ``google.protobuf``, which is not
 installed in this environment (probed: the worker crashes with
 ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
-during runner initialization; re-probed 2026-08-15 — ``import
-google.protobuf`` still raises ModuleNotFoundError, gate stands). The GroupState API below has no such
+during runner initialization; re-probed 2026-08-15, twice — ``import
+google.protobuf`` still raises ModuleNotFoundError in both the r9 and
+r10 builder sessions, gate stands). The GroupState API below has no such
 dependency; porting this function to a StatefulProcessor is mechanical
 (the state tuple becomes a ValueState, the loop body is unchanged).
 
