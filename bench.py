@@ -122,6 +122,7 @@ HEADLINE = (
     "ann_cosine_ivfpq",
     "doc_perplexity_bigram",
     "neardup_shingle_containment",
+    "neardup_containment_sketch",
     "pmi_token_cooccurrence",
     "token_zipf_slope",
     "embedding_norm_outliers",
