@@ -123,6 +123,7 @@ HEADLINE = (
     "doc_perplexity_bigram",
     "neardup_shingle_containment",
     "neardup_containment_sketch",
+    "dedup_repeated_spans",
     "pmi_token_cooccurrence",
     "token_zipf_slope",
     "embedding_norm_outliers",

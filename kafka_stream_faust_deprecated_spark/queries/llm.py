@@ -2664,3 +2664,139 @@ def _curate_audit(tok: DataFrame) -> DataFrame:
             (lang_ok & qual_ok & tok_ok & cont_ok & is_canon).alias("retained"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_spans — exact-substring (span-level) dedup, Lee et al. style
+# ---------------------------------------------------------------------------
+
+#: Rolling-window width in tokens: a span is "repeated" when a full
+#: W-token window of it recurs verbatim in another document. 16 tokens
+#: is the smallest width at which verbatim recurrence is essentially
+#: never coincidental prose (Lee et al., "Deduplicating Training Data
+#: Makes Language Models Better", uses 50 BPE tokens on web scale; the
+#: fixture docs are short, so the same mechanism is exercised at 16).
+SPAN_W = 16
+
+
+def _repeated_spans_oracle() -> str:
+    w = SPAN_W
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split({SQL_NORM}, ' ') AS tk FROM documents
+),
+w AS (
+    SELECT doc_id,
+           unnest(range(1, len(tk) - {w} + 2)) AS pos,
+           unnest(list_transform(range(1, len(tk) - {w} + 2),
+                  i -> md5(array_to_string(tk[i:i+{w - 1}], ' ')))) AS h
+    FROM t WHERE len(tk) >= {w}
+),
+rep AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, pos FROM w JOIN rep USING (h)),
+isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN pos - prev <= {w} THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hit
+    )
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {w} - 1)::BIGINT AS span_end,
+       (max(pos) + {w} - min(pos))::BIGINT AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("dedup_repeated_spans", oracle=_repeated_spans_oracle(), tags=("E23",))
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022): emit, per
+    document, the maximal token intervals every full {SPAN_W}-token
+    window of which recurs verbatim in ANOTHER document — the byte
+    ranges a training-data pipeline CUTS, as opposed to the documents
+    it drops. This is the dedup case document-level detectors
+    (exact hash, MinHash, containment) cannot express: two long
+    documents sharing one quoted paragraph are not duplicates by any
+    whole-document measure, but the paragraph itself must still be
+    deduplicated before training.
+
+    Mechanism: rolling md5 fingerprints of every {SPAN_W}-token window
+    (the distributed stand-in for Lee et al.'s suffix array — a
+    fingerprint index finds fixed-width repeats; maximal repeats fall
+    out of merging overlapping repeated windows), a fingerprint is
+    "repeated" when seen in >= 2 DISTINCT documents, and per document
+    the surviving window positions are merged into maximal islands
+    (gap > {SPAN_W} starts a new span, since a window covers
+    [pos, pos + {SPAN_W} - 1]).
+
+    Scale shape: ONE tokenize scan; the window explode is bounded by
+    tokens-per-doc; the repeated-fingerprint relation is a
+    fingerprint-keyed count-distinct (map-side combined — at 100 TB
+    this IS the persisted substring index); survivors come back via
+    one fingerprint-keyed semi-join; the island merge runs two window
+    functions partitioned on doc_id over the doc's OWN repeated
+    positions (bounded by its token count — own-rows, not join
+    fan-out; the filter-join against the distinct repeated set never
+    multiplies rows). The tiny span inventory is localCheckpointed
+    eagerly so the corpus-sized cache releases on return. Nothing
+    self-joins; nothing is all-pairs; the output is the span
+    inventory, linear in corpus repetition."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk")).where(
+        F.size("tk") >= SPAN_W
+    )
+    # Window fingerprints as ONE array projection over the bound token
+    # column (same HOF-rebinding care as _doc_shingles), then a bounded
+    # explode to (doc_id, pos, h) — persisted, because BOTH the
+    # repeated-set aggregate and the probe side read it (without the
+    # cache Catalyst tokenizes + fingerprints the corpus once per
+    # branch; at 100 TB the persisted relation is the substring index).
+    wins = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(SPAN_W - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("tk"), i, SPAN_W))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.h")
+        .persist()
+    )
+    try:
+        rep = (
+            wins.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2)
+            .select("h")
+        )
+        hit = wins.join(rep, "h").select("doc_id", "pos")
+        byp = Window.partitionBy("doc_id").orderBy("pos")
+        isl = hit.withColumn("prev", F.lag("pos").over(byp)).withColumn(
+            "island",
+            F.sum(
+                F.when(F.col("pos") - F.col("prev") <= SPAN_W, 0).otherwise(1)
+            ).over(byp),
+        )
+        result = (
+            isl.groupBy("doc_id", "island")
+            .agg(
+                F.min("pos").cast("long").alias("span_start"),
+                (F.max("pos") + (SPAN_W - 1)).cast("long").alias("span_end"),
+                (F.max("pos") + SPAN_W - F.min("pos")).cast("long").alias("span_len"),
+            )
+            .select("doc_id", "span_start", "span_end", "span_len")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        wins.unpersist()

@@ -66,6 +66,46 @@ def test_containment_sketch_matches_exact(spark, sf_dir):
     assert sketch == exact
 
 
+def test_repeated_spans_exact_boundaries(spark, tmp_path):
+    """Planted-span golden: two long documents share one verbatim
+    24-token paragraph at DIFFERENT offsets; the span detector must
+    emit exactly that interval in each doc (merged across the 9
+    overlapping 16-token windows), and a third document with no
+    16-token overlap must emit nothing."""
+    import pandas as pd
+
+    from kafka_stream_faust_deprecated_spark.queries.llm import (
+        SPAN_W,
+        dedup_repeated_spans,
+    )
+
+    para = " ".join(f"p{i}" for i in range(24))  # the shared paragraph
+    a_pre = " ".join(f"a{i}" for i in range(10))
+    a_post = " ".join(f"z{i}" for i in range(8))
+    b_pre = " ".join(f"b{i}" for i in range(30))
+    docs = [
+        (1, f"{a_pre} {para} {a_post}"),  # para at tokens 11..34
+        (2, f"{b_pre} {para}"),  # para at tokens 31..54
+        (3, " ".join(f"c{i}" for i in range(40))),  # unique content
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup_repeated_spans(spark, str(tmp_path)).collect()
+    }
+    assert SPAN_W == 16  # boundary math below assumes it
+    # 24 shared tokens -> windows at 9 consecutive positions -> ONE
+    # merged island covering exactly the paragraph.
+    assert rows[1] == (11, 34, 24)
+    assert rows[2] == (31, 54, 24)
+    assert 3 not in rows
+
+
 def test_containment_sketch_df_cap_and_grey_zone(spark, tmp_path):
     """Exercises the two paths the fixtures can't reach: (a) the
     bucket-side document-frequency cap — a boilerplate shingle present
