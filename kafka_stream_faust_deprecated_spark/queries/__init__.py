@@ -161,5 +161,8 @@ _promote(
         "tpch_q20_excess_supply",
         "tpch_q21_waiting_supplier",
         "tpch_q22_global_sales_opportunity",
+        # NEW this round, added after the window was full — next in
+        # line behind the pre-conversion remainder
+        "dedup_repeated_spans",
     ),
 )

@@ -89,6 +89,7 @@ def test_round9_pins_lead_registration_order():
         "tpch_q20_excess_supply",
         "tpch_q21_waiting_supplier",
         "tpch_q22_global_sales_opportunity",
+        "dedup_repeated_spans",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
