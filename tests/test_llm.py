@@ -70,8 +70,10 @@ def test_repeated_spans_exact_boundaries(spark, tmp_path):
     """Planted-span golden: two long documents share one verbatim
     24-token paragraph at DIFFERENT offsets; the span detector must
     emit exactly that interval in each doc (merged across the 9
-    overlapping 16-token windows), and a third document with no
-    16-token overlap must emit nothing."""
+    overlapping 16-token windows); a third document with no 16-token
+    overlap must emit nothing; and a fourth document repeating its OWN
+    20-token paragraph (the within-doc case, r8 verdict #3) must emit
+    both occurrences as separate islands with no other doc involved."""
     import pandas as pd
 
     from kafka_stream_faust_deprecated_spark.queries.llm import (
@@ -83,10 +85,13 @@ def test_repeated_spans_exact_boundaries(spark, tmp_path):
     a_pre = " ".join(f"a{i}" for i in range(10))
     a_post = " ".join(f"z{i}" for i in range(8))
     b_pre = " ".join(f"b{i}" for i in range(30))
+    self_para = " ".join(f"q{i}" for i in range(20))  # doc 4's own repeat
+    d_mid = " ".join(f"d{i}" for i in range(10))
     docs = [
         (1, f"{a_pre} {para} {a_post}"),  # para at tokens 11..34
         (2, f"{b_pre} {para}"),  # para at tokens 31..54
         (3, " ".join(f"c{i}" for i in range(40))),  # unique content
+        (4, f"{self_para} {d_mid} {self_para}"),  # self-repeat at 1..20, 31..50
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
     pdf["lang"] = "en"
@@ -94,26 +99,32 @@ def test_repeated_spans_exact_boundaries(spark, tmp_path):
     pdf["n_chars"] = pdf["text"].str.len()
     pdf.to_parquet(tmp_path / "documents.parquet", index=False)
 
-    rows = {
-        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
-        for r in dedup_repeated_spans(spark, str(tmp_path)).collect()
-    }
+    out = dedup_repeated_spans(spark, str(tmp_path)).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
     assert SPAN_W == 16  # boundary math below assumes it
     # 24 shared tokens -> windows at 9 consecutive positions -> ONE
     # merged island covering exactly the paragraph.
-    assert rows[1] == (11, 34, 24)
-    assert rows[2] == (31, 54, 24)
-    assert 3 not in rows
+    assert spans[1] == {(11, 34, 24)}
+    assert spans[2] == {(31, 54, 24)}
+    assert 3 not in spans
+    # Within-doc repeat: 20-token paragraph -> windows at 5 consecutive
+    # positions per occurrence; the 26-position gap (> SPAN_W) keeps
+    # the two occurrences as separate islands covering each exactly.
+    assert spans[4] == {(1, 20, 20), (31, 50, 20)}
 
 
 def test_containment_sketch_df_cap_and_grey_zone(spark, tmp_path):
     """Exercises the two paths the fixtures can't reach: (a) the
-    bucket-side document-frequency cap — a boilerplate shingle present
-    in > CONTAIN_DF_CAP docs is dropped from the probed side without
-    costing recall on rare-shingle-supported pairs; (b) a grey-zone
-    pair at containment ~0.67 (just above the 0.6 threshold, far from
-    the fixtures' all-1.0 pairs) still clears the CONTAIN_CAND_MIN
-    sampling floor."""
+    probe-side document-frequency soft cap — a boilerplate shingle
+    present in > CONTAIN_DF_CAP DISTINCT sets keeps only a hash sample
+    of its probe rows, without costing recall on rare-shingle-supported
+    pairs; (b) a grey-zone pair at containment ~0.7 (just above the 0.6
+    threshold, far from the fixtures' all-1.0 pairs) still clears the
+    CONTAIN_CAND_MIN sampling floor."""
     import pandas as pd
 
     from kafka_stream_faust_deprecated_spark.queries.extras import (
@@ -167,9 +178,69 @@ def test_containment_sketch_df_cap_and_grey_zone(spark, tmp_path):
     }
     assert (1000, 1001) in sketch and sketch[(1000, 1001)][0] == 1.0
     assert (1002, 1003) in sketch and sketch[(1002, 1003)][0] == 0.7
-    # No hot-boilerplate pair qualifies (by construction), so dropping
-    # capped shingles from the probe side costs nothing here — the
-    # sketch still reproduces the exact baseline.
+    # No hot-boilerplate pair qualifies (by construction), so the soft
+    # cap on residual-hot shingles costs nothing here — the sketch
+    # still reproduces the exact baseline.
+    assert sketch == exact
+
+
+def test_containment_sketch_hot_exact_cluster_collapse(spark, tmp_path):
+    """The r8-advice blind spot, pinned: content duplicated VERBATIM
+    across > CONTAIN_DF_CAP documents makes every one of its shingles
+    hot, so pairs supported ONLY by those shingles produced zero
+    candidate hits under the old hard drop. The exact-set collapse
+    fixes this structurally: identical shingle sets fold to one
+    representative BEFORE df is counted, so (a) all intra-cluster
+    pairs emit at containment 1.0 with no join at all, and (b) a small
+    doc fully contained in the cluster text is found via the now-cold
+    (df counted over distinct sets = 2) shingles. Sketch must equal
+    the exact baseline on the FULL pair set."""
+    import pandas as pd
+
+    from kafka_stream_faust_deprecated_spark.queries.extras import (
+        CONTAIN_DF_CAP,
+        neardup_containment_sketch,
+        neardup_shingle_containment,
+    )
+    from kafka_stream_faust_deprecated_spark.queries.llm import _doc_shingles
+
+    n_cluster = CONTAIN_DF_CAP + 36  # 100 identical docs
+    cluster_text = (
+        "terms of service apply to all users of the platform without exception"
+    )
+    docs = [(i, cluster_text) for i in range(n_cluster)]
+    # A small doc whose shingles are ALL shared with the hot cluster —
+    # the exact pair the old hard cap silently missed.
+    docs.append((5000, "terms of service apply to all users"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf_dir = str(tmp_path)
+
+    # Per-document df really exceeds the cap (the old-code blind spot).
+    hot = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("s")
+        .count()
+        .where("s = 'terms of service'")
+        .collect()
+    )
+    assert hot and hot[0]["count"] > CONTAIN_DF_CAP
+
+    exact = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"], r["jac"])
+        for r in neardup_shingle_containment(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"], r["jac"])
+        for r in neardup_containment_sketch(spark, sf_dir).collect()
+    }
+    # All C(n,2) intra-cluster pairs + n cross pairs with the small doc.
+    assert len(exact) == n_cluster * (n_cluster - 1) // 2 + n_cluster
+    assert (0, 5000) in sketch and sketch[(0, 5000)][1] == 1.0  # small side
+    assert sketch[(0, 1)] == (1.0, 1.0, 1.0)
     assert sketch == exact
 
 

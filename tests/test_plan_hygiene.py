@@ -310,3 +310,29 @@ def test_whitelists_are_not_stale(plans):
         assert name in plans and any(
             f"hashpartitioning({rid}#" in plans[name] for rid in CORPUS_ROW_IDS
         ), name
+
+
+def test_no_forced_broadcast_of_candidate_relations():
+    """r8 verdict #2: candidate-pair relations produced by LSH/sketch
+    candidate generation grow with corpus duplication — at 100 TB with
+    heavy boilerplate a FORCED broadcast of one is the failure mode a
+    dedup pass must not have. The verify stages leave the strategy to
+    AQE (which broadcasts iff the relation is actually small). Enforce
+    mechanically: no query module may hint-broadcast a relation bound
+    to a candidate/pair/member name."""
+    import pathlib
+    import re
+
+    import kafka_stream_faust_deprecated_spark.queries as qpkg
+
+    qdir = pathlib.Path(qpkg.__file__).parent
+    pat = re.compile(r"F\.broadcast\(\s*(cand|pairs|members|dup_members)\b")
+    offenders = [
+        f"{p.name}:{i}"
+        for p in sorted(qdir.glob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if pat.search(line)
+    ]
+    assert not offenders, (
+        f"forced broadcast of a corpus-growing candidate relation: {offenders}"
+    )
