@@ -625,6 +625,17 @@ def _pca_v0(dim: int) -> list[float]:
     return [_round_det_py(1.0 / _math.sqrt(dim), 6)] * dim
 
 
+#: Decimals the dim x dim Gram matrix is rounded to ON BOTH SIDES
+#: before the iteration chain starts. The chain then consumes bit-
+#: identical inputs in both engines, so cross-engine fp-summation-order
+#: noise can only enter through the G sums themselves — where a 1e-4
+#: rounding step dwarfs the ~1e-11 order noise of a distributed double
+#: sum (the r8-advice flake: rounding only the per-iteration w left the
+#: two engines summing DIFFERENT spellings — row-sum replay vs Gram
+#: matvec — of every chained quantity).
+PCA_G_DECIMALS = 4
+
+
 def _pca_oracle() -> str:
     from kafka_stream_faust_deprecated_spark.queries.llm import EMBED_DIM
 
@@ -637,18 +648,20 @@ def _pca_oracle() -> str:
     chain = [
         f"js AS (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS j)",
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        # The SAME rounded Gram matrix the Spark side collects: G is the
+        # only corpus-sized sum, rounded at PCA_G_DECIMALS on both sides
+        # so the iteration chain below starts from identical state.
+        "g AS (SELECT a.j AS j, b.j AS k, "
+        + sql_round_det("sum(x[a.j + 1] * x[b.j + 1])", PCA_G_DECIMALS)
+        + " AS g FROM e CROSS JOIN js a CROSS JOIN js b GROUP BY 1, 2)",
         f"v0 AS ({v0_sql})",
     ]
     prev = "v0"
     for it in range(1, PCA_ITERS + 1):
         chain.append(
-            f"d{it} AS (SELECT x, list_dot_product(x, "
-            f"(SELECT list(vj ORDER BY j) FROM {prev})) AS d FROM e)"
-        )
-        chain.append(
-            f"w{it} AS (SELECT j, "
-            + sql_round_det("sum(x[j + 1] * d)", 6)
-            + f" AS w FROM d{it} CROSS JOIN js GROUP BY j)"
+            f"w{it} AS (SELECT g.j, "
+            + sql_round_det("sum(g.g * v.vj)", 6)
+            + f" AS w FROM g JOIN {prev} v ON g.k = v.j GROUP BY g.j)"
         )
         chain.append(
             f"v{it} AS (SELECT j, "
@@ -684,13 +697,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     the per-iteration-scan form; isolated re-time confirmed ~0.8 s of
     fixed per-job launch+exchange overhead x 3 sequential jobs, which
     this fuses into one.) Cross-engine determinism via the repo's
-    rounding contract: the matvec result and the normalized vector are
+    rounding contract, hardened per the r8 advice: G's entries are
+    rounded to {PCA_G_DECIMALS} decimals ON BOTH SIDES (the oracle now
+    builds the same rounded Gram CTE instead of replaying per-iteration
+    row sums), so the iteration chain consumes bit-identical inputs in
+    both engines; the matvec result and the normalized vector are then
     rounded to 6 decimals each iteration (driver-side with the same
-    floor(x*s+0.5)/s rule — not Python banker's rounding), so chained
-    float state cannot drift; the oracle stays the mathematical spec —
-    the per-iteration row-sum loop as chained CTEs — which equals the
-    Gram form to fp noise orders of magnitude below the 6-decimal
-    contract.
+    floor(x*s+0.5)/s rule — not Python banker's rounding), closing the
+    summation-order flake the old different-spelling oracle carried.
 
     100 TB shape: ONE corpus scan total (previously one per iteration);
     driver state is the O(dim^2) Gram matrix (64 KB at dim 64 — bounded
@@ -709,8 +723,11 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("j")
         .agg(
             *[
-                F.sum(
-                    F.col("xj").cast("double") * F.col("x")[k].cast("double")
+                round_det(
+                    F.sum(
+                        F.col("xj").cast("double") * F.col("x")[k].cast("double")
+                    ),
+                    PCA_G_DECIMALS,
                 ).alias(f"g{k}")
                 for k in range(EMBED_DIM)
             ]
