@@ -60,100 +60,43 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-9 prefix: CORRECTNESS_r07 landed 49/50 green + 1 rows-only-by-
-# design on the previous prefix, clearing the never-sampled backlog.
-# This round finishes the r7-verdict #1 item — the post-b9df45a
-# (round-5 rounding conversion) driver re-record: EVERY query whose
-# latest driver row predates the conversion (r4 or earlier — the
-# remaining relational/scalars/temporal/llm bodies beyond the 8 heads
-# r7 re-recorded, plus the scale-module head) rotates into the sampled
-# window now; the 7 that don't fit (scale tail + tpch q19-q22, r4
-# rows) are pinned IMMEDIATELY after position 50 so they form the r9
-# prefix (or get covered if the driver samples deeper). Slot 2 goes to
-# the ONE new query this round, neardup_containment_sketch — the
-# verdict-#2-mandated 100 TB containment path, which needs its first
-# driver row. After this window, every green row in the ledger except
-# those 7 pins-in-waiting is post-conversion current-code.
+# Round-10 prefix (r8 verdict #1): CORRECTNESS_r08 landed 50/50
+# hash-green, so the ledger's only gaps are (a) dedup_repeated_spans —
+# brand-new last round, never driver-sampled — and (b) the 7 queries
+# whose latest rows predate the b9df45a rounding conversion (r4:
+# scd2/funnel/cohort + tpch q19-q22), queued at positions 51+ last
+# round exactly so they lead this window. Slots 2-10 carry those 8.
+# Slots 11-12 re-sample the two operators MODIFIED this round
+# (neardup_containment_sketch: verify-broadcast de-risk + hot-shingle
+# cap fix; embedding_pca_power_iteration: Gram rounding mirrored into
+# the oracle) so their changed code gets a fresh driver row. The
+# remaining ~38 slots rotate in the stalest green rows (the r5 cohort:
+# tpch q2-q18 + the analytic/curation bodies). After this window every
+# registry query has a driver row and no green row is older than r5.
 _promote(
     (
         "flagship",
-        "scale",
         "tpch",
-        "llm",
-        "relational",
-        "scalars",
-        "temporal",
         "analytic",
-        "extras",
-        "layout",
         "curation",
+        "layout",
+        "extras",
+        "llm",
         "mining",
         "ticker",
         "audit",
         "monitor",
         "inference",
         "robust",
+        "relational",
+        "scalars",
+        "temporal",
+        "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
-        # NEW this round (r7 verdict #2): the one-sided MinHash
-        # containment sketch — first driver row
-        "neardup_containment_sketch",
-        # llm module, driver rows r1-r4 only (pre-conversion)
-        "neardup_minhash_lsh",
-        "neardup_simhash",
-        "knn_cosine_bruteforce",
-        "ann_cosine_lsh",
-        "neardup_embedding_cosine",
-        "doc_token_stats",
-        "doc_token_counts_bpe",
-        "doc_quality_score",
-        "lang_id_lexicon",
-        "tfidf_top_terms",
-        "doc_fingerprint_minhash",
-        "multimodal_extract",
-        "multimodal_frame_sample",
-        "sample_stratified_hash",
-        "doc_unigram_nll",
-        "mixture_language_sampling",
-        "dedup_connected_components",
-        "doc_repetition_ratios",
-        "contamination_ngram_overlap",
-        "pipeline_curate",
-        # relational module, driver rows r1-r4 only
-        "filter_predicates",
-        "agg_count_distinct",
-        "join_orders_customer",
-        "join_left_with_nulls",
-        "join_full_outer",
-        "join_broadcast_dims_revenue",
-        "semi_join_customers",
-        "anti_join_customers",
-        "topk_orders_global",
-        "topk_per_group",
-        "set_ops_custkeys",
-        "pandas_grouped_agg",
-        "pandas_grouped_map_zscore",
-        "scalar_subquery_orders",
-        # scalars module, driver rows r1-r4 only
-        "datetime_functions",
-        "array_functions",
-        "json_functions",
-        "json_agg_by_key",
-        "json_structured",
-        "map_functions",
-        "pandas_scalar_textfeat",
-        "udtf_word_bigrams",
-        "variant_json_path",
-        "null_conditional_functions",
-        "bitwise_functions",
-        # temporal module, driver rows r1-r4 only
-        "session_window_events",
-        "stream_stream_join_events",
-        # scale module head, driver row r4 only — position 50
-        "join_salted_skew",
-        # ---- position 51+ : the pre-conversion remainder that doesn't
-        # fit the ~50-query window — first in line for the r9 prefix
+        # --- the 8-query r9 queue: first driver row / pre-conversion ---
+        "dedup_repeated_spans",
         "scd2_customer_history",
         "funnel_conversion",
         "cohort_retention",
@@ -161,8 +104,58 @@ _promote(
         "tpch_q20_excess_supply",
         "tpch_q21_waiting_supplier",
         "tpch_q22_global_sales_opportunity",
-        # NEW this round, added after the window was full — next in
-        # line behind the pre-conversion remainder
-        "dedup_repeated_spans",
+        # --- modified this round: re-confirm under the new code ---
+        "neardup_containment_sketch",
+        "embedding_pca_power_iteration",
+        # --- r5 cohort (stalest green rows): tpch q2-q18 ---
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_parts",
+        "tpch_q12_late_shipment_priority",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        # --- r5 cohort: analytic bodies ---
+        "window_ranking",
+        "window_lag_lead",
+        "window_frames",
+        "rollup_revenue",
+        "cube_order_stats",
+        "range_join_price_bands",
+        "interval_join_events",
+        "asof_join_signup",
+        "dedup_latest_event",
+        "percentile_summary",
+        "pivot_status_revenue",
+        "unpivot_pricing_metrics",
+        "stats_moments",
+        "price_histogram",
+        "dedup_exact_keep_best",
+        # --- r5 cohort: curation/layout/mining bodies ---
+        "events_dau_wau",
+        "customer_rfm_segments",
+        "dedup_cluster_size_histogram",
+        "doc_pack_token_budget",
+        "embedding_quantize_int8",
+        "doc_chunk_overlap",
+        # position 50 — last slot inside the sampled window
+        "dsir_importance_weights",
+        # ---- position 51+ : the r5-cohort remainder that doesn't fit
+        # the ~50-query window — first in line for the r10 prefix
+        "pipeline_prepare_training",
+        "event_transition_matrix",
+        "source_shingle_overlap",
+        "corpus_datacard",
+        "dup_graph_pagerank",
     ),
 )

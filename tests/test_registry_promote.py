@@ -10,78 +10,15 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round9_pins_lead_registration_order():
+def test_round10_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-9 contract (r7 verdict items #1/#2): the sampled window
-    # carries (a) the ONE new query — the 100 TB containment sketch,
-    # which needs its first driver row — and (b) every query whose
-    # latest driver row predates the b9df45a rounding conversion
-    # (r4-or-earlier rows: llm/relational/scalars/temporal bodies plus
-    # the scale-module head). After this window the ledger's only
-    # pre-conversion rows are the 7 pins-in-waiting at positions 51+.
-    window = (
-        "neardup_containment_sketch",
-        # llm (20)
-        "neardup_minhash_lsh",
-        "neardup_simhash",
-        "knn_cosine_bruteforce",
-        "ann_cosine_lsh",
-        "neardup_embedding_cosine",
-        "doc_token_stats",
-        "doc_token_counts_bpe",
-        "doc_quality_score",
-        "lang_id_lexicon",
-        "tfidf_top_terms",
-        "doc_fingerprint_minhash",
-        "multimodal_extract",
-        "multimodal_frame_sample",
-        "sample_stratified_hash",
-        "doc_unigram_nll",
-        "mixture_language_sampling",
-        "dedup_connected_components",
-        "doc_repetition_ratios",
-        "contamination_ngram_overlap",
-        "pipeline_curate",
-        # relational (14)
-        "filter_predicates",
-        "agg_count_distinct",
-        "join_orders_customer",
-        "join_left_with_nulls",
-        "join_full_outer",
-        "join_broadcast_dims_revenue",
-        "semi_join_customers",
-        "anti_join_customers",
-        "topk_orders_global",
-        "topk_per_group",
-        "set_ops_custkeys",
-        "pandas_grouped_agg",
-        "pandas_grouped_map_zscore",
-        "scalar_subquery_orders",
-        # scalars (11)
-        "datetime_functions",
-        "array_functions",
-        "json_functions",
-        "json_agg_by_key",
-        "json_structured",
-        "map_functions",
-        "pandas_scalar_textfeat",
-        "udtf_word_bigrams",
-        "variant_json_path",
-        "null_conditional_functions",
-        "bitwise_functions",
-        # temporal (2)
-        "session_window_events",
-        "stream_stream_join_events",
-        # scale head (1) — fills position 50 exactly
-        "join_salted_skew",
-    )
-    assert len(window) == 49  # + flagship = the 50-query sample
-    for q in window:
-        assert names.index(q) < 50, f"{q} outside sampled prefix"
-    # Positions 51+ queue the pre-conversion remainder as the r9 prefix
-    # (covered this round only if the driver samples deeper than 50).
-    overflow = (
+    # Round-10 contract (r8 verdict #1): the sampled window leads with
+    # the 8-query r9 queue — dedup_repeated_spans' FIRST driver row plus
+    # the 7 pre-b9df45a r4 rows — then the two operators modified this
+    # round (containment sketch, PCA), then the stalest (r5) cohort.
+    queue = (
+        "dedup_repeated_spans",
         "scd2_customer_history",
         "funnel_conversion",
         "cohort_retention",
@@ -89,7 +26,65 @@ def test_round9_pins_lead_registration_order():
         "tpch_q20_excess_supply",
         "tpch_q21_waiting_supplier",
         "tpch_q22_global_sales_opportunity",
-        "dedup_repeated_spans",
+    )
+    for i, q in enumerate(queue):
+        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
+    modified = ("neardup_containment_sketch", "embedding_pca_power_iteration")
+    for i, q in enumerate(modified):
+        assert names.index(q) == 9 + i, f"{q} not at position {9 + i}"
+    # The r5 cohort fills the rest of the 50-query window.
+    r5_fill = (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_parts",
+        "tpch_q12_late_shipment_priority",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "window_ranking",
+        "window_lag_lead",
+        "window_frames",
+        "rollup_revenue",
+        "cube_order_stats",
+        "range_join_price_bands",
+        "interval_join_events",
+        "asof_join_signup",
+        "dedup_latest_event",
+        "percentile_summary",
+        "pivot_status_revenue",
+        "unpivot_pricing_metrics",
+        "stats_moments",
+        "price_histogram",
+        "dedup_exact_keep_best",
+        "events_dau_wau",
+        "customer_rfm_segments",
+        "dedup_cluster_size_histogram",
+        "doc_pack_token_budget",
+        "embedding_quantize_int8",
+        "doc_chunk_overlap",
+        "dsir_importance_weights",
+    )
+    assert 1 + len(queue) + len(modified) + len(r5_fill) == 50
+    for q in r5_fill:
+        assert names.index(q) < 50, f"{q} outside sampled prefix"
+    # Positions 51+ queue the r5-cohort remainder as the r10 prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "pipeline_prepare_training",
+        "event_transition_matrix",
+        "source_shingle_overlap",
+        "corpus_datacard",
+        "dup_graph_pagerank",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
@@ -98,3 +93,42 @@ def test_round9_pins_lead_registration_order():
 def test_promote_rejects_unknown_pin():
     with pytest.raises(KeyError):
         promote((), pin_first=("not_a_query",))
+
+
+def test_promote_is_stable_and_lossless():
+    """promote() must never add/drop registrations and must preserve
+    in-module relative order — the invariant the pin rotation in
+    queries/__init__.py leans on every round."""
+    before = dict(_REGISTRY)  # snapshot (name -> entry), insertion-ordered
+    try:
+        # Re-promote with a different module order and a couple of pins.
+        promote(
+            ("scalars", "relational"),
+            pin_first=("datetime_functions", "filter_predicates"),
+        )
+        after = dict(_REGISTRY)
+        # Lossless: exact same key set, exact same entry objects.
+        assert set(after) == set(before)
+        for k in before:
+            assert after[k] is before[k]
+        # Pins lead, in pin order.
+        names = list(after)
+        assert names[:2] == ["datetime_functions", "filter_predicates"]
+        # Stable within a module: relative order of unpinned queries
+        # from the same module is preserved.
+        from collections import defaultdict
+
+        seq_before, seq_after = defaultdict(list), defaultdict(list)
+        pins = {"datetime_functions", "filter_predicates"}
+        for name, spec in before.items():
+            if name not in pins:
+                seq_before[spec.fn.__module__].append(name)
+        for name, spec in after.items():
+            if name not in pins:
+                seq_after[spec.fn.__module__].append(name)
+        assert seq_before == seq_after
+    finally:
+        # Restore the round-10 registration order exactly.
+        _REGISTRY.clear()
+        _REGISTRY.update(before)
+    assert list(_REGISTRY) == list(before)
