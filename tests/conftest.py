@@ -21,6 +21,19 @@ def spark():
     yield s
 
 
+@pytest.fixture(params=["rocksdb", "hdfs"])
+def state_backend(spark, request):
+    """Run a stateful-streaming test under BOTH state-store providers
+    (r8 verdict #6: the checkpoint-restart goldens pinned only the
+    rocksdb default; durability must hold for the heap-backed provider
+    too). Restores the engine default afterwards."""
+    from kafka_stream_faust_deprecated_spark.session import configure_state_store
+
+    configure_state_store(spark, request.param)
+    yield request.param
+    configure_state_store(spark, "rocksdb")
+
+
 @pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with the fixture tables pre-registered as views,

@@ -246,7 +246,7 @@ def test_final_psi_matches_batch_query_output(spark, tmp_path):
         assert fin[et].psi == b.psi, (et, fin[et].psi, b.psi)
 
 
-def test_drift_checkpoint_restart_resumes_counts(spark, tmp_path):
+def test_drift_checkpoint_restart_resumes_counts(spark, tmp_path, state_backend):
     """Durability: stop the monitor mid-stream, start a NEW query on
     the same checkpoint, feed the rest — the cumulative bucket counts
     must come back from the state store, so the final PSI equals the

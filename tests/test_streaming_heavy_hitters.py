@@ -145,7 +145,7 @@ def test_exact_regime_matches_batch_twin(spark, tmp_path):
     assert all(r[1] == 1 for r in got_rows), "single burst => episode 1"
 
 
-def test_heavy_hitters_checkpoint_restart(spark, tmp_path):
+def test_heavy_hitters_checkpoint_restart(spark, tmp_path, state_backend):
     """Durability: stop mid-burst (each user's counters half-built),
     restart a new query on the same checkpoint, feed the rest + flush —
     the emitted summaries must still be IDENTICAL to the batch twin

@@ -167,7 +167,7 @@ def test_streaming_sessions_cap_split_counts(spark, tmp_path):
     assert u1[(2, 1)]["duration_sec"] == 60
 
 
-def test_streaming_sessions_checkpoint_restart(spark, tmp_path):
+def test_streaming_sessions_checkpoint_restart(spark, tmp_path, state_backend):
     """Durability: stop the sessionizer mid-fixture — with user 1's
     second gap-session HALF-FED, the hardest state to lose — restart a
     new query on the same checkpoint, feed the rest + flush. The closed

@@ -120,7 +120,7 @@ def test_stateful_sma_idle_state_evicted(spark, tmp_path):
     )
 
 
-def test_stateful_sma_checkpoint_restart_resumes_state(spark, tmp_path):
+def test_stateful_sma_checkpoint_restart_resumes_state(spark, tmp_path, state_backend):
     """Durability (the reference's changelog-topic story, ma_agg.py:42):
     stop the query mid-stream, start a NEW query on the same checkpoint,
     feed the rest of the fixture — buffered seconds, emitted-window set,
