@@ -71,6 +71,8 @@ def main() -> None:
     for q, r in probe.items():
         tn = r.get("tN", r.get("t8"))
         sn = r.get("spreadN", r.get("spread8"))
+        if tn is None or sn is None:
+            sys.exit(f"{q}: probe row missing tN/t8 or spreadN/spread8 keys: {r}")
         p = f" ({prior[q]})" if q in prior else " (new this run)"
         rows.append(
             f"| {q} | {r['t1']:.2f} s | {tn:.2f} s | {r['ratio']:.2f}{p}"

@@ -201,6 +201,44 @@ QUERIES = (
     "lateral_topk_per_nation",
 )
 
+#: Content-similarity dedup queries (r8 verdict #5: linear-by-design
+#: claims that had no probe row). They CANNOT probe against the verbatim
+#: replica fixture — copying text verbatim makes every replica an exact
+#: duplicate of its base doc, so the OUTPUT contract itself (all
+#: duplicate pairs / all repeated spans) grows quadratically in REPS, a
+#: property of the synthetic replication, not the plans. They probe
+#: against a CONTENT-DISJOINT replica fixture instead: every token of
+#: replica r is prefixed "r{r}z", so shingles/windows are disjoint
+#: across replicas while each replica keeps the base corpus's internal
+#: duplication structure (pairs x REPS, spans x REPS — linear). The 1x
+#: baseline applies the SAME r=0 tagging so token statistics match.
+CONTENT_QUERIES = (
+    "neardup_containment_sketch",
+    "dedup_repeated_spans",
+)
+
+
+def build_content_fixture(dst: str, reps: int) -> None:
+    """documents-only fixture with per-replica token tagging (see
+    CONTENT_QUERIES). Only the tables these queries read are built."""
+    os.makedirs(dst, exist_ok=True)
+    out = os.path.join(dst, "documents.parquet")
+    if os.path.exists(out):
+        return
+    con = duckdb.connect()
+    selects = []
+    for r in range(reps):
+        tag = f"r{r}z"
+        selects.append(
+            f"SELECT doc_id + {r * OFF} AS doc_id, "
+            f"'{tag}' || replace(text, ' ', ' {tag}') AS text, "
+            f"lang, source, n_chars "
+            f"FROM read_parquet('{BASE}/documents.parquet')"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(selects)}) TO '{out}' (FORMAT PARQUET)"
+    )
+
 
 def build_fixture(dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
@@ -228,35 +266,21 @@ def build_fixture(dst: str) -> None:
         )
 
 
-def main() -> None:
-    import json
-
-    dst = sys.argv[1] if len(sys.argv) > 1 else f"/tmp/sfx{REPS}"
-    json_out = sys.argv[2] if len(sys.argv) > 2 else None
-    queries = QUERIES
-    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
-    if subset:
-        queries = tuple(q.strip() for q in subset.split(",") if q.strip())
-        unknown = [q for q in queries if q not in QUERIES]
-        assert not unknown, f"not probe-safe (see QUERIES): {unknown}"
-    build_fixture(dst)
-    spark = get_spark(app_name="scaleup-probe")
-    dirs = {"1x": BASE, f"{REPS}x": dst}
-    for d in dirs.values():
-        load_table(spark, d, "lineitem").count()
+def _probe_group(spark, queries: tuple, dirs: dict) -> dict:
+    """Round-9 methodology (the bench.py lessons applied here): the warm
+    pass also absorbs memoized index builds / codegen, 3 interleaved
+    passes instead of 2, a >1.3x-spread immediate re-sample pair, and
+    per-(query, scale) SPREAD recorded so a contaminated cell
+    self-identifies (the r8 table's kmeans 1x cell recorded the cold
+    path and tpch_q5's ratio recorded locality decay — both
+    adjudicated by isolated re-runs; see SCALE.md)."""
 
     def once(q: str, d: str) -> float:
         t0 = time.perf_counter()
         get_query(q).fn(spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Round-9 methodology (the bench.py lessons applied here): the warm
-    # pass also absorbs memoized index builds / codegen, 3 interleaved
-    # passes instead of 2, a >1.3x-spread immediate re-sample pair, and
-    # per-(query, scale) SPREAD recorded so a contaminated cell
-    # self-identifies (the r8 table's kmeans 1x cell recorded the cold
-    # path and tpch_q5's ratio recorded locality decay — both
-    # adjudicated by isolated re-runs; see SCALE.md).
+    keys = list(dirs)
     for q in queries:
         for d in dirs.values():
             once(q, d)  # warm
@@ -270,10 +294,10 @@ def main() -> None:
             s.extend(once(q, dirs[k]) for _ in range(2))
     rows = {}
     for q in queries:
-        a = min(samples[(q, "1x")])
-        b = min(samples[(q, f"{REPS}x")])
-        sa = round(max(samples[(q, "1x")]) / max(a, 1e-9), 2)
-        sb = round(max(samples[(q, f"{REPS}x")]) / max(b, 1e-9), 2)
+        a = min(samples[(q, keys[0])])
+        b = min(samples[(q, keys[1])])
+        sa = round(max(samples[(q, keys[0])]) / max(a, 1e-9), 2)
+        sb = round(max(samples[(q, keys[1])]) / max(b, 1e-9), 2)
         # Generic key names: the replicated-side sample is "tN"
         # (resolved by the top-level "reps" field), not "t8" — a 32x
         # probe stored under "t8" misreads as an 8x figure (ADVICE r7).
@@ -287,6 +311,40 @@ def main() -> None:
         print(
             f"{q:34s} 1x={a:6.2f}s {REPS}x={b:6.2f}s ratio={b / a:5.2f} "
             f"spread={sa:4.1f}/{sb:4.1f}"
+        )
+    return rows
+
+
+def main() -> None:
+    import json
+
+    dst = sys.argv[1] if len(sys.argv) > 1 else f"/tmp/sfx{REPS}"
+    json_out = sys.argv[2] if len(sys.argv) > 2 else None
+    queries = QUERIES
+    content_queries = CONTENT_QUERIES
+    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    if subset:
+        wanted = tuple(q.strip() for q in subset.split(",") if q.strip())
+        unknown = [
+            q for q in wanted if q not in QUERIES and q not in CONTENT_QUERIES
+        ]
+        assert not unknown, f"not probe-safe (see QUERIES): {unknown}"
+        queries = tuple(q for q in wanted if q in QUERIES)
+        content_queries = tuple(q for q in wanted if q in CONTENT_QUERIES)
+    spark = get_spark(app_name="scaleup-probe")
+    rows = {}
+    if queries:
+        build_fixture(dst)
+        dirs = {"1x": BASE, f"{REPS}x": dst}
+        for d in dirs.values():
+            load_table(spark, d, "lineitem").count()
+        rows.update(_probe_group(spark, queries, dirs))
+    if content_queries:
+        c1, cn = f"{dst}_content1", f"{dst}_content{REPS}"
+        build_content_fixture(c1, 1)
+        build_content_fixture(cn, REPS)
+        rows.update(
+            _probe_group(spark, content_queries, {"1x": c1, f"{REPS}x": cn})
         )
     if json_out:
         with open(json_out, "w") as fh:
