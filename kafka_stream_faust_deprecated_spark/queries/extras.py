@@ -3089,21 +3089,27 @@ def neardup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the shingle attaining the minimum hash) — zero shuffles, no
         # explode until the bounded K-row sketch.
         def _sample(i: int):
-            return lambda s: F.struct(F.xxhash64(F.lit(i), s).alias("h"), s.alias("v"))
+            return lambda d: F.struct(F.xxhash64(F.lit(i), d).alias("h"), d.alias("v"))
 
         # Candidate generation runs entirely on 8-byte xxhash64 shingle
-        # ids, not the ~30-char shingle strings: the sketch-probe join
-        # shuffles and compares longs (measured 5x on sf0.1), and a
-        # 2^-64 hash collision can only ADD a candidate — the exact
-        # array_intersect verify stage discards it.
-        sk = reps.select(
+        # ids, not the ~30-char shingle strings: strings are hashed to
+        # ids ONCE per set (bound to a column FIRST — an id expression
+        # inlined into the K sample transforms would be re-evaluated
+        # per transform, the SPARK-36718 hazard _doc_shingles documents),
+        # then each of the K argmin draws hashes longs, and the
+        # sketch-probe join shuffles and compares longs (measured 5x on
+        # sf0.1 vs string keys). A 2^-64 hash collision can only ADD a
+        # candidate — the exact array_intersect verify stage discards it.
+        rep_ids = reps.select(
+            "set_key",
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("ids"),
+        )
+        sk = rep_ids.select(
             "set_key",
             F.explode(
                 F.array(
                     *[
-                        F.xxhash64(
-                            F.array_min(F.transform(F.col("sh"), _sample(i)))["v"]
-                        )
+                        F.array_min(F.transform(F.col("ids"), _sample(i)))["v"]
                         for i in range(CONTAIN_K)
                     ]
                 )
