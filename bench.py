@@ -281,8 +281,12 @@ ISOLATE = ("ann_cosine_lsh",)
 
 def _isolated_time(name: str, sf_dir: str) -> float | None:
     """Re-time one query in a fresh subprocess (new JVM, cold session,
-    no co-resident suite): warm once, min of two measured runs — the
-    mechanical twin of the hand re-times past verdicts performed."""
+    cold page-cache locality): warm once, min of two measured runs —
+    the mechanical twin of the hand re-times past verdicts performed.
+    Caveat recorded here so the number is read honestly: the PARENT
+    bench JVM is idle but still resident during the child run, so on a
+    memory-tight sandbox the isolated figure can carry paging contention
+    the hand re-times (taken after the suite process exited) did not."""
     import subprocess
 
     try:
@@ -647,5 +651,9 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--isolate":
         _isolate_main(sys.argv[2])
+    elif len(sys.argv) != 1:
+        # Fail fast on a malformed invocation instead of silently
+        # launching the 30+ min full suite and overwriting BENCH_SELF.
+        sys.exit(f"usage: {sys.argv[0]} [--isolate <query_name>]")
     else:
         main()

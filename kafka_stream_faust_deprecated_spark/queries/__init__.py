@@ -65,8 +65,8 @@ from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 # brand-new last round, never driver-sampled — and (b) the 7 queries
 # whose latest rows predate the b9df45a rounding conversion (r4:
 # scd2/funnel/cohort + tpch q19-q22), queued at positions 51+ last
-# round exactly so they lead this window. Slots 2-10 carry those 8.
-# Slots 11-12 re-sample the two operators MODIFIED this round
+# round exactly so they lead this window. Slots 2-9 carry those 8.
+# Slots 10-11 re-sample the two operators MODIFIED this round
 # (neardup_containment_sketch: verify-broadcast de-risk + hot-shingle
 # cap fix; embedding_pca_power_iteration: Gram rounding mirrored into
 # the oracle) so their changed code gets a fresh driver row. The

@@ -3117,10 +3117,12 @@ def neardup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Probed side: the exploded (set, shingle-id) relation with the
         # SOFT df cap — df counted over distinct sets; residual-hot
-        # shingles keep a deterministic ~cap-row hash sample.
-        probe = reps.select(
+        # shingles keep a deterministic ~cap-row hash sample. Reuses
+        # rep_ids so the corpus-sized string-to-id hashing pass is
+        # written once, not re-spelled per consumer.
+        probe = rep_ids.select(
             F.col("set_key").alias("other"),
-            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s64"),
+            F.explode("ids").alias("s64"),
         )
         dfreq = probe.groupBy("s64").agg(F.count(F.lit(1)).alias("df"))
         probe = probe.join(dfreq, "s64").where(

@@ -220,7 +220,16 @@ CONTENT_QUERIES = (
 
 def build_content_fixture(dst: str, reps: int) -> None:
     """documents-only fixture with per-replica token tagging (see
-    CONTENT_QUERIES). Only the tables these queries read are built."""
+    CONTENT_QUERIES). Only the tables these queries read are built.
+
+    Tagging splits on WHITESPACE RUNS (regexp, not the single-space
+    literal) so tab/newline-separated tokens are tagged too, and
+    n_chars is recomputed from the rewritten text. Residual caveat:
+    tokens that the engine's tokenizer further splits on punctuation
+    (e.g. "don't" -> "don", "t") keep their suffix pieces untagged and
+    those recur across replicas — the driver-generated fixtures are
+    plain space-separated words, where tagging is exactly
+    content-disjoint."""
     os.makedirs(dst, exist_ok=True)
     out = os.path.join(dst, "documents.parquet")
     if os.path.exists(out):
@@ -229,10 +238,11 @@ def build_content_fixture(dst: str, reps: int) -> None:
     selects = []
     for r in range(reps):
         tag = f"r{r}z"
+        text = f"'{tag}' || regexp_replace(text, '\\s+', ' {tag}', 'g')"
         selects.append(
             f"SELECT doc_id + {r * OFF} AS doc_id, "
-            f"'{tag}' || replace(text, ' ', ' {tag}') AS text, "
-            f"lang, source, n_chars "
+            f"{text} AS text, lang, source, "
+            f"length({text})::BIGINT AS n_chars "
             f"FROM read_parquet('{BASE}/documents.parquet')"
         )
     con.execute(

@@ -326,13 +326,16 @@ def test_no_forced_broadcast_of_candidate_relations():
     import kafka_stream_faust_deprecated_spark.queries as qpkg
 
     qdir = pathlib.Path(qpkg.__file__).parent
+    # Whole-file match (not line-by-line): a formatter can split
+    # F.broadcast(\n    cand) across lines and a line scanner would
+    # silently stop enforcing the invariant.
     pat = re.compile(r"F\.broadcast\(\s*(cand|pairs|members|dup_members)\b")
-    offenders = [
-        f"{p.name}:{i}"
-        for p in sorted(qdir.glob("*.py"))
-        for i, line in enumerate(p.read_text().splitlines(), 1)
-        if pat.search(line)
-    ]
+    offenders = []
+    for p in sorted(qdir.glob("*.py")):
+        src = p.read_text()
+        for m in pat.finditer(src):
+            line = src.count("\n", 0, m.start()) + 1
+            offenders.append(f"{p.name}:{line}")
     assert not offenders, (
         f"forced broadcast of a corpus-growing candidate relation: {offenders}"
     )
