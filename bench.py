@@ -311,11 +311,22 @@ def _isolated_time(name: str, sf_dir: str) -> float | None:
 
 def _isolate_main(name: str) -> None:
     """``bench.py --isolate <query>``: time one query in this fresh
-    process and print one JSON line {"query", "isolated_sec"}."""
+    process and print one JSON line {"query", "isolated_sec"}.
+
+    TWO warm runs + min of three measured: a fresh session pays
+    JVM/codegen/Python-worker/page-cache cold-start that a single warm
+    run does not fully amortize for short queries (measured on
+    ann_cosine_lsh at sf0.1: 26 s cold, 5.0 after one warm, ~3.8
+    plateau from run 3 — vs ~1.8-2.2 in-suite after 100+ queries).
+    Even fully warmed, the fresh-session figure sits above the in-suite
+    min (deeper JIT + suite-wide cache locality there); the two numbers
+    BRACKET the plan cost, and isolated-to-isolated across rounds is
+    the stable regression signal."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name=f"ksfd-bench-iso-{name}")
     load_table(spark, sf_dir, "lineitem").count()  # JVM/parquet warmup
-    sec = _time_query(name, spark, sf_dir)
+    _run_once(name, spark, sf_dir)  # extra warm (see docstring)
+    sec = _time_query(name, spark, sf_dir, runs=3)
     print(json.dumps({"query": name, "isolated_sec": sec}))
 
 
