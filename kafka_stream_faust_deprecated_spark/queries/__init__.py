@@ -60,102 +60,93 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-10 prefix (r8 verdict #1): CORRECTNESS_r08 landed 50/50
-# hash-green, so the ledger's only gaps are (a) dedup_repeated_spans —
-# brand-new last round, never driver-sampled — and (b) the 7 queries
-# whose latest rows predate the b9df45a rounding conversion (r4:
-# scd2/funnel/cohort + tpch q19-q22), queued at positions 51+ last
-# round exactly so they lead this window. Slots 2-9 carry those 8.
-# Slots 10-11 re-sample the two operators MODIFIED this round
-# (neardup_containment_sketch: verify-broadcast de-risk + hot-shingle
-# cap fix; embedding_pca_power_iteration: Gram rounding mirrored into
-# the oracle) so their changed code gets a fresh driver row. The
-# remaining ~38 slots rotate in the stalest green rows (the r5 cohort:
-# tpch q2-q18 + the analytic/curation bodies). After this window every
-# registry query has a driver row and no green row is older than r5.
+# Round-12 prefix (r9 verdict #1): CORRECTNESS_r09 closed the ledger —
+# all 198 oracle-checkable registry queries have a driver-green row and
+# none predates r5. The rotation therefore turns to FRESHNESS: lead
+# with the stalest-green cohort. Slots 2-6 carry the five r5-era rows
+# (the r9 prefix's 51+ overflow the driver never reached); slots 7-50
+# take the first 44 of the 47-query r6-era cohort (alphabetical — the
+# order within a cohort carries no information); the cohort's last 3
+# queue at 51+ and lead the next window. After this round + one more,
+# no green row predates r8.
 _promote(
     (
         "flagship",
-        "tpch",
-        "analytic",
-        "curation",
-        "layout",
         "extras",
         "llm",
         "mining",
+        "curation",
+        "layout",
+        "robust",
         "ticker",
         "audit",
         "monitor",
         "inference",
-        "robust",
+        "analytic",
         "relational",
         "scalars",
         "temporal",
+        "tpch",
         "scale",
     ),
     pin_first=(
         "flagship_sma_5row",
-        # --- the 8-query r9 queue: first driver row / pre-conversion ---
-        "dedup_repeated_spans",
-        "scd2_customer_history",
-        "funnel_conversion",
-        "cohort_retention",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_supply",
-        "tpch_q21_waiting_supplier",
-        "tpch_q22_global_sales_opportunity",
-        # --- modified this round: re-confirm under the new code ---
-        "neardup_containment_sketch",
-        "embedding_pca_power_iteration",
-        # --- r5 cohort (stalest green rows): tpch q2-q18 ---
-        "tpch_q2_min_cost_supplier",
-        "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_parts",
-        "tpch_q12_late_shipment_priority",
-        "tpch_q13_customer_distribution",
-        "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customer",
-        # --- r5 cohort: analytic bodies ---
-        "window_ranking",
-        "window_lag_lead",
-        "window_frames",
-        "rollup_revenue",
-        "cube_order_stats",
-        "range_join_price_bands",
-        "interval_join_events",
-        "asof_join_signup",
-        "dedup_latest_event",
-        "percentile_summary",
-        "pivot_status_revenue",
-        "unpivot_pricing_metrics",
-        "stats_moments",
-        "price_histogram",
-        "dedup_exact_keep_best",
-        # --- r5 cohort: curation/layout/mining bodies ---
-        "events_dau_wau",
-        "customer_rfm_segments",
-        "dedup_cluster_size_histogram",
-        "doc_pack_token_budget",
-        "embedding_quantize_int8",
-        "doc_chunk_overlap",
-        # position 50 — last slot inside the sampled window
-        "dsir_importance_weights",
-        # ---- position 51+ : the r5-cohort remainder that doesn't fit
-        # the ~50-query window — first in line for the r10 prefix
-        "pipeline_prepare_training",
-        "event_transition_matrix",
-        "source_shingle_overlap",
+        # --- r5-era stalest green rows (the r9 window's 51+ overflow) ---
         "corpus_datacard",
         "dup_graph_pagerank",
+        "event_transition_matrix",
+        "pipeline_prepare_training",
+        "source_shingle_overlap",
+        # --- r6-era cohort, first 44 of 47 (alphabetical) ---
+        "ann_cosine_ivf",
+        "ann_cosine_ivfpq",
+        "ann_cosine_pq",
+        "basket_copurchase_rules",
+        "bm25_retrieval_topk",
+        "categorical_mutual_information",
+        "cusum_changepoint",
+        "dedup_incremental_ingest",
+        "doc_boilerplate_ngrams",
+        "doc_perplexity_bigram",
+        "doc_quality_gopher",
+        "domain_cap_sampling",
+        "dup_graph_triangle_count",
+        "embedding_norm_outliers",
+        "entity_resolution_blocked",
+        "equi_depth_histogram",
+        "global_shuffle_shards",
+        "groupwise_linear_trend",
+        "hard_negative_mining",
+        "heavy_hitters_cms_estimate",
+        "heavy_hitters_exact",
+        "hot_key_profile",
+        "incremental_agg_maintenance",
+        "interval_coverage_islands",
+        "join_bloom_prefilter",
+        "kmeans_lloyd_step",
+        "kmeans_train_3iter",
+        "label_propagation_communities",
+        "lang_confusion_matrix",
+        "merge_upsert_snapshot",
+        "minhash_estimate_calibration",
+        "neardup_shingle_containment",
+        "pmi_token_cooccurrence",
+        "robust_mad_outliers",
+        "sample_weighted_aes",
+        "seasonal_decompose_events",
+        "semantic_dedup_semdedup",
+        "sessionize_capped",
+        "skyline_pareto_frontier",
+        "source_unigram_divergence",
+        "table_profile_orders",
+        "timeseries_gap_fill",
+        "token_zipf_slope",
+        # position 50 — last slot inside the sampled window
+        "train_val_test_split",
+        # ---- position 51+ : the r6-cohort remainder that doesn't fit
+        # the ~50-query window — first in line for the next prefix
+        "vocab_oov_coverage",
+        "winsorized_quality_zscore",
+        "zorder_layout_quality",
     ),
 )

@@ -10,81 +10,78 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round10_pins_lead_registration_order():
+def test_round12_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-10 contract (r8 verdict #1): the sampled window leads with
-    # the 8-query r9 queue — dedup_repeated_spans' FIRST driver row plus
-    # the 7 pre-b9df45a r4 rows — then the two operators modified this
-    # round (containment sketch, PCA), then the stalest (r5) cohort.
-    queue = (
-        "dedup_repeated_spans",
-        "scd2_customer_history",
-        "funnel_conversion",
-        "cohort_retention",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_supply",
-        "tpch_q21_waiting_supplier",
-        "tpch_q22_global_sales_opportunity",
-    )
-    for i, q in enumerate(queue):
-        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
-    modified = ("neardup_containment_sketch", "embedding_pca_power_iteration")
-    for i, q in enumerate(modified):
-        assert names.index(q) == 9 + i, f"{q} not at position {9 + i}"
-    # The r5 cohort fills the rest of the 50-query window.
-    r5_fill = (
-        "tpch_q2_min_cost_supplier",
-        "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_parts",
-        "tpch_q12_late_shipment_priority",
-        "tpch_q13_customer_distribution",
-        "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customer",
-        "window_ranking",
-        "window_lag_lead",
-        "window_frames",
-        "rollup_revenue",
-        "cube_order_stats",
-        "range_join_price_bands",
-        "interval_join_events",
-        "asof_join_signup",
-        "dedup_latest_event",
-        "percentile_summary",
-        "pivot_status_revenue",
-        "unpivot_pricing_metrics",
-        "stats_moments",
-        "price_histogram",
-        "dedup_exact_keep_best",
-        "events_dau_wau",
-        "customer_rfm_segments",
-        "dedup_cluster_size_histogram",
-        "doc_pack_token_budget",
-        "embedding_quantize_int8",
-        "doc_chunk_overlap",
-        "dsir_importance_weights",
-    )
-    assert 1 + len(queue) + len(modified) + len(r5_fill) == 50
-    for q in r5_fill:
-        assert names.index(q) < 50, f"{q} outside sampled prefix"
-    # Positions 51+ queue the r5-cohort remainder as the r10 prefix
-    # (covered this round only if the driver samples deeper than 50).
-    overflow = (
-        "pipeline_prepare_training",
-        "event_transition_matrix",
-        "source_shingle_overlap",
+    # Round-12 contract (r9 verdict #1): the ledger is closed, so the
+    # window is pure freshness rotation — the five r5-era stalest
+    # green rows lead, then the first 44 of the 47-query r6-era cohort
+    # (alphabetical), with the cohort's last 3 queued at 51+.
+    r5_era = (
         "corpus_datacard",
         "dup_graph_pagerank",
+        "event_transition_matrix",
+        "pipeline_prepare_training",
+        "source_shingle_overlap",
+    )
+    for i, q in enumerate(r5_era):
+        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
+    r6_fill = (
+        "ann_cosine_ivf",
+        "ann_cosine_ivfpq",
+        "ann_cosine_pq",
+        "basket_copurchase_rules",
+        "bm25_retrieval_topk",
+        "categorical_mutual_information",
+        "cusum_changepoint",
+        "dedup_incremental_ingest",
+        "doc_boilerplate_ngrams",
+        "doc_perplexity_bigram",
+        "doc_quality_gopher",
+        "domain_cap_sampling",
+        "dup_graph_triangle_count",
+        "embedding_norm_outliers",
+        "entity_resolution_blocked",
+        "equi_depth_histogram",
+        "global_shuffle_shards",
+        "groupwise_linear_trend",
+        "hard_negative_mining",
+        "heavy_hitters_cms_estimate",
+        "heavy_hitters_exact",
+        "hot_key_profile",
+        "incremental_agg_maintenance",
+        "interval_coverage_islands",
+        "join_bloom_prefilter",
+        "kmeans_lloyd_step",
+        "kmeans_train_3iter",
+        "label_propagation_communities",
+        "lang_confusion_matrix",
+        "merge_upsert_snapshot",
+        "minhash_estimate_calibration",
+        "neardup_shingle_containment",
+        "pmi_token_cooccurrence",
+        "robust_mad_outliers",
+        "sample_weighted_aes",
+        "seasonal_decompose_events",
+        "semantic_dedup_semdedup",
+        "sessionize_capped",
+        "skyline_pareto_frontier",
+        "source_unigram_divergence",
+        "table_profile_orders",
+        "timeseries_gap_fill",
+        "token_zipf_slope",
+        "train_val_test_split",
+    )
+    assert 1 + len(r5_era) + len(r6_fill) == 50
+    for i, q in enumerate(r6_fill):
+        pos = 1 + len(r5_era) + i
+        assert names.index(q) == pos, f"{q} not at position {pos}"
+    # Positions 51+ queue the r6-cohort remainder as the next prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "vocab_oov_coverage",
+        "winsorized_quality_zscore",
+        "zorder_layout_quality",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
