@@ -64,6 +64,39 @@ def test_wire_is_subset_of_headline():
     assert len(bench.WIRE) <= 40
 
 
+def test_isolated_time_records_explicit_error(monkeypatch):
+    """A failed --isolate child must surface as an explicit
+    'error: ...' marker in the returned value (r9 advice: a silently
+    missing 'isolated' entry is indistinguishable from a run that
+    never happened, defeating the artifact's purpose)."""
+    import subprocess
+
+    class _NoJson:
+        returncode = 1
+        stdout = "no json here\n"
+        stderr = "Traceback ...\nboom: root cause tail"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _NoJson())
+    out = bench._isolated_time("ann_cosine_lsh", "/tmp")
+    assert isinstance(out, str) and out.startswith("error:")
+    assert "exit 1" in out and "root cause tail" in out
+
+    def _raise_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=900)
+
+    monkeypatch.setattr(subprocess, "run", _raise_timeout)
+    out = bench._isolated_time("ann_cosine_lsh", "/tmp")
+    assert isinstance(out, str) and out.startswith("error: timeout")
+
+    class _Ok:
+        returncode = 0
+        stdout = 'warmup junk\n{"query": "q", "isolated_sec": 1.23}\n'
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Ok())
+    assert bench._isolated_time("q", "/tmp") == 1.23
+
+
 def test_wire_keeps_cross_round_anchors():
     # The entries every round-over-round perf comparison reads; losing
     # any of these silently would orphan the historical record.

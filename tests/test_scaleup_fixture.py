@@ -1,0 +1,77 @@
+"""Pin the scale probe's content-disjoint fixture tagging (v2).
+
+The 32x content fixture's linearity claim rests on replicas being
+token-disjoint while each replica keeps the base corpus's token
+statistics. v1 tagging turned leading/trailing whitespace runs into
+bare 'r{r}z' tokens shared by every doc of a replica (r9 advice) —
+v2 strips boundary whitespace first. The cached fixture path is keyed
+on the scheme version so a bump can never serve a stale cache.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+import scripts.scaleup_probe as sp
+
+
+def test_content_fixture_tags_every_token_no_bare_tags(tmp_path, monkeypatch):
+    base = tmp_path / "base"
+    base.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["  hello world\tfoo \n"],  # boundary whitespace runs
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [19],
+        }
+    ).to_parquet(base / "documents.parquet")
+    monkeypatch.setattr(sp, "BASE", str(base))
+
+    dst = tmp_path / f"content2_{sp.CONTENT_TAG_SCHEME}"
+    sp.build_content_fixture(str(dst), 2)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM "
+        f"read_parquet('{dst}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    assert [r[0] for r in rows] == [1, 1 + sp.OFF]
+    # Every token carries its replica tag; no bare 'r{r}z' boundary
+    # tokens, and token-disjointness across replicas holds exactly.
+    assert rows[0][1] == "r0zhello r0zworld r0zfoo"
+    assert rows[1][1] == "r1zhello r1zworld r1zfoo"
+    # n_chars recomputed from the rewritten text.
+    for _, text, n_chars in rows:
+        assert n_chars == len(text)
+    assert not set(rows[0][1].split()) & set(rows[1][1].split())
+
+
+def test_content_fixture_cache_is_scheme_keyed(tmp_path, monkeypatch):
+    """main() derives the fixture dirs from CONTENT_TAG_SCHEME, so a
+    scheme bump changes the path and can't hit a stale cache. Pin the
+    derivation by checking build_content_fixture's own early-return:
+    same dst -> cached; different (scheme-keyed) dst -> rebuilt."""
+    base = tmp_path / "base"
+    base.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["a b c"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [5],
+        }
+    ).to_parquet(base / "documents.parquet")
+    monkeypatch.setattr(sp, "BASE", str(base))
+
+    d1 = tmp_path / f"c1_{sp.CONTENT_TAG_SCHEME}"
+    sp.build_content_fixture(str(d1), 1)
+    mtime = (d1 / "documents.parquet").stat().st_mtime_ns
+    sp.build_content_fixture(str(d1), 1)  # cached: untouched
+    assert (d1 / "documents.parquet").stat().st_mtime_ns == mtime
+
+    d2 = tmp_path / "c1_tagv999"  # a bumped scheme lands elsewhere
+    sp.build_content_fixture(str(d2), 1)
+    assert (d2 / "documents.parquet").exists()
