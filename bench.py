@@ -260,13 +260,11 @@ WIRE = (
 #: across rounds even when the sandbox is noisy.
 CALIBRATION_QUERY = "agg_pricing_summary"
 
-#: Historical reliability bar for the (now-deleted) derived
-#: normalized columns: divisor sample spread above this meant any
-#: per-query ratio carried that error bar. Three consecutive rounds
-#: exceeded it, so round 12 removed the derived columns entirely
-#: (r9 verdict #5) — the divisors and their spreads are still
-#: published as the machine-state error bar on the raw times.
-CALIBRATION_SPREAD_RELIABLE = 1.5
+#: Historical note: the derived normalized columns carried a 1.5x
+#: divisor-spread reliability bar; three consecutive rounds exceeded
+#: it, so round 12 removed the columns entirely (r9 verdict #5). The
+#: divisors and their sample spreads are still published as the
+#: machine-state error bar on the raw times.
 
 #: Entries whose in-suite samples are LOCALITY HOSTAGES: short
 #: stage-latency-bound queries whose separated-pass samples bracket
@@ -312,7 +310,11 @@ def _isolated_time(name: str, sf_dir: str) -> float | str:
             rec = json.loads(line)
         except ValueError:
             continue
-        if rec.get("query") == name:
+        # .get, not []: a partially-written record (or a log line that
+        # happens to be JSON with a "query" field) must fall through to
+        # the error marker below, not raise KeyError at the end of the
+        # 30+ minute suite before BENCH_SELF is written.
+        if rec.get("query") == name and rec.get("isolated_sec") is not None:
             return rec["isolated_sec"]
     tail = out.stderr.strip().splitlines()[-1:] or ["<no stderr>"]
     msg = f"exit {out.returncode}, no JSON record; stderr tail: {tail[0][:200]}"
@@ -645,7 +647,7 @@ def main() -> None:
                 "calibration_stages_spread": calib_stages_spread,
                 "isolated": isolated,
                 # The derived normalized/normalized_stages appendix was
-                # DELETED in round 10 (r9 verdict #5): the divisor
+                # DELETED in round 12 (r9 verdict #5): the divisor
                 # spread exceeded 1.5x three rounds running, so the
                 # columns were flagged decorative twice and never
                 # graded. The raw divisors + their sample spreads stay

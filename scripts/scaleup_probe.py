@@ -224,8 +224,11 @@ CONTENT_QUERIES = (
 #: to the tagging SQL below. v2 = strip leading/trailing whitespace
 #: before tagging (v1 turned boundary whitespace runs into bare
 #: "r{r}z" tokens shared by every doc of a replica, perturbing shingle
-#: statistics relative to the 1x baseline's).
-CONTENT_TAG_SCHEME = "tagv2"
+#: statistics relative to the 1x baseline's). v3 = blank/whitespace-
+#: only docs tag to '' instead of a bare shared tag token (identical
+#: to v2 on any corpus without blank docs — the driver fixtures —
+#: so the committed v2-era probe records remain valid).
+CONTENT_TAG_SCHEME = "tagv3"
 
 
 def build_content_fixture(dst: str, reps: int) -> None:
@@ -251,7 +254,12 @@ def build_content_fixture(dst: str, reps: int) -> None:
     selects = []
     for r in range(reps):
         tag = f"r{r}z"
-        text = f"'{tag}' || regexp_replace({stripped}, '\\s+', ' {tag}', 'g')"
+        # Blank/whitespace-only docs tag to '' (v3): a bare '{tag}'
+        # would be one token shared by every blank doc of a replica.
+        text = (
+            f"CASE WHEN {stripped} = '' THEN '' ELSE "
+            f"'{tag}' || regexp_replace({stripped}, '\\s+', ' {tag}', 'g') END"
+        )
         selects.append(
             f"SELECT doc_id + {r * OFF} AS doc_id, "
             f"{text} AS text, lang, source, "

@@ -31,21 +31,22 @@ def state_backend(spark, request):
     default or an outer fixture's choice survives this one (r9 advice:
     restoring the literal 'rocksdb' would silently rebind later tests
     if the session conf ever differed)."""
-    from kafka_stream_faust_deprecated_spark.session import (
-        STATE_STORE_PROVIDERS,
-        configure_state_store,
-    )
+    from kafka_stream_faust_deprecated_spark.session import configure_state_store
 
-    prior_class = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    prior = next(
-        (b for b, cls in STATE_STORE_PROVIDERS.items() if cls == prior_class),
-        "rocksdb",  # engine default (pkg/session.py get_spark)
-    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior_class = spark.conf.get(key, None)
     configure_state_store(spark, request.param)
     yield request.param
-    configure_state_store(spark, prior)
+    # Restore the RAW prior conf string — a name round-trip through
+    # STATE_STORE_PROVIDERS would silently map an unknown provider
+    # class back to the default, the exact rebind hazard this fixture
+    # exists to avoid. (configure_state_store's rocksdb extras are
+    # provider-scoped confs; leaving them set is inert for any other
+    # provider.)
+    if prior_class is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prior_class)
 
 
 @pytest.fixture(scope="session")

@@ -88,6 +88,18 @@ def test_isolated_time_records_explicit_error(monkeypatch):
     out = bench._isolated_time("ann_cosine_lsh", "/tmp")
     assert isinstance(out, str) and out.startswith("error: timeout")
 
+    # A JSON line naming the query but MISSING isolated_sec (partial
+    # write, structured log echo) must fall through to the marker,
+    # never KeyError out of main() before BENCH_SELF is written.
+    class _Partial:
+        returncode = 0
+        stdout = '{"query": "q"}\n'
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Partial())
+    out = bench._isolated_time("q", "/tmp")
+    assert isinstance(out, str) and out.startswith("error:")
+
     class _Ok:
         returncode = 0
         stdout = 'warmup junk\n{"query": "q", "isolated_sec": 1.23}\n'

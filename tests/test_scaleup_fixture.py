@@ -21,11 +21,13 @@ def test_content_fixture_tags_every_token_no_bare_tags(tmp_path, monkeypatch):
     base.mkdir()
     pd.DataFrame(
         {
-            "doc_id": [1],
-            "text": ["  hello world\tfoo \n"],  # boundary whitespace runs
-            "lang": ["en"],
-            "source": ["s"],
-            "n_chars": [19],
+            "doc_id": [1, 2],
+            # boundary whitespace runs + a whitespace-only doc (v3:
+            # must tag to '', not a bare shared 'r{r}z' token)
+            "text": ["  hello world\tfoo \n", " \t\n "],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [19, 4],
         }
     ).to_parquet(base / "documents.parquet")
     monkeypatch.setattr(sp, "BASE", str(base))
@@ -37,15 +39,17 @@ def test_content_fixture_tags_every_token_no_bare_tags(tmp_path, monkeypatch):
         f"read_parquet('{dst}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
 
-    assert [r[0] for r in rows] == [1, 1 + sp.OFF]
+    assert [r[0] for r in rows] == [1, 2, 1 + sp.OFF, 2 + sp.OFF]
     # Every token carries its replica tag; no bare 'r{r}z' boundary
     # tokens, and token-disjointness across replicas holds exactly.
     assert rows[0][1] == "r0zhello r0zworld r0zfoo"
-    assert rows[1][1] == "r1zhello r1zworld r1zfoo"
+    assert rows[2][1] == "r1zhello r1zworld r1zfoo"
+    # Whitespace-only docs tag to empty, in every replica.
+    assert rows[1][1] == "" and rows[3][1] == ""
     # n_chars recomputed from the rewritten text.
     for _, text, n_chars in rows:
         assert n_chars == len(text)
-    assert not set(rows[0][1].split()) & set(rows[1][1].split())
+    assert not set(rows[0][1].split()) & set(rows[2][1].split())
 
 
 def test_content_fixture_cache_is_scheme_keyed(tmp_path, monkeypatch):
