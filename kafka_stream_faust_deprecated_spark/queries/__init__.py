@@ -60,15 +60,16 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-12 prefix (r9 verdict #1): CORRECTNESS_r09 closed the ledger —
-# all 198 oracle-checkable registry queries have a driver-green row and
-# none predates r5. The rotation therefore turns to FRESHNESS: lead
-# with the stalest-green cohort. Slots 2-6 carry the five r5-era rows
-# (the r9 prefix's 51+ overflow the driver never reached); slots 7-50
-# take the first 44 of the 47-query r6-era cohort (alphabetical — the
-# order within a cohort carries no information); the cohort's last 3
-# queue at 51+ and lead the next window. After this round + one more,
-# no green row predates r8.
+# Round-13 prefix (r10 verdict #1): the ledger stays closed, so the
+# window keeps draining freshness debt. After the r10 window the
+# stalest records are: 2 r5-era rows-only sketches
+# (approx_count_distinct / approx_percentile_price — no oracle BY
+# DESIGN, their rows-only rows are 5 rounds old), 3 r6-era rows (the
+# r12 prefix's 51+ overflow the driver never reached), and a 49-query
+# r7-era cohort. Slots 2-6 carry the five stalest; slots 7-50 take the
+# first 44 of the r7-era cohort (alphabetical — order within a cohort
+# carries no information); the cohort's last 5 queue at 51+ and lead
+# the next window. After this round, no green row predates r7.
 _promote(
     (
         "flagship",
@@ -91,62 +92,65 @@ _promote(
     ),
     pin_first=(
         "flagship_sma_5row",
-        # --- r5-era stalest green rows (the r9 window's 51+ overflow) ---
-        "corpus_datacard",
-        "dup_graph_pagerank",
-        "event_transition_matrix",
-        "pipeline_prepare_training",
-        "source_shingle_overlap",
-        # --- r6-era cohort, first 44 of 47 (alphabetical) ---
-        "ann_cosine_ivf",
-        "ann_cosine_ivfpq",
-        "ann_cosine_pq",
-        "basket_copurchase_rules",
-        "bm25_retrieval_topk",
-        "categorical_mutual_information",
-        "cusum_changepoint",
-        "dedup_incremental_ingest",
-        "doc_boilerplate_ngrams",
-        "doc_perplexity_bigram",
-        "doc_quality_gopher",
-        "domain_cap_sampling",
-        "dup_graph_triangle_count",
-        "embedding_norm_outliers",
-        "entity_resolution_blocked",
-        "equi_depth_histogram",
-        "global_shuffle_shards",
-        "groupwise_linear_trend",
-        "hard_negative_mining",
-        "heavy_hitters_cms_estimate",
-        "heavy_hitters_exact",
-        "hot_key_profile",
-        "incremental_agg_maintenance",
-        "interval_coverage_islands",
-        "join_bloom_prefilter",
-        "kmeans_lloyd_step",
-        "kmeans_train_3iter",
-        "label_propagation_communities",
-        "lang_confusion_matrix",
-        "merge_upsert_snapshot",
-        "minhash_estimate_calibration",
-        "neardup_shingle_containment",
-        "pmi_token_cooccurrence",
-        "robust_mad_outliers",
-        "sample_weighted_aes",
-        "seasonal_decompose_events",
-        "semantic_dedup_semdedup",
-        "sessionize_capped",
-        "skyline_pareto_frontier",
-        "source_unigram_divergence",
-        "table_profile_orders",
-        "timeseries_gap_fill",
-        "token_zipf_slope",
-        # position 50 — last slot inside the sampled window
-        "train_val_test_split",
-        # ---- position 51+ : the r6-cohort remainder that doesn't fit
-        # the ~50-query window — first in line for the next prefix
+        # --- r5-era rows-only sketches (stalest records of any kind) ---
+        "approx_count_distinct",
+        "approx_percentile_price",
+        # --- r6-era stalest green rows (the r12 window's 51+ overflow) ---
         "vocab_oov_coverage",
         "winsorized_quality_zscore",
         "zorder_layout_quality",
+        # --- r7-era cohort, first 44 of 49 (alphabetical) ---
+        "acf_daily_multilag",
+        "agg_pricing_summary",
+        "anova_f_oneway",
+        "attribution_linear_touch",
+        "benford_digit_audit",
+        "beta_capm_daily",
+        "bollinger_bands",
+        "bpe_merge_pairs",
+        "chi_square_independence",
+        "conversion_latency_percentiles",
+        "dedup_exact_documents",
+        "distinct_hll_rollup",
+        "dup_graph_kcore",
+        "dup_graph_link_prediction",
+        "dup_graph_reachability",
+        "ewma_smoothing_capped",
+        "fk_integrity_audit",
+        "gapfill_forward_fill",
+        "gini_concentration_index",
+        "grouping_sets_events",
+        "intraday_volume_curve",
+        "ks_value_drift",
+        "lateral_topk_per_nation",
+        "mann_whitney_u",
+        "math_functions",
+        "max_drawdown_daily",
+        "mixture_temperature_plan",
+        "neardup_ngram_jaccard",
+        "nearest_event_join",
+        "ohlc_bars_daily",
+        "order_reorder_intervals",
+        "pk_uniqueness_audit",
+        "psi_value_drift",
+        "rsi_cutler",
+        "sample_mixture_apply",
+        "scan_filter_project",
+        "seasonal_residual_anomalies",
+        "session_path_mining",
+        "sliding_window_events",
+        "source_quantile_normalization",
+        "stream_static_enrich",
+        "string_functions",
+        "symbol_return_correlation",
+        # position 50 — last slot inside the sampled window
+        "tumbling_window_events",
+        # ---- position 51+ : the r7-cohort remainder that doesn't fit
+        # the ~50-query window — first in line for the next prefix
+        "turnover_autocorr",
+        "twap_daily",
+        "vwap_daily",
+        "weighted_median_price",
+        "welch_t_test_values",
     ),
 )

@@ -10,78 +10,80 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round12_pins_lead_registration_order():
+def test_round13_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-12 contract (r9 verdict #1): the ledger is closed, so the
-    # window is pure freshness rotation — the five r5-era stalest
-    # green rows lead, then the first 44 of the 47-query r6-era cohort
-    # (alphabetical), with the cohort's last 3 queued at 51+.
-    r5_era = (
-        "corpus_datacard",
-        "dup_graph_pagerank",
-        "event_transition_matrix",
-        "pipeline_prepare_training",
-        "source_shingle_overlap",
-    )
-    for i, q in enumerate(r5_era):
-        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
-    r6_fill = (
-        "ann_cosine_ivf",
-        "ann_cosine_ivfpq",
-        "ann_cosine_pq",
-        "basket_copurchase_rules",
-        "bm25_retrieval_topk",
-        "categorical_mutual_information",
-        "cusum_changepoint",
-        "dedup_incremental_ingest",
-        "doc_boilerplate_ngrams",
-        "doc_perplexity_bigram",
-        "doc_quality_gopher",
-        "domain_cap_sampling",
-        "dup_graph_triangle_count",
-        "embedding_norm_outliers",
-        "entity_resolution_blocked",
-        "equi_depth_histogram",
-        "global_shuffle_shards",
-        "groupwise_linear_trend",
-        "hard_negative_mining",
-        "heavy_hitters_cms_estimate",
-        "heavy_hitters_exact",
-        "hot_key_profile",
-        "incremental_agg_maintenance",
-        "interval_coverage_islands",
-        "join_bloom_prefilter",
-        "kmeans_lloyd_step",
-        "kmeans_train_3iter",
-        "label_propagation_communities",
-        "lang_confusion_matrix",
-        "merge_upsert_snapshot",
-        "minhash_estimate_calibration",
-        "neardup_shingle_containment",
-        "pmi_token_cooccurrence",
-        "robust_mad_outliers",
-        "sample_weighted_aes",
-        "seasonal_decompose_events",
-        "semantic_dedup_semdedup",
-        "sessionize_capped",
-        "skyline_pareto_frontier",
-        "source_unigram_divergence",
-        "table_profile_orders",
-        "timeseries_gap_fill",
-        "token_zipf_slope",
-        "train_val_test_split",
-    )
-    assert 1 + len(r5_era) + len(r6_fill) == 50
-    for i, q in enumerate(r6_fill):
-        pos = 1 + len(r5_era) + i
-        assert names.index(q) == pos, f"{q} not at position {pos}"
-    # Positions 51+ queue the r6-cohort remainder as the next prefix
-    # (covered this round only if the driver samples deeper than 50).
-    overflow = (
+    # Round-13 contract (r10 verdict #1): pure freshness rotation — the
+    # two r5-era rows-only sketches and three r6-era stalest green rows
+    # lead, then the first 44 of the 49-query r7-era cohort
+    # (alphabetical), with the cohort's last 5 queued at 51+.
+    stalest = (
+        "approx_count_distinct",
+        "approx_percentile_price",
         "vocab_oov_coverage",
         "winsorized_quality_zscore",
         "zorder_layout_quality",
+    )
+    for i, q in enumerate(stalest):
+        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
+    r7_fill = (
+        "acf_daily_multilag",
+        "agg_pricing_summary",
+        "anova_f_oneway",
+        "attribution_linear_touch",
+        "benford_digit_audit",
+        "beta_capm_daily",
+        "bollinger_bands",
+        "bpe_merge_pairs",
+        "chi_square_independence",
+        "conversion_latency_percentiles",
+        "dedup_exact_documents",
+        "distinct_hll_rollup",
+        "dup_graph_kcore",
+        "dup_graph_link_prediction",
+        "dup_graph_reachability",
+        "ewma_smoothing_capped",
+        "fk_integrity_audit",
+        "gapfill_forward_fill",
+        "gini_concentration_index",
+        "grouping_sets_events",
+        "intraday_volume_curve",
+        "ks_value_drift",
+        "lateral_topk_per_nation",
+        "mann_whitney_u",
+        "math_functions",
+        "max_drawdown_daily",
+        "mixture_temperature_plan",
+        "neardup_ngram_jaccard",
+        "nearest_event_join",
+        "ohlc_bars_daily",
+        "order_reorder_intervals",
+        "pk_uniqueness_audit",
+        "psi_value_drift",
+        "rsi_cutler",
+        "sample_mixture_apply",
+        "scan_filter_project",
+        "seasonal_residual_anomalies",
+        "session_path_mining",
+        "sliding_window_events",
+        "source_quantile_normalization",
+        "stream_static_enrich",
+        "string_functions",
+        "symbol_return_correlation",
+        "tumbling_window_events",
+    )
+    assert 1 + len(stalest) + len(r7_fill) == 50
+    for i, q in enumerate(r7_fill):
+        pos = 1 + len(stalest) + i
+        assert names.index(q) == pos, f"{q} not at position {pos}"
+    # Positions 51+ queue the r7-cohort remainder as the next prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "turnover_autocorr",
+        "twap_daily",
+        "vwap_daily",
+        "weighted_median_price",
+        "welch_t_test_values",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
@@ -125,7 +127,7 @@ def test_promote_is_stable_and_lossless():
                 seq_after[spec.fn.__module__].append(name)
         assert seq_before == seq_after
     finally:
-        # Restore the round-10 registration order exactly.
+        # Restore this round's registration order exactly.
         _REGISTRY.clear()
         _REGISTRY.update(before)
     assert list(_REGISTRY) == list(before)

@@ -1,11 +1,13 @@
-"""Pin the scale probe's content-disjoint fixture tagging (v2).
+"""Pin the scale probe's content-disjoint fixture tagging (v3).
 
 The 32x content fixture's linearity claim rests on replicas being
 token-disjoint while each replica keeps the base corpus's token
 statistics. v1 tagging turned leading/trailing whitespace runs into
-bare 'r{r}z' tokens shared by every doc of a replica (r9 advice) —
-v2 strips boundary whitespace first. The cached fixture path is keyed
-on the scheme version so a bump can never serve a stale cache.
+bare 'r{r}z' tokens shared by every doc of a replica (r9 advice);
+v2 strips boundary whitespace first; v3 additionally tags
+blank/whitespace-only docs to '' instead of a bare shared 'r{r}z'
+token. The cached fixture path is keyed on the scheme version
+(CONTENT_TAG_SCHEME='tagv3') so a bump can never serve a stale cache.
 """
 
 from __future__ import annotations
