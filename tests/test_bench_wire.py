@@ -40,6 +40,7 @@ def _worst_case_line() -> str:
                 "rows_out": 99999999,
                 "sec": 99999.999,
                 "ticks_per_sec": 99999999,
+                "sec_spread": 99999.99,
             }
             for b in ("rocksdb", "hdfs")
         },
@@ -121,3 +122,16 @@ def test_wire_keeps_cross_round_anchors():
         "kmeans_train_3iter",
     ):
         assert anchor in bench.WIRE
+
+
+def test_streaming_noise_treatment_pins():
+    """r10 verdict #2: the streaming ticks/s measurement gets the same
+    min-of-N + spread treatment as every headline entry, and r10
+    verdict #3 adds join_salted_skew to the isolate ledger. Pin the
+    knobs so a refactor can't silently drop back to a single warm
+    drain or shrink the isolate set."""
+    assert bench.STREAM_REPS >= 3
+    # The wire worst-case above must mirror what main() emits per
+    # provider — sec_spread is part of the frozen streaming shape now.
+    assert '"sec_spread"' in _worst_case_line()
+    assert set(bench.ISOLATE) >= {"ann_cosine_lsh", "join_salted_skew"}
