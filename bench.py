@@ -406,40 +406,28 @@ STREAM_SECONDS = 300
 STREAM_REPS = 3
 
 
-def _streaming_throughput(
-    spark,
-    backend: str = "rocksdb",
-    symbols: int = STREAM_SYMBOLS,
-    seconds: int = STREAM_SECONDS,
-) -> dict:
-    """Drain a {STREAM_SYMBOLS}x{STREAM_SECONDS}-tick batch through the
-    REAL streaming SMA pipeline (file twin of the Kafka path: JSON
-    decode -> watermark -> 5s/1s hopping windows -> exactly-5 gate ->
-    emit) under one availableNow trigger, and report ticks/sec.
+#: (symbols, seconds) -> (src_dir, tick_count). The NDJSON fixture is
+#: a pure function of its size, and the min-of-N drain treatment runs
+#: 8 drains per bench (2 warm + 3x2 measured) — serializing the same
+#: 60k-line file per drain would add untimed minutes for nothing.
+#: Dirs are removed at process exit.
+_STREAM_FIXTURES: dict = {}
 
-    The reference's implied contract (BASELINE.md) is N ticks/sec
-    sustained with each 1 s evaluation tick finishing inside the second
-    — i.e. throughput >= the number of tracked symbols. The number
-    reported here is the single-node ceiling of the same pipeline
-    including stream startup, so engine-vs-reference reads as
-    ticks_per_sec vs N.
 
-    ``backend`` selects the state-store provider (``rocksdb`` — the
-    engine default, disk-backed — or ``hdfs`` — executor heap) so the
-    backend choice is perf-justified in the committed record, not just
-    golden-tested."""
+def _stream_fixture(symbols: int, seconds: int) -> tuple:
+    """Build (once per size) the tick NDJSON fixture; returns
+    (src_dir, n_ticks)."""
+    import atexit
     import json as _json
     import shutil
     import tempfile
     from datetime import datetime, timedelta, timezone
 
-    from kafka_stream_faust_deprecated_spark.streaming.sma import (
-        build_file_sma_query,
-    )
-
-    root = tempfile.mkdtemp(prefix="bench_stream_")
-    src = os.path.join(root, "src")
-    os.makedirs(src)
+    key = (symbols, seconds)
+    if key in _STREAM_FIXTURES:
+        return _STREAM_FIXTURES[key]
+    src = tempfile.mkdtemp(prefix=f"bench_ticks_{symbols}x{seconds}_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
     t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
     n = 0
     with open(os.path.join(src, "ticks.ndjson"), "w") as fh:
@@ -469,6 +457,41 @@ def _streaming_throughput(
                     + "\n"
                 )
                 n += 1
+    _STREAM_FIXTURES[key] = (src, n)
+    return src, n
+
+
+def _streaming_throughput(
+    spark,
+    backend: str = "rocksdb",
+    symbols: int = STREAM_SYMBOLS,
+    seconds: int = STREAM_SECONDS,
+) -> dict:
+    """Drain a {STREAM_SYMBOLS}x{STREAM_SECONDS}-tick batch through the
+    REAL streaming SMA pipeline (file twin of the Kafka path: JSON
+    decode -> watermark -> 5s/1s hopping windows -> exactly-5 gate ->
+    emit) under one availableNow trigger, and report ticks/sec.
+
+    The reference's implied contract (BASELINE.md) is N ticks/sec
+    sustained with each 1 s evaluation tick finishing inside the second
+    — i.e. throughput >= the number of tracked symbols. The number
+    reported here is the single-node ceiling of the same pipeline
+    including stream startup, so engine-vs-reference reads as
+    ticks_per_sec vs N.
+
+    ``backend`` selects the state-store provider (``rocksdb`` — the
+    engine default, disk-backed — or ``hdfs`` — executor heap) so the
+    backend choice is perf-justified in the committed record, not just
+    golden-tested."""
+    import shutil
+    import tempfile
+
+    from kafka_stream_faust_deprecated_spark.streaming.sma import (
+        build_file_sma_query,
+    )
+
+    src, n = _stream_fixture(symbols, seconds)
+    root = tempfile.mkdtemp(prefix="bench_stream_")
     from kafka_stream_faust_deprecated_spark.session import configure_state_store
 
     qname = f"bench_sma_{backend}"
@@ -610,17 +633,14 @@ def main() -> None:
     # max/min over the drains is the error bar, and the raw per-drain
     # seconds land in the committed BENCH_SELF under streaming_drains.
     streaming = {}
-    drain_secs: dict[str, list[float]] = {}
     providers = ("rocksdb", "hdfs")
+    drains: dict[str, list[dict]] = {b: [] for b in providers}
     for b in providers:
         _streaming_throughput(spark, b, symbols=10, seconds=20)  # warm
-        drain_secs[b] = []
-    drains = {b: [] for b in providers}
     for _ in range(STREAM_REPS):
         for b in providers:
-            run = _streaming_throughput(spark, b)
-            drains[b].append(run)
-            drain_secs[b].append(run["sec"])
+            drains[b].append(_streaming_throughput(spark, b))
+    drain_secs = {b: [r["sec"] for r in runs] for b, runs in drains.items()}
     for b in providers:
         best = min(drains[b], key=lambda r: r["sec"])
         secs = drain_secs[b]

@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Rewrite SCALE.md's measured-scale-up table from a SCALEPROBE json.
 
-Keeps the prior run's ratio in parentheses (parsed from the existing
-table) and appends the new per-scale sample spreads, so a contaminated
-cell self-identifies in the committed artifact instead of needing a
-judge re-run.
+Keeps the prior run's ratio in parentheses and appends the new
+per-scale sample spreads, so a contaminated cell self-identifies in
+the committed artifact instead of needing a judge re-run. Priors come
+from the prior round's probe JSON when given (authoritative), else
+from the existing table — parsed ONLY within the located table's own
+span: a doc-wide scan also matched the two-point scaling table further
+down (same `| name | ... |` shape, but its 4th column is the t32/t8
+segment, not a ratio) and the later match silently overwrote the real
+prior for every query in the 32x subset (round-13 review finding).
 
 The probe JSON's top-level ``reps`` field drives the column header and
 the ideal-linear note; a probe whose replication factor differs from
@@ -12,7 +17,8 @@ the existing table's is REFUSED (a 32x probe silently rewriting the 8x
 table would mislabel every ratio — ADVICE r7). Older probe JSONs that
 keyed the replicated sample ``t8``/``spread8`` are still readable.
 
-Usage: python scripts/refresh_scale_table.py SCALEPROBE_r9.json [round_label]
+Usage: python scripts/refresh_scale_table.py SCALEPROBE_rN.json \
+           [round_label] [prior_SCALEPROBE_json]
 """
 
 from __future__ import annotations
@@ -23,26 +29,23 @@ import sys
 
 SCALE = "SCALE.md"
 
+TABLE_RE = re.compile(
+    r"\| query \| 1x \| (\d+)x \| ratio[^\n]*\n\|---[^\n]*\n(?:\|[^\n]*\n)+"
+)
+
 
 def main() -> None:
     probe_path = sys.argv[1]
     label = sys.argv[2] if len(sys.argv) > 2 else "round 9"
+    prior_path = sys.argv[3] if len(sys.argv) > 3 else None
     doc = json.load(open(probe_path))
     probe = doc["queries"]
     reps = int(doc.get("reps", 8))
     src = open(SCALE).read()
 
-    # Prior ratios from the existing table rows: "| name | ... | R (…) |"
-    prior: dict[str, str] = {}
-    for m in re.finditer(r"^\| (\w+) \| [^|]+ \| [^|]+ \| ([0-9.]+) ", src, re.M):
-        prior[m.group(1)] = m.group(2)
-
     # Locate the existing table and refuse a replication-factor
     # mismatch instead of mislabeling it.
-    m = re.search(
-        r"\| query \| 1x \| (\d+)x \| ratio[^\n]*\n\|---[^\n]*\n(?:\|[^\n]*\n)+",
-        src,
-    )
+    m = TABLE_RE.search(src)
     assert m, "existing table not found"
     table_reps = int(m.group(1))
     if table_reps != reps:
@@ -52,15 +55,26 @@ def main() -> None:
             f"overwriting the {table_reps}x table"
         )
 
+    # Prior ratios: the prior probe JSON when given, else this table's
+    # own rows ("| name | … s | … s | R (…) |") — NEVER the whole doc.
+    prior: dict[str, str] = {}
+    if prior_path:
+        for q, r in json.load(open(prior_path))["queries"].items():
+            prior[q] = f"{r['ratio']:.2f}"
+    else:
+        for row in re.finditer(
+            r"^\| (\w+) \| [^|]+ \| [^|]+ \| ([0-9.]+) ",
+            src[m.start() : m.end()],
+            re.M,
+        ):
+            prior[row.group(1)] = row.group(2)
+
     header_re = re.compile(r"## Measured scale-up \([^)]*\)")
     src = header_re.sub(
         f"## Measured scale-up ({label}; prior-run ratios in parentheses)", src
     )
     # Re-find the table after the header substitution shifted offsets.
-    m = re.search(
-        r"\| query \| 1x \| (\d+)x \| ratio[^\n]*\n\|---[^\n]*\n(?:\|[^\n]*\n)+",
-        src,
-    )
+    m = TABLE_RE.search(src)
     assert m
 
     table_head = (

@@ -135,3 +135,20 @@ def test_streaming_noise_treatment_pins():
     # provider — sec_spread is part of the frozen streaming shape now.
     assert '"sec_spread"' in _worst_case_line()
     assert set(bench.ISOLATE) >= {"ann_cosine_lsh", "join_salted_skew"}
+
+
+def test_stream_fixture_is_cached_and_sized():
+    """The tick fixture is a pure function of (symbols, seconds); the
+    min-of-N treatment drains it 8 times per bench run, so it must be
+    built once and reused, not re-serialized per drain."""
+    a_dir, a_n = bench._stream_fixture(3, 4)
+    b_dir, b_n = bench._stream_fixture(3, 4)
+    assert a_dir == b_dir and a_n == b_n == 12
+    import os
+
+    path = os.path.join(a_dir, "ticks.ndjson")
+    with open(path) as fh:
+        assert sum(1 for _ in fh) == 12
+    # A different size gets its own fixture.
+    c_dir, c_n = bench._stream_fixture(2, 2)
+    assert c_dir != a_dir and c_n == 4
