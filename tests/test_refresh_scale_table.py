@@ -1,0 +1,95 @@
+"""Pin refresh_scale_table.py's prior-ratio sourcing.
+
+The round-13 review found the prior-parse regex matched the two-point
+scaling table further down SCALE.md (same row shape, but its 4th
+column is a t32/t8 segment, not a ratio), and the later match silently
+overwrote the real prior for every query in the 32x subset — a
+self-perpetuating corruption, since the next refresh re-parses the
+wrong parens as priors. Pin both fixes: doc-parsing is scoped to the
+located table's own span, and a prior probe JSON overrides the doc.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+_SPEC = importlib.util.spec_from_file_location(
+    "refresh_scale_table",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "refresh_scale_table.py",
+    ),
+)
+rst = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(rst)
+
+DOC = """# SCALE.md
+
+## Measured scale-up (round 1; prior-run ratios in parentheses)
+
+| query | 1x | 8x | ratio (ideal linear = 8.0; prior run in parens) | spread 1x/8x |
+|---|---|---|---|---|
+| alpha_query | 0.50 s | 0.60 s | 1.20 (1.10) | 1.1/1.2 |
+| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |
+
+## Two-point scaling: 8x vs 32x
+
+| query | 8x ratio | 32x ratio | t32/t8 | ratio32/ratio8 |
+|---|---|---|---|---|
+| alpha_query | 1.20 | 2.40 | 9.99 | 2.00 |
+| beta_query | 4.00 | 8.00 | 7.77 | 2.00 |
+"""
+
+PROBE = {
+    "reps": 8,
+    "queries": {
+        "alpha_query": {"t1": 0.55, "tN": 0.66, "ratio": 1.25, "spread1": 1.0, "spreadN": 1.1},
+        "beta_query": {"t1": 0.44, "tN": 1.70, "ratio": 3.85, "spread1": 1.2, "spreadN": 1.3},
+    },
+}
+
+
+def _run(tmp_path, monkeypatch, argv):
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(DOC)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(sys, "argv", ["refresh_scale_table.py", str(probe)] + argv)
+    rst.main()
+    return scale.read_text()
+
+
+def test_doc_parsed_priors_come_from_the_8x_table_not_the_two_point_table(
+    tmp_path, monkeypatch
+):
+    out = _run(tmp_path, monkeypatch, ["round 2"])
+    # The prior paren must be the 8x table's own ratio column — NEVER
+    # the two-point table's t32/t8 cell (9.99 / 7.77).
+    assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.20) |" in out
+    assert "| beta_query | 0.44 s | 1.70 s | 3.85 (4.00) |" in out
+    assert "(9.99)" not in out and "(7.77)" not in out
+    # The two-point table itself is untouched.
+    assert "| alpha_query | 1.20 | 2.40 | 9.99 | 2.00 |" in out
+
+
+def test_prior_probe_json_overrides_the_doc(tmp_path, monkeypatch):
+    prior_probe = tmp_path / "prior.json"
+    prior_probe.write_text(
+        json.dumps(
+            {
+                "reps": 8,
+                "queries": {
+                    "alpha_query": {"ratio": 1.11},
+                    "beta_query": {"ratio": 4.44},
+                },
+            }
+        )
+    )
+    out = _run(tmp_path, monkeypatch, ["round 2", str(prior_probe)])
+    assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.11) |" in out
+    assert "| beta_query | 0.44 s | 1.70 s | 3.85 (4.44) |" in out
