@@ -60,16 +60,16 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-13 prefix (r10 verdict #1): the ledger stays closed, so the
-# window keeps draining freshness debt. After the r10 window the
-# stalest records are: 2 r5-era rows-only sketches
-# (approx_count_distinct / approx_percentile_price — no oracle BY
-# DESIGN, their rows-only rows are 5 rounds old), 3 r6-era rows (the
-# r12 prefix's 51+ overflow the driver never reached), and a 49-query
-# r7-era cohort. Slots 2-6 carry the five stalest; slots 7-50 take the
-# first 44 of the r7-era cohort (alphabetical — order within a cohort
-# carries no information); the cohort's last 5 queue at 51+ and lead
-# the next window. After this round, no green row predates r7.
+# Round-14 prefix (r11 verdict #1): the ledger stays closed, so the
+# window keeps draining freshness debt. After the r11 window the
+# stalest green rows are the 5 r7-era queries the previous prefix
+# queued at 51+ (the driver never sampled that deep) and a 48-query
+# r8-era cohort (cohorts computed as max round per query over all
+# CORRECTNESS_r*.json). Slots 2-6 carry the five r7-era rows; slots
+# 7-50 take the first 44 of the r8-era cohort (alphabetical — order
+# within a cohort carries no information); the cohort's last 4 queue
+# at 51+ and lead the next window. After this round's driver window,
+# no green row predates r8 — one more window clears the debt entirely.
 _promote(
     (
         "flagship",
@@ -92,65 +92,64 @@ _promote(
     ),
     pin_first=(
         "flagship_sma_5row",
-        # --- r5-era rows-only sketches (stalest records of any kind) ---
-        "approx_count_distinct",
-        "approx_percentile_price",
-        # --- r6-era stalest green rows (the r12 window's 51+ overflow) ---
-        "vocab_oov_coverage",
-        "winsorized_quality_zscore",
-        "zorder_layout_quality",
-        # --- r7-era cohort, first 44 of 49 (alphabetical) ---
-        "acf_daily_multilag",
-        "agg_pricing_summary",
-        "anova_f_oneway",
-        "attribution_linear_touch",
-        "benford_digit_audit",
-        "beta_capm_daily",
-        "bollinger_bands",
-        "bpe_merge_pairs",
-        "chi_square_independence",
-        "conversion_latency_percentiles",
-        "dedup_exact_documents",
-        "distinct_hll_rollup",
-        "dup_graph_kcore",
-        "dup_graph_link_prediction",
-        "dup_graph_reachability",
-        "ewma_smoothing_capped",
-        "fk_integrity_audit",
-        "gapfill_forward_fill",
-        "gini_concentration_index",
-        "grouping_sets_events",
-        "intraday_volume_curve",
-        "ks_value_drift",
-        "lateral_topk_per_nation",
-        "mann_whitney_u",
-        "math_functions",
-        "max_drawdown_daily",
-        "mixture_temperature_plan",
-        "neardup_ngram_jaccard",
-        "nearest_event_join",
-        "ohlc_bars_daily",
-        "order_reorder_intervals",
-        "pk_uniqueness_audit",
-        "psi_value_drift",
-        "rsi_cutler",
-        "sample_mixture_apply",
-        "scan_filter_project",
-        "seasonal_residual_anomalies",
-        "session_path_mining",
-        "sliding_window_events",
-        "source_quantile_normalization",
-        "stream_static_enrich",
-        "string_functions",
-        "symbol_return_correlation",
-        # position 50 — last slot inside the sampled window
-        "tumbling_window_events",
-        # ---- position 51+ : the r7-cohort remainder that doesn't fit
-        # the ~50-query window — first in line for the next prefix
+        # --- r7-era cohort remainder (stalest green rows; the r13
+        # prefix's 51+ overflow the driver never reached) ---
         "turnover_autocorr",
         "twap_daily",
         "vwap_daily",
         "weighted_median_price",
         "welch_t_test_values",
+        # --- r8-era cohort, first 44 of 48 (alphabetical) ---
+        "agg_count_distinct",
+        "ann_cosine_lsh",
+        "anti_join_customers",
+        "array_functions",
+        "bitwise_functions",
+        "contamination_ngram_overlap",
+        "datetime_functions",
+        "dedup_connected_components",
+        "doc_fingerprint_minhash",
+        "doc_quality_score",
+        "doc_repetition_ratios",
+        "doc_token_counts_bpe",
+        "doc_token_stats",
+        "doc_unigram_nll",
+        "filter_predicates",
+        "join_broadcast_dims_revenue",
+        "join_full_outer",
+        "join_left_with_nulls",
+        "join_orders_customer",
+        "join_salted_skew",
+        "json_agg_by_key",
+        "json_functions",
+        "json_structured",
+        "knn_cosine_bruteforce",
+        "lang_id_lexicon",
+        "map_functions",
+        "mixture_language_sampling",
+        "multimodal_extract",
+        "multimodal_frame_sample",
+        "neardup_embedding_cosine",
+        "neardup_minhash_lsh",
+        "neardup_simhash",
+        "null_conditional_functions",
+        "pandas_grouped_agg",
+        "pandas_grouped_map_zscore",
+        "pandas_scalar_textfeat",
+        "pipeline_curate",
+        "sample_stratified_hash",
+        "scalar_subquery_orders",
+        "semi_join_customers",
+        "session_window_events",
+        "set_ops_custkeys",
+        "stream_stream_join_events",
+        # position 50 — last slot inside the sampled window
+        "tfidf_top_terms",
+        # ---- position 51+ : the r8-cohort remainder that doesn't fit
+        # the ~50-query window — first in line for the next prefix
+        "topk_orders_global",
+        "topk_per_group",
+        "udtf_word_bigrams",
+        "variant_json_path",
     ),
 )

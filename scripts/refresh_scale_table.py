@@ -29,8 +29,13 @@ import sys
 
 SCALE = "SCALE.md"
 
+# The row group excludes header/separator-shaped lines so that a
+# neighboring pipe table placed directly adjacent (no blank line — the
+# prose separation in SCALE.md is otherwise the only guard) is never
+# swallowed into the match and deleted by the rewrite (ADVICE r11).
 TABLE_RE = re.compile(
-    r"\| query \| 1x \| (\d+)x \| ratio[^\n]*\n\|---[^\n]*\n(?:\|[^\n]*\n)+"
+    r"\| query \| 1x \| (\d+)x \| ratio[^\n]*\n\|---[^\n]*\n"
+    r"(?:\|(?!---)(?! query \|)[^\n]*\n)+"
 )
 
 
@@ -47,6 +52,12 @@ def main() -> None:
     # mismatch instead of mislabeling it.
     m = TABLE_RE.search(src)
     assert m, "existing table not found"
+    # Exactly one header+separator per span — a multi-table swallow
+    # would show up here even if the row-group guard ever regressed.
+    span = src[m.start() : m.end()]
+    assert span.count("| query |") == 1 and len(
+        re.findall(r"^\|---", span, re.M)
+    ) == 1, "table match swallowed a neighboring table"
     table_reps = int(m.group(1))
     if table_reps != reps:
         sys.exit(
@@ -60,7 +71,18 @@ def main() -> None:
     prior: dict[str, str] = {}
     if prior_path:
         for q, r in json.load(open(prior_path))["queries"].items():
-            prior[q] = f"{r['ratio']:.2f}"
+            # An older prior probe with a different row shape must not
+            # abort the whole refresh with a KeyError (ADVICE r11) —
+            # degrade to "(new this run)" for that query, visibly.
+            ratio = r.get("ratio")
+            if ratio is None:
+                print(
+                    f"note: prior probe row for {q} has no 'ratio' key; "
+                    "marking it '(new this run)'",
+                    file=sys.stderr,
+                )
+                continue
+            prior[q] = f"{ratio:.2f}"
     else:
         for row in re.finditer(
             r"^\| (\w+) \| [^|]+ \| [^|]+ \| ([0-9.]+) ",

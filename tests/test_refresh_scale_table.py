@@ -77,6 +77,59 @@ def test_doc_parsed_priors_come_from_the_8x_table_not_the_two_point_table(
     assert "| alpha_query | 1.20 | 2.40 | 9.99 | 2.00 |" in out
 
 
+def test_directly_adjacent_pipe_table_is_not_swallowed(tmp_path, monkeypatch):
+    """ADVICE r11: with NO blank line between the measured table and a
+    neighboring pipe table, the greedy row group used to swallow the
+    neighbor and the rewrite deleted it. The row group now stops at the
+    next header/separator-shaped line."""
+    adjacent = DOC.replace(
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "\n"
+        "## Two-point scaling: 8x vs 32x\n"
+        "\n"
+        "| query | 8x ratio |",
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "| query | 8x ratio |",
+    )
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(adjacent)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(sys, "argv", ["refresh_scale_table.py", str(probe), "round 2"])
+    rst.main()
+    out = scale.read_text()
+    # The neighboring table survives the rewrite intact...
+    assert "| alpha_query | 1.20 | 2.40 | 9.99 | 2.00 |" in out
+    assert "| beta_query | 4.00 | 8.00 | 7.77 | 2.00 |" in out
+    # ...and the measured table was still rewritten from the probe.
+    assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.20) |" in out
+
+
+def test_prior_probe_row_without_ratio_degrades_to_new_this_run(
+    tmp_path, monkeypatch, capsys
+):
+    """ADVICE r11: an older prior probe whose row lacks 'ratio' must
+    not abort the refresh with a KeyError — that query falls through
+    to '(new this run)' with a stderr note naming it."""
+    prior_probe = tmp_path / "prior.json"
+    prior_probe.write_text(
+        json.dumps(
+            {
+                "reps": 8,
+                "queries": {
+                    "alpha_query": {"t8": 0.6},  # old shape, no 'ratio'
+                    "beta_query": {"ratio": 4.44},
+                },
+            }
+        )
+    )
+    out = _run(tmp_path, monkeypatch, ["round 2", str(prior_probe)])
+    assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (new this run) |" in out
+    assert "| beta_query | 0.44 s | 1.70 s | 3.85 (4.44) |" in out
+    assert "alpha_query" in capsys.readouterr().err
+
+
 def test_prior_probe_json_overrides_the_doc(tmp_path, monkeypatch):
     prior_probe = tmp_path / "prior.json"
     prior_probe.write_text(

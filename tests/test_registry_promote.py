@@ -10,80 +10,80 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round13_pins_lead_registration_order():
+def test_round14_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-13 contract (r10 verdict #1): pure freshness rotation — the
-    # two r5-era rows-only sketches and three r6-era stalest green rows
-    # lead, then the first 44 of the 49-query r7-era cohort
-    # (alphabetical), with the cohort's last 5 queued at 51+.
+    # Round-14 contract (r11 verdict #1): pure freshness rotation — the
+    # five r7-era stalest green rows lead (the r13 prefix's 51+
+    # overflow the driver never reached), then the first 44 of the
+    # 48-query r8-era cohort (alphabetical), with the cohort's last 4
+    # queued at 51+.
     stalest = (
-        "approx_count_distinct",
-        "approx_percentile_price",
-        "vocab_oov_coverage",
-        "winsorized_quality_zscore",
-        "zorder_layout_quality",
-    )
-    for i, q in enumerate(stalest):
-        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
-    r7_fill = (
-        "acf_daily_multilag",
-        "agg_pricing_summary",
-        "anova_f_oneway",
-        "attribution_linear_touch",
-        "benford_digit_audit",
-        "beta_capm_daily",
-        "bollinger_bands",
-        "bpe_merge_pairs",
-        "chi_square_independence",
-        "conversion_latency_percentiles",
-        "dedup_exact_documents",
-        "distinct_hll_rollup",
-        "dup_graph_kcore",
-        "dup_graph_link_prediction",
-        "dup_graph_reachability",
-        "ewma_smoothing_capped",
-        "fk_integrity_audit",
-        "gapfill_forward_fill",
-        "gini_concentration_index",
-        "grouping_sets_events",
-        "intraday_volume_curve",
-        "ks_value_drift",
-        "lateral_topk_per_nation",
-        "mann_whitney_u",
-        "math_functions",
-        "max_drawdown_daily",
-        "mixture_temperature_plan",
-        "neardup_ngram_jaccard",
-        "nearest_event_join",
-        "ohlc_bars_daily",
-        "order_reorder_intervals",
-        "pk_uniqueness_audit",
-        "psi_value_drift",
-        "rsi_cutler",
-        "sample_mixture_apply",
-        "scan_filter_project",
-        "seasonal_residual_anomalies",
-        "session_path_mining",
-        "sliding_window_events",
-        "source_quantile_normalization",
-        "stream_static_enrich",
-        "string_functions",
-        "symbol_return_correlation",
-        "tumbling_window_events",
-    )
-    assert 1 + len(stalest) + len(r7_fill) == 50
-    for i, q in enumerate(r7_fill):
-        pos = 1 + len(stalest) + i
-        assert names.index(q) == pos, f"{q} not at position {pos}"
-    # Positions 51+ queue the r7-cohort remainder as the next prefix
-    # (covered this round only if the driver samples deeper than 50).
-    overflow = (
         "turnover_autocorr",
         "twap_daily",
         "vwap_daily",
         "weighted_median_price",
         "welch_t_test_values",
+    )
+    for i, q in enumerate(stalest):
+        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
+    r8_fill = (
+        "agg_count_distinct",
+        "ann_cosine_lsh",
+        "anti_join_customers",
+        "array_functions",
+        "bitwise_functions",
+        "contamination_ngram_overlap",
+        "datetime_functions",
+        "dedup_connected_components",
+        "doc_fingerprint_minhash",
+        "doc_quality_score",
+        "doc_repetition_ratios",
+        "doc_token_counts_bpe",
+        "doc_token_stats",
+        "doc_unigram_nll",
+        "filter_predicates",
+        "join_broadcast_dims_revenue",
+        "join_full_outer",
+        "join_left_with_nulls",
+        "join_orders_customer",
+        "join_salted_skew",
+        "json_agg_by_key",
+        "json_functions",
+        "json_structured",
+        "knn_cosine_bruteforce",
+        "lang_id_lexicon",
+        "map_functions",
+        "mixture_language_sampling",
+        "multimodal_extract",
+        "multimodal_frame_sample",
+        "neardup_embedding_cosine",
+        "neardup_minhash_lsh",
+        "neardup_simhash",
+        "null_conditional_functions",
+        "pandas_grouped_agg",
+        "pandas_grouped_map_zscore",
+        "pandas_scalar_textfeat",
+        "pipeline_curate",
+        "sample_stratified_hash",
+        "scalar_subquery_orders",
+        "semi_join_customers",
+        "session_window_events",
+        "set_ops_custkeys",
+        "stream_stream_join_events",
+        "tfidf_top_terms",
+    )
+    assert 1 + len(stalest) + len(r8_fill) == 50
+    for i, q in enumerate(r8_fill):
+        pos = 1 + len(stalest) + i
+        assert names.index(q) == pos, f"{q} not at position {pos}"
+    # Positions 51+ queue the r8-cohort remainder as the next prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "topk_orders_global",
+        "topk_per_group",
+        "udtf_word_bigrams",
+        "variant_json_path",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
