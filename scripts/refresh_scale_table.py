@@ -29,13 +29,17 @@ import sys
 
 SCALE = "SCALE.md"
 
-# The row group excludes header/separator-shaped lines so that a
-# neighboring pipe table placed directly adjacent (no blank line — the
-# prose separation in SCALE.md is otherwise the only guard) is never
-# swallowed into the match and deleted by the rewrite (ADVICE r11).
+# The row group stops before any line that opens a NEW pipe table so
+# that a neighboring table placed directly adjacent (no blank line —
+# the prose separation in SCALE.md is otherwise the only guard) is
+# never swallowed into the match and deleted by the rewrite (ADVICE
+# r11). "Opens a new table" is shape-based, not header-text-based: a
+# continuation row may not be a separator itself and may not be
+# immediately FOLLOWED by a separator line (that makes it the next
+# table's header, whatever its first column says).
 TABLE_RE = re.compile(
     r"\| query \| 1x \| (\d+)x \| ratio[^\n]*\n\|---[^\n]*\n"
-    r"(?:\|(?!---)(?! query \|)[^\n]*\n)+"
+    r"(?:\|(?!---)[^\n]*\n(?!\|---))+"
 )
 
 
@@ -72,13 +76,15 @@ def main() -> None:
     if prior_path:
         for q, r in json.load(open(prior_path))["queries"].items():
             # An older prior probe with a different row shape must not
-            # abort the whole refresh with a KeyError (ADVICE r11) —
-            # degrade to "(new this run)" for that query, visibly.
-            ratio = r.get("ratio")
-            if ratio is None:
+            # abort the whole refresh (ADVICE r11) — degrade to
+            # "(new this run)" for that query, visibly. Shape covers
+            # the whole class: non-dict rows, missing 'ratio', and
+            # non-numeric 'ratio' values alike.
+            ratio = r.get("ratio") if isinstance(r, dict) else None
+            if not isinstance(ratio, (int, float)) or isinstance(ratio, bool):
                 print(
-                    f"note: prior probe row for {q} has no 'ratio' key; "
-                    "marking it '(new this run)'",
+                    f"note: prior probe row for {q} has no numeric "
+                    "'ratio'; marking it '(new this run)'",
                     file=sys.stderr,
                 )
                 continue

@@ -100,9 +100,39 @@ def test_directly_adjacent_pipe_table_is_not_swallowed(tmp_path, monkeypatch):
     rst.main()
     out = scale.read_text()
     # The neighboring table survives the rewrite intact...
+    assert "| query | 8x ratio | 32x ratio | t32/t8 | ratio32/ratio8 |" in out
     assert "| alpha_query | 1.20 | 2.40 | 9.99 | 2.00 |" in out
     assert "| beta_query | 4.00 | 8.00 | 7.77 | 2.00 |" in out
     # ...and the measured table was still rewritten from the probe.
+    assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.20) |" in out
+
+
+def test_adjacent_table_with_any_header_text_is_not_swallowed(
+    tmp_path, monkeypatch
+):
+    """The boundary guard is shape-based, not header-text-based: an
+    adjacent table whose first column is NOT 'query' must also survive
+    (its header row is the line immediately followed by a separator)."""
+    adjacent = DOC.replace(
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "\n"
+        "## Two-point scaling: 8x vs 32x\n"
+        "\n"
+        "| query | 8x ratio | 32x ratio | t32/t8 | ratio32/ratio8 |\n",
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "| metric | 8x ratio | 32x ratio | t32/t8 | ratio32/ratio8 |\n",
+    )
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(adjacent)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(sys, "argv", ["refresh_scale_table.py", str(probe), "round 2"])
+    rst.main()
+    out = scale.read_text()
+    # The neighbor's header and rows survive the rewrite intact.
+    assert "| metric | 8x ratio | 32x ratio | t32/t8 | ratio32/ratio8 |" in out
+    assert "| alpha_query | 1.20 | 2.40 | 9.99 | 2.00 |" in out
     assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.20) |" in out
 
 
@@ -120,6 +150,11 @@ def test_prior_probe_row_without_ratio_degrades_to_new_this_run(
                 "queries": {
                     "alpha_query": {"t8": 0.6},  # old shape, no 'ratio'
                     "beta_query": {"ratio": 4.44},
+                    # shapes that must degrade, not abort (the whole
+                    # "different row shape" class, not just a missing
+                    # key): string-serialized ratio and a non-dict row
+                    "gamma_query": {"ratio": "1.23"},
+                    "delta_query": [0.5, 0.6],
                 },
             }
         )
