@@ -60,16 +60,18 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-14 prefix (r11 verdict #1): the ledger stays closed, so the
-# window keeps draining freshness debt. After the r11 window the
-# stalest green rows are the 5 r7-era queries the previous prefix
-# queued at 51+ (the driver never sampled that deep) and a 48-query
-# r8-era cohort (cohorts computed as max round per query over all
-# CORRECTNESS_r*.json). Slots 2-6 carry the five r7-era rows; slots
-# 7-50 take the first 44 of the r8-era cohort (alphabetical — order
-# within a cohort carries no information); the cohort's last 4 queue
-# at 51+ and lead the next window. After this round's driver window,
-# no green row predates r8 — one more window clears the debt entirely.
+# Round-15 prefix (r12 verdict #1): the ledger stays closed, so the
+# window keeps draining freshness debt — and this is the window that
+# clears everything older than r9. After the r12 window the stalest
+# green rows are the 4 r8-era queries the previous prefix queued at
+# 51+ (the driver never sampled that deep) and a 49-query r9-era
+# cohort (cohorts computed as max round per query over all
+# CORRECTNESS_r*.json; histogram after r12: {r8:4, r9:49, r10:49,
+# r11:46, r12:50}). Slots 2-5 carry the four r8-era rows; slots 6-50
+# take the first 45 of the r9-era cohort (alphabetical — order within
+# a cohort carries no information); the cohort's last 4 queue at 51+
+# and lead the next window. After this round's driver window, no
+# green row predates r9.
 _promote(
     (
         "flagship",
@@ -92,64 +94,64 @@ _promote(
     ),
     pin_first=(
         "flagship_sma_5row",
-        # --- r7-era cohort remainder (stalest green rows; the r13
+        # --- r8-era cohort remainder (stalest green rows; the r14
         # prefix's 51+ overflow the driver never reached) ---
-        "turnover_autocorr",
-        "twap_daily",
-        "vwap_daily",
-        "weighted_median_price",
-        "welch_t_test_values",
-        # --- r8-era cohort, first 44 of 48 (alphabetical) ---
-        "agg_count_distinct",
-        "ann_cosine_lsh",
-        "anti_join_customers",
-        "array_functions",
-        "bitwise_functions",
-        "contamination_ngram_overlap",
-        "datetime_functions",
-        "dedup_connected_components",
-        "doc_fingerprint_minhash",
-        "doc_quality_score",
-        "doc_repetition_ratios",
-        "doc_token_counts_bpe",
-        "doc_token_stats",
-        "doc_unigram_nll",
-        "filter_predicates",
-        "join_broadcast_dims_revenue",
-        "join_full_outer",
-        "join_left_with_nulls",
-        "join_orders_customer",
-        "join_salted_skew",
-        "json_agg_by_key",
-        "json_functions",
-        "json_structured",
-        "knn_cosine_bruteforce",
-        "lang_id_lexicon",
-        "map_functions",
-        "mixture_language_sampling",
-        "multimodal_extract",
-        "multimodal_frame_sample",
-        "neardup_embedding_cosine",
-        "neardup_minhash_lsh",
-        "neardup_simhash",
-        "null_conditional_functions",
-        "pandas_grouped_agg",
-        "pandas_grouped_map_zscore",
-        "pandas_scalar_textfeat",
-        "pipeline_curate",
-        "sample_stratified_hash",
-        "scalar_subquery_orders",
-        "semi_join_customers",
-        "session_window_events",
-        "set_ops_custkeys",
-        "stream_stream_join_events",
-        # position 50 — last slot inside the sampled window
-        "tfidf_top_terms",
-        # ---- position 51+ : the r8-cohort remainder that doesn't fit
-        # the ~50-query window — first in line for the next prefix
         "topk_orders_global",
         "topk_per_group",
         "udtf_word_bigrams",
         "variant_json_path",
+        # --- r9-era cohort, first 45 of 49 (alphabetical) ---
+        "asof_join_signup",
+        "cohort_retention",
+        "cube_order_stats",
+        "customer_rfm_segments",
+        "dedup_cluster_size_histogram",
+        "dedup_exact_keep_best",
+        "dedup_latest_event",
+        "dedup_repeated_spans",
+        "doc_chunk_overlap",
+        "doc_pack_token_budget",
+        "dsir_importance_weights",
+        "embedding_pca_power_iteration",
+        "embedding_quantize_int8",
+        "events_dau_wau",
+        "funnel_conversion",
+        "interval_join_events",
+        "neardup_containment_sketch",
+        "percentile_summary",
+        "pivot_status_revenue",
+        "price_histogram",
+        "range_join_price_bands",
+        "rollup_revenue",
+        "scd2_customer_history",
+        "stats_moments",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_parts",
+        "tpch_q12_late_shipment_priority",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_supply",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        # position 50 — last slot inside the sampled window
+        "tpch_q9_product_profit",
+        # ---- position 51+ : the r9-cohort remainder that doesn't fit
+        # the ~50-query window — first in line for the next prefix
+        "unpivot_pricing_metrics",
+        "window_frames",
+        "window_lag_lead",
+        "window_ranking",
     ),
 )

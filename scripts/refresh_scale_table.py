@@ -43,6 +43,45 @@ TABLE_RE = re.compile(
 )
 
 
+def _audit_adjacency(src: str, start: int, end: int) -> None:
+    """Refuse when the located span abuts a pipe line that is NOT a
+    genuine adjacent table (ADVICE r12). The shape-based row-group
+    boundary treats any row immediately followed by a '|---' line as
+    the next table's header, so a legitimate final data row followed
+    by a stray separator-only divider would be silently excluded from
+    the rewrite and left as an orphaned stale row. A directly-following
+    pipe line is accepted only as a real header: a non-separator row
+    whose NEXT line is a separator with the same pipe count; anything
+    else (a bare '|---', a pipe row with no separator, or a row whose
+    'separator' has a different column count) is ambiguous — stop and
+    make the human fix SCALE.md rather than strand a stale row."""
+    tail = src[end:]
+    if tail.startswith("|"):
+        lines = tail.split("\n")
+        is_header = (
+            not lines[0].startswith("|---")
+            and len(lines) > 1
+            and lines[1].startswith("|---")
+            and lines[0].count("|") == lines[1].count("|")
+        )
+        if not is_header:
+            sys.exit(
+                "refusing: the line directly after the measured table "
+                f"({lines[0]!r}) is pipe-shaped but not a valid adjacent "
+                "table header — a stale data row or stray separator would "
+                "be orphaned by the rewrite; fix SCALE.md first"
+            )
+    before = src[:start]
+    if before.endswith("\n") and before.rstrip("\n").rsplit("\n", 1)[-1].startswith(
+        "|---"
+    ):
+        sys.exit(
+            "refusing: a separator-only pipe line directly precedes the "
+            "measured table header — a stray divider would survive the "
+            "rewrite as an orphan; fix SCALE.md first"
+        )
+
+
 def main() -> None:
     probe_path = sys.argv[1]
     label = sys.argv[2] if len(sys.argv) > 2 else "round 9"
@@ -62,6 +101,7 @@ def main() -> None:
     assert span.count("| query |") == 1 and len(
         re.findall(r"^\|---", span, re.M)
     ) == 1, "table match swallowed a neighboring table"
+    _audit_adjacency(src, m.start(), m.end())
     table_reps = int(m.group(1))
     if table_reps != reps:
         sys.exit(

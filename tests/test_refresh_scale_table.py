@@ -136,6 +136,55 @@ def test_adjacent_table_with_any_header_text_is_not_swallowed(
     assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.20) |" in out
 
 
+def test_stray_separator_after_final_row_is_refused_not_orphaned(
+    tmp_path, monkeypatch
+):
+    """ADVICE r12: a legitimate final data row directly followed by a
+    separator-only line reads, to the shape-based boundary, like the
+    next table's header — the row would be silently excluded from the
+    rewrite and left orphaned. The refresh must refuse loudly instead."""
+    strayed = DOC.replace(
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n\n",
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "|---|\n\n",
+    )
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(strayed)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(sys, "argv", ["refresh_scale_table.py", str(probe), "round 2"])
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        rst.main()
+    assert "orphan" in str(exc.value)
+    # Nothing was rewritten — the doc is byte-identical.
+    assert scale.read_text() == strayed
+
+
+def test_orphaned_pipe_row_after_table_is_refused(tmp_path, monkeypatch):
+    """A pipe-shaped line directly after the table that is NOT a valid
+    adjacent header (no separator under it) is an orphan-in-waiting."""
+    strayed = DOC.replace(
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n\n",
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "|---|---|\n"
+        "| stale_row | 9.99 |\n\n",
+    )
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(strayed)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(sys, "argv", ["refresh_scale_table.py", str(probe), "round 2"])
+    import pytest
+
+    with pytest.raises(SystemExit):
+        rst.main()
+    assert scale.read_text() == strayed
+
+
 def test_prior_probe_row_without_ratio_degrades_to_new_this_run(
     tmp_path, monkeypatch, capsys
 ):

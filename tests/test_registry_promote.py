@@ -10,80 +10,80 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round14_pins_lead_registration_order():
+def test_round15_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-14 contract (r11 verdict #1): pure freshness rotation — the
-    # five r7-era stalest green rows lead (the r13 prefix's 51+
-    # overflow the driver never reached), then the first 44 of the
-    # 48-query r8-era cohort (alphabetical), with the cohort's last 4
-    # queued at 51+.
+    # Round-15 contract (r12 verdict #1): pure freshness rotation — the
+    # four r8-era stalest green rows lead (the r14 prefix's 51+
+    # overflow the driver never reached), then the first 45 of the
+    # 49-query r9-era cohort (alphabetical), with the cohort's last 4
+    # queued at 51+. This window clears all debt older than r9.
     stalest = (
-        "turnover_autocorr",
-        "twap_daily",
-        "vwap_daily",
-        "weighted_median_price",
-        "welch_t_test_values",
-    )
-    for i, q in enumerate(stalest):
-        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
-    r8_fill = (
-        "agg_count_distinct",
-        "ann_cosine_lsh",
-        "anti_join_customers",
-        "array_functions",
-        "bitwise_functions",
-        "contamination_ngram_overlap",
-        "datetime_functions",
-        "dedup_connected_components",
-        "doc_fingerprint_minhash",
-        "doc_quality_score",
-        "doc_repetition_ratios",
-        "doc_token_counts_bpe",
-        "doc_token_stats",
-        "doc_unigram_nll",
-        "filter_predicates",
-        "join_broadcast_dims_revenue",
-        "join_full_outer",
-        "join_left_with_nulls",
-        "join_orders_customer",
-        "join_salted_skew",
-        "json_agg_by_key",
-        "json_functions",
-        "json_structured",
-        "knn_cosine_bruteforce",
-        "lang_id_lexicon",
-        "map_functions",
-        "mixture_language_sampling",
-        "multimodal_extract",
-        "multimodal_frame_sample",
-        "neardup_embedding_cosine",
-        "neardup_minhash_lsh",
-        "neardup_simhash",
-        "null_conditional_functions",
-        "pandas_grouped_agg",
-        "pandas_grouped_map_zscore",
-        "pandas_scalar_textfeat",
-        "pipeline_curate",
-        "sample_stratified_hash",
-        "scalar_subquery_orders",
-        "semi_join_customers",
-        "session_window_events",
-        "set_ops_custkeys",
-        "stream_stream_join_events",
-        "tfidf_top_terms",
-    )
-    assert 1 + len(stalest) + len(r8_fill) == 50
-    for i, q in enumerate(r8_fill):
-        pos = 1 + len(stalest) + i
-        assert names.index(q) == pos, f"{q} not at position {pos}"
-    # Positions 51+ queue the r8-cohort remainder as the next prefix
-    # (covered this round only if the driver samples deeper than 50).
-    overflow = (
         "topk_orders_global",
         "topk_per_group",
         "udtf_word_bigrams",
         "variant_json_path",
+    )
+    for i, q in enumerate(stalest):
+        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
+    r9_fill = (
+        "asof_join_signup",
+        "cohort_retention",
+        "cube_order_stats",
+        "customer_rfm_segments",
+        "dedup_cluster_size_histogram",
+        "dedup_exact_keep_best",
+        "dedup_latest_event",
+        "dedup_repeated_spans",
+        "doc_chunk_overlap",
+        "doc_pack_token_budget",
+        "dsir_importance_weights",
+        "embedding_pca_power_iteration",
+        "embedding_quantize_int8",
+        "events_dau_wau",
+        "funnel_conversion",
+        "interval_join_events",
+        "neardup_containment_sketch",
+        "percentile_summary",
+        "pivot_status_revenue",
+        "price_histogram",
+        "range_join_price_bands",
+        "rollup_revenue",
+        "scd2_customer_history",
+        "stats_moments",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_parts",
+        "tpch_q12_late_shipment_priority",
+        "tpch_q13_customer_distribution",
+        "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_excess_supply",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+    )
+    assert 1 + len(stalest) + len(r9_fill) == 50
+    for i, q in enumerate(r9_fill):
+        pos = 1 + len(stalest) + i
+        assert names.index(q) == pos, f"{q} not at position {pos}"
+    # Positions 51+ queue the r9-cohort remainder as the next prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "unpivot_pricing_metrics",
+        "window_frames",
+        "window_lag_lead",
+        "window_ranking",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"
