@@ -60,18 +60,18 @@ for _mod in (
 # the rotation is applied explicitly after every module has loaded.
 from kafka_stream_faust_deprecated_spark.registry import promote as _promote
 
-# Round-15 prefix (r12 verdict #1): the ledger stays closed, so the
+# Round-16 prefix (r13 verdict #1): the ledger stays closed, so the
 # window keeps draining freshness debt — and this is the window that
-# clears everything older than r9. After the r12 window the stalest
-# green rows are the 4 r8-era queries the previous prefix queued at
-# 51+ (the driver never sampled that deep) and a 49-query r9-era
-# cohort (cohorts computed as max round per query over all
-# CORRECTNESS_r*.json; histogram after r12: {r8:4, r9:49, r10:49,
-# r11:46, r12:50}). Slots 2-5 carry the four r8-era rows; slots 6-50
-# take the first 45 of the r9-era cohort (alphabetical — order within
-# a cohort carries no information); the cohort's last 4 queue at 51+
-# and lead the next window. After this round's driver window, no
-# green row predates r9.
+# clears everything older than r10. After the r13 window the stalest
+# green rows are the 4 r9-era queries the previous prefix queued at
+# 51+ (the driver never sampled that deep) and a 49-query r10-era
+# cohort (cohorts recomputed this round as max round per query over
+# all CORRECTNESS_r*.json; histogram after r13: {r9:4, r10:49,
+# r11:46+3 rows-only, r12:49, r13:50}). Slots 2-5 carry the four
+# r9-era rows; slots 6-50 take the first 45 of the r10-era cohort
+# (alphabetical — order within a cohort carries no information); the
+# cohort's last 4 queue at 51+ and lead the next window. After this
+# round's driver window, no green row predates r10.
 _promote(
     (
         "flagship",
@@ -94,64 +94,64 @@ _promote(
     ),
     pin_first=(
         "flagship_sma_5row",
-        # --- r8-era cohort remainder (stalest green rows; the r14
+        # --- r9-era cohort remainder (stalest green rows; the r15
         # prefix's 51+ overflow the driver never reached) ---
-        "topk_orders_global",
-        "topk_per_group",
-        "udtf_word_bigrams",
-        "variant_json_path",
-        # --- r9-era cohort, first 45 of 49 (alphabetical) ---
-        "asof_join_signup",
-        "cohort_retention",
-        "cube_order_stats",
-        "customer_rfm_segments",
-        "dedup_cluster_size_histogram",
-        "dedup_exact_keep_best",
-        "dedup_latest_event",
-        "dedup_repeated_spans",
-        "doc_chunk_overlap",
-        "doc_pack_token_budget",
-        "dsir_importance_weights",
-        "embedding_pca_power_iteration",
-        "embedding_quantize_int8",
-        "events_dau_wau",
-        "funnel_conversion",
-        "interval_join_events",
-        "neardup_containment_sketch",
-        "percentile_summary",
-        "pivot_status_revenue",
-        "price_histogram",
-        "range_join_price_bands",
-        "rollup_revenue",
-        "scd2_customer_history",
-        "stats_moments",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_parts",
-        "tpch_q12_late_shipment_priority",
-        "tpch_q13_customer_distribution",
-        "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customer",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_supply",
-        "tpch_q21_waiting_supplier",
-        "tpch_q22_global_sales_opportunity",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        # position 50 — last slot inside the sampled window
-        "tpch_q9_product_profit",
-        # ---- position 51+ : the r9-cohort remainder that doesn't fit
-        # the ~50-query window — first in line for the next prefix
         "unpivot_pricing_metrics",
         "window_frames",
         "window_lag_lead",
         "window_ranking",
+        # --- r10-era cohort, first 45 of 49 (alphabetical) ---
+        "ann_cosine_ivf",
+        "ann_cosine_ivfpq",
+        "ann_cosine_pq",
+        "basket_copurchase_rules",
+        "bm25_retrieval_topk",
+        "categorical_mutual_information",
+        "corpus_datacard",
+        "cusum_changepoint",
+        "dedup_incremental_ingest",
+        "doc_boilerplate_ngrams",
+        "doc_perplexity_bigram",
+        "doc_quality_gopher",
+        "domain_cap_sampling",
+        "dup_graph_pagerank",
+        "dup_graph_triangle_count",
+        "embedding_norm_outliers",
+        "entity_resolution_blocked",
+        "equi_depth_histogram",
+        "event_transition_matrix",
+        "global_shuffle_shards",
+        "groupwise_linear_trend",
+        "hard_negative_mining",
+        "heavy_hitters_cms_estimate",
+        "heavy_hitters_exact",
+        "hot_key_profile",
+        "incremental_agg_maintenance",
+        "interval_coverage_islands",
+        "join_bloom_prefilter",
+        "kmeans_lloyd_step",
+        "kmeans_train_3iter",
+        "label_propagation_communities",
+        "lang_confusion_matrix",
+        "merge_upsert_snapshot",
+        "minhash_estimate_calibration",
+        "neardup_shingle_containment",
+        "pipeline_prepare_training",
+        "pmi_token_cooccurrence",
+        "robust_mad_outliers",
+        "sample_weighted_aes",
+        "seasonal_decompose_events",
+        "semantic_dedup_semdedup",
+        "sessionize_capped",
+        "skyline_pareto_frontier",
+        "source_shingle_overlap",
+        # position 50 — last slot inside the sampled window
+        "source_unigram_divergence",
+        # ---- position 51+ : the r10-cohort remainder that doesn't fit
+        # the ~50-query window — first in line for the next prefix
+        "table_profile_orders",
+        "timeseries_gap_fill",
+        "token_zipf_slope",
+        "train_val_test_split",
     ),
 )

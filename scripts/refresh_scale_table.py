@@ -42,6 +42,14 @@ TABLE_RE = re.compile(
     r"(?:\|(?!---)[^\n]*\n(?!\|---))+"
 )
 
+# The measured table's own data-row shape — every row this script ever
+# writes matches it ("| name | 0.50 s | 0.60 s | 1.20 (...) | ..."). It
+# is both the doc-prior parse (main) and the adjacency audit's orphan
+# discriminator (_audit_adjacency): a candidate "adjacent header" that
+# parses as a measured DATA row is really a final row orphaned by a
+# stray full-width separator, whatever its pipe count says.
+DATA_ROW_RE = re.compile(r"^\| (\w+) \| [^|]+ \| [^|]+ \| ([0-9.]+) ", re.M)
+
 
 def _audit_adjacency(src: str, start: int, end: int) -> None:
     """Refuse when the located span abuts a pipe line that is NOT a
@@ -51,10 +59,16 @@ def _audit_adjacency(src: str, start: int, end: int) -> None:
     by a stray separator-only divider would be silently excluded from
     the rewrite and left as an orphaned stale row. A directly-following
     pipe line is accepted only as a real header: a non-separator row
-    whose NEXT line is a separator with the same pipe count; anything
-    else (a bare '|---', a pipe row with no separator, or a row whose
-    'separator' has a different column count) is ambiguous — stop and
-    make the human fix SCALE.md rather than strand a stale row."""
+    whose NEXT line is a separator with the same pipe count — AND that
+    does not itself parse as a measured-table DATA row (ADVICE r13: a
+    stray FULL-WIDTH separator after the final data row used to make
+    that row read as a new same-width table's header and orphaned it
+    silently; pipe count alone can't discriminate because genuine
+    neighbors share the width, but every orphanable row matches
+    DATA_ROW_RE — this script wrote it). Anything else (a bare '|---',
+    a pipe row with no separator, or a row whose 'separator' has a
+    different column count) is ambiguous — stop and make the human fix
+    SCALE.md rather than strand a stale row."""
     tail = src[end:]
     if tail.startswith("|"):
         lines = tail.split("\n")
@@ -71,14 +85,26 @@ def _audit_adjacency(src: str, start: int, end: int) -> None:
                 "table header — a stale data row or stray separator would "
                 "be orphaned by the rewrite; fix SCALE.md first"
             )
+        if DATA_ROW_RE.match(lines[0]):
+            sys.exit(
+                "refusing: the line directly after the measured table "
+                f"({lines[0]!r}) parses as an adjacent table header but "
+                "ALSO as one of the measured table's own data rows — a "
+                "stray full-width separator has orphaned the final row; "
+                "fix SCALE.md first"
+            )
     before = src[:start]
     if before.endswith("\n") and before.rstrip("\n").rsplit("\n", 1)[-1].startswith(
         "|---"
     ):
+        # Deliberately fires across intervening blank lines too: a
+        # stray divider above the table survives the rewrite as an
+        # orphan whether or not blank lines separate them (ADVICE r13:
+        # the message used to say 'directly precedes').
         sys.exit(
-            "refusing: a separator-only pipe line directly precedes the "
-            "measured table header — a stray divider would survive the "
-            "rewrite as an orphan; fix SCALE.md first"
+            "refusing: a separator-only pipe line precedes the measured "
+            "table header (possibly across blank lines) — a stray divider "
+            "would survive the rewrite as an orphan; fix SCALE.md first"
         )
 
 
@@ -130,11 +156,7 @@ def main() -> None:
                 continue
             prior[q] = f"{ratio:.2f}"
     else:
-        for row in re.finditer(
-            r"^\| (\w+) \| [^|]+ \| [^|]+ \| ([0-9.]+) ",
-            src[m.start() : m.end()],
-            re.M,
-        ):
+        for row in DATA_ROW_RE.finditer(src[m.start() : m.end()]):
             prior[row.group(1)] = row.group(2)
 
     header_re = re.compile(r"## Measured scale-up \([^)]*\)")

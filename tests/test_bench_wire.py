@@ -152,3 +152,54 @@ def test_stream_fixture_is_cached_and_sized():
     # A different size gets its own fixture.
     c_dir, c_n = bench._stream_fixture(2, 2)
     assert c_dir != a_dir and c_n == 4
+
+
+def test_stream_band_breach_detector():
+    """r13 verdict #4: bench.py auto-triggers the fresh-process
+    streaming record when a provider's reported min-drain throughput
+    leaves the healthy 15k-25k ticks/s band (r15 runB precedent: all
+    drains uniformly 4x slow, batch unaffected, hand-run isolated
+    record read 18.1k/18.1k). Pin the band and the detector."""
+    assert bench.STREAM_BAND_TICKS == (15_000, 25_000)
+    inband = {
+        "rocksdb": {"ticks_per_sec": 20_606},
+        "hdfs": {"ticks_per_sec": 21_279},
+    }
+    assert bench._stream_band_breached(inband) == []
+    low = {
+        "rocksdb": {"ticks_per_sec": 5_200},  # the r15 runB shape
+        "hdfs": {"ticks_per_sec": 18_000},
+    }
+    assert bench._stream_band_breached(low) == ["rocksdb"]
+    # Suspiciously fast is ALSO out-of-band (a short-circuited drain
+    # would otherwise sail through as a great number).
+    high = {"rocksdb": {"ticks_per_sec": 80_000}}
+    assert bench._stream_band_breached(high) == ["rocksdb"]
+
+
+def test_isolated_streaming_records_explicit_error(monkeypatch):
+    """Same contract as --isolate: a failed fresh-process streaming run
+    must surface an explicit error marker, never a silently absent
+    record."""
+    import subprocess
+
+    class Boom:
+        returncode = 1
+        stdout = "not json\n"
+        stderr = "java.lang.OutOfMemoryError: boom\n"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: Boom())
+    rec = bench._isolated_streaming_record()
+    assert isinstance(rec, str) and rec.startswith("error: exit 1")
+    assert "OutOfMemoryError" in rec
+
+    good = {"streaming_isolated": {"rocksdb": {"ticks_per_sec": 18100}},
+            "drains": {"rocksdb": [3.3, 3.4, 3.5]}}
+
+    class Ok:
+        returncode = 0
+        stdout = "noise\n" + json.dumps(good) + "\n"
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: Ok())
+    assert bench._isolated_streaming_record() == good

@@ -230,3 +230,61 @@ def test_prior_probe_json_overrides_the_doc(tmp_path, monkeypatch):
     out = _run(tmp_path, monkeypatch, ["round 2", str(prior_probe)])
     assert "| alpha_query | 0.55 s | 0.66 s | 1.25 (1.11) |" in out
     assert "| beta_query | 0.44 s | 1.70 s | 3.85 (4.44) |" in out
+
+
+def test_matched_width_stray_separator_after_final_row_is_refused(
+    tmp_path, monkeypatch
+):
+    """ADVICE r13: a stray FULL-WIDTH separator (same column count as
+    the measured table) after the final data row makes that row parse
+    as a valid same-width adjacent-table header — the matched-width
+    variant of the ADVICE-r12 scenario. The row ALSO matches the
+    measured data-row shape this script itself writes, which is the
+    discriminator: refuse, don't orphan."""
+    strayed = DOC.replace(
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n\n",
+        "| beta_query | 0.40 s | 1.60 s | 4.00 (3.90) | 1.3/1.4 |\n"
+        "|---|---|---|---|---|\n\n",
+    )
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(strayed)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(
+        sys, "argv", ["refresh_scale_table.py", str(probe), "round 2"]
+    )
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        rst.main()
+    assert "orphaned the final row" in str(exc.value)
+    assert scale.read_text() == strayed
+
+
+def test_preceding_separator_refusal_message_covers_blank_line_gap(
+    tmp_path, monkeypatch
+):
+    """ADVICE r13 (second item): the preceding-separator refusal fires
+    across blank lines too (fail-closed, unchanged) — but the message
+    must say so instead of claiming the divider 'directly precedes'."""
+    strayed = DOC.replace(
+        "\n| query | 1x | 8x |",
+        "\n|---|\n\n\n| query | 1x | 8x |",
+    )
+    assert strayed != DOC
+    scale = tmp_path / "SCALE.md"
+    scale.write_text(strayed)
+    probe = tmp_path / "probe.json"
+    probe.write_text(json.dumps(PROBE))
+    monkeypatch.setattr(rst, "SCALE", str(scale))
+    monkeypatch.setattr(
+        sys, "argv", ["refresh_scale_table.py", str(probe), "round 2"]
+    )
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        rst.main()
+    msg = str(exc.value)
+    assert "possibly across blank lines" in msg and "directly" not in msg
+    assert scale.read_text() == strayed

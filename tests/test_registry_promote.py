@@ -10,80 +10,80 @@ import kafka_stream_faust_deprecated_spark.queries  # noqa: F401  (registers + p
 from kafka_stream_faust_deprecated_spark.registry import _REGISTRY, promote
 
 
-def test_round15_pins_lead_registration_order():
+def test_round16_pins_lead_registration_order():
     names = list(_REGISTRY)
     assert names[0] == "flagship_sma_5row"
-    # Round-15 contract (r12 verdict #1): pure freshness rotation — the
-    # four r8-era stalest green rows lead (the r14 prefix's 51+
+    # Round-16 contract (r13 verdict #1): pure freshness rotation — the
+    # four r9-era stalest green rows lead (the r15 prefix's 51+
     # overflow the driver never reached), then the first 45 of the
-    # 49-query r9-era cohort (alphabetical), with the cohort's last 4
-    # queued at 51+. This window clears all debt older than r9.
+    # 49-query r10-era cohort (alphabetical), with the cohort's last 4
+    # queued at 51+. This window clears all debt older than r10.
     stalest = (
-        "topk_orders_global",
-        "topk_per_group",
-        "udtf_word_bigrams",
-        "variant_json_path",
-    )
-    for i, q in enumerate(stalest):
-        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
-    r9_fill = (
-        "asof_join_signup",
-        "cohort_retention",
-        "cube_order_stats",
-        "customer_rfm_segments",
-        "dedup_cluster_size_histogram",
-        "dedup_exact_keep_best",
-        "dedup_latest_event",
-        "dedup_repeated_spans",
-        "doc_chunk_overlap",
-        "doc_pack_token_budget",
-        "dsir_importance_weights",
-        "embedding_pca_power_iteration",
-        "embedding_quantize_int8",
-        "events_dau_wau",
-        "funnel_conversion",
-        "interval_join_events",
-        "neardup_containment_sketch",
-        "percentile_summary",
-        "pivot_status_revenue",
-        "price_histogram",
-        "range_join_price_bands",
-        "rollup_revenue",
-        "scd2_customer_history",
-        "stats_moments",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_parts",
-        "tpch_q12_late_shipment_priority",
-        "tpch_q13_customer_distribution",
-        "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customer",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_excess_supply",
-        "tpch_q21_waiting_supplier",
-        "tpch_q22_global_sales_opportunity",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-    )
-    assert 1 + len(stalest) + len(r9_fill) == 50
-    for i, q in enumerate(r9_fill):
-        pos = 1 + len(stalest) + i
-        assert names.index(q) == pos, f"{q} not at position {pos}"
-    # Positions 51+ queue the r9-cohort remainder as the next prefix
-    # (covered this round only if the driver samples deeper than 50).
-    overflow = (
         "unpivot_pricing_metrics",
         "window_frames",
         "window_lag_lead",
         "window_ranking",
+    )
+    for i, q in enumerate(stalest):
+        assert names.index(q) == 1 + i, f"{q} not at position {1 + i}"
+    r10_fill = (
+        "ann_cosine_ivf",
+        "ann_cosine_ivfpq",
+        "ann_cosine_pq",
+        "basket_copurchase_rules",
+        "bm25_retrieval_topk",
+        "categorical_mutual_information",
+        "corpus_datacard",
+        "cusum_changepoint",
+        "dedup_incremental_ingest",
+        "doc_boilerplate_ngrams",
+        "doc_perplexity_bigram",
+        "doc_quality_gopher",
+        "domain_cap_sampling",
+        "dup_graph_pagerank",
+        "dup_graph_triangle_count",
+        "embedding_norm_outliers",
+        "entity_resolution_blocked",
+        "equi_depth_histogram",
+        "event_transition_matrix",
+        "global_shuffle_shards",
+        "groupwise_linear_trend",
+        "hard_negative_mining",
+        "heavy_hitters_cms_estimate",
+        "heavy_hitters_exact",
+        "hot_key_profile",
+        "incremental_agg_maintenance",
+        "interval_coverage_islands",
+        "join_bloom_prefilter",
+        "kmeans_lloyd_step",
+        "kmeans_train_3iter",
+        "label_propagation_communities",
+        "lang_confusion_matrix",
+        "merge_upsert_snapshot",
+        "minhash_estimate_calibration",
+        "neardup_shingle_containment",
+        "pipeline_prepare_training",
+        "pmi_token_cooccurrence",
+        "robust_mad_outliers",
+        "sample_weighted_aes",
+        "seasonal_decompose_events",
+        "semantic_dedup_semdedup",
+        "sessionize_capped",
+        "skyline_pareto_frontier",
+        "source_shingle_overlap",
+        "source_unigram_divergence",
+    )
+    assert 1 + len(stalest) + len(r10_fill) == 50
+    for i, q in enumerate(r10_fill):
+        pos = 1 + len(stalest) + i
+        assert names.index(q) == pos, f"{q} not at position {pos}"
+    # Positions 51+ queue the r10-cohort remainder as the next prefix
+    # (covered this round only if the driver samples deeper than 50).
+    overflow = (
+        "table_profile_orders",
+        "timeseries_gap_fill",
+        "token_zipf_slope",
+        "train_val_test_split",
     )
     for i, q in enumerate(overflow):
         assert names.index(q) == 50 + i, f"{q} not queued at position {50 + i}"

@@ -81,3 +81,23 @@ def test_content_fixture_cache_is_scheme_keyed(tmp_path, monkeypatch):
     d2 = tmp_path / "c1_tagv999"  # a bumped scheme lands elsewhere
     sp.build_content_fixture(str(d2), 1)
     assert (d2 / "documents.parquet").exists()
+
+
+def test_content_subprocess_cmd_isolates_content_group():
+    """r13 verdict #2: the content-fixture probes must run in a FRESH
+    subprocess (not last in the interleaved session, where three rounds
+    running they inherited locality decay and breached the 4x bar
+    in-suite before adjudicating clean isolated). Pin the child
+    invocation: same script, same dst, content-only query subset, REPS
+    forwarded, and the no-recursion guard set."""
+    argv, env = sp._content_subprocess_cmd(
+        "/tmp/sfx32", 32, sp.CONTENT_QUERIES, "/tmp/child.json"
+    )
+    assert argv[0] == __import__("sys").executable
+    assert argv[1].endswith("scaleup_probe.py")
+    assert argv[2] == "/tmp/sfx32" and argv[3] == "/tmp/child.json"
+    assert env["SPARK_GRAFT_PROBE_REPS"] == "32"
+    assert env["SPARK_GRAFT_PROBE_QUERIES"] == ",".join(sp.CONTENT_QUERIES)
+    # The child must never re-spawn: the guard both prevents recursion
+    # and is how main() distinguishes "I am the isolated child".
+    assert env["SPARK_GRAFT_PROBE_NO_SUBPROC"] == "1"
