@@ -73,6 +73,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Unique(-ish) key column used by the under-split shim's hash
+#: repartition, per table. Hash partitioning instead of round-robin
+#: because Spark's round-robin exchange LOCALLY SORTS its input first
+#: (SPARK-23207, ``spark.sql.execution.sortBeforeRepartition`` — on by
+#: default so retried tasks reproduce the same row placement), a hidden
+#: full-width sort of the table on every shimmed scan: measured at
+#: sf0.1, lineitem noop-scan 0.834 s via round-robin vs 0.485 s via
+#: hash on l_orderkey (plain 1-task scan 0.157 s), with near-even
+#: spread (18.4k-19.4k rows across 32 partitions). Hashing DATA keeps
+#: the retry-determinism the local sort exists to provide (guide §2.5:
+#: derive synthetic keys deterministically), and a key-hash exchange
+#: can additionally satisfy downstream ClusteredDistributions a
+#: round-robin exchange never can.
+SHIM_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
 def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan, guaranteed to parallelize across the cluster.
 
@@ -83,7 +110,9 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     32-core machine. The guard repartitions ONLY when the scan under-splits
     relative to cluster parallelism: at 100 TB the scan has thousands of
     splits and this is a no-op (no shuffle added); on the small local
-    fixtures it is a sub-MB round-robin exchange that unlocks all cores.
+    fixtures it is a sub-MB keyed exchange that unlocks all cores
+    (hash on the table's unique key, not round-robin — see SHIM_KEYS
+    for the measured sort-before-repartition cost this avoids).
     """
     key, memo = _memo_get(spark, sf_dir, name, True)
     if key in memo:
@@ -91,7 +120,11 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     df = load_table(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+        shim_key = SHIM_KEYS.get(name)
+        if shim_key is not None:
+            df = df.repartition(par, F.col(shim_key))
+        else:
+            df = df.repartition(par)
     memo[key] = df
     return df
 

@@ -32,11 +32,21 @@ def exchange_census(df_or_plan: DataFrame | str) -> dict:
     "single": n, "shim": n}`` where ``data`` covers hash/range
     partitionings (real keyed data movement, with their partition key
     column names), ``single`` the single-partition collapses (bounded
-    aggregates when legitimate), and ``shim`` the round-robin
-    repartitions (``load_table_parallel``'s small-fixture parallelism
-    guard — absent on real cluster scans). ``ReusedExchange`` nodes are
-    not double-counted.
+    aggregates when legitimate), and ``shim`` the repartitions injected
+    by ``load_table_parallel``'s small-fixture parallelism guard —
+    absent on real cluster scans. Since r14 the shim hash-partitions on
+    the table's unique key (``io.SHIM_KEYS``) instead of round-robin
+    (which pays a hidden local sort, SPARK-23207), so a shim exchange
+    is recognized as a ``REPARTITION_BY_NUM``-tagged hash exchange on a
+    single SHIM_KEYS column (the engine's explicit graph repartitions
+    use graph-node keys, never a table PK, so the tag+key pair is
+    unambiguous); round-robin REPARTITION_BY_NUM stays recognized for
+    cross-round comparability. ``ReusedExchange`` nodes are not
+    double-counted.
     """
+    from kafka_stream_faust_deprecated_spark.io import SHIM_KEYS
+
+    shim_cols = set(SHIM_KEYS.values())
     plan = (
         df_or_plan if isinstance(df_or_plan, str) else executed_plan(df_or_plan)
     )
@@ -55,6 +65,13 @@ def exchange_census(df_or_plan: DataFrame | str) -> dict:
         if kind == "SinglePartition":
             single += 1
         elif kind == "RoundRobinPartitioning":
+            shim += 1
+        elif (
+            kind == "hashpartitioning"
+            and "REPARTITION_BY_NUM" in line
+            and {c.split("#")[0] for c in re.findall(r"(\w+)#\d+", args)}
+            <= shim_cols
+        ):
             shim += 1
         else:
             cols = ", ".join(
