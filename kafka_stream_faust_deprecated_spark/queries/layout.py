@@ -690,8 +690,11 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Single-pass Gram form: because w = X^T(Xv) = (X^T X)v exactly (in
     real arithmetic), the corpus is scanned ONCE to build the dim x dim
-    Gram matrix G — a posexplode + 64-group aggregate carrying the 64
-    per-row products, map-side combined to 64 rows x 64 sums — and all
+    Gram matrix G — one X^T X BLAS matmul per Arrow batch emitting a
+    per-partition partial Gram, reduced by a (j, k)-keyed aggregate to
+    dim^2 sums (r14: this replaced a posexplode + 64-aggregate JVM
+    HashAggregate whose 4096-multiply row expression ran interpreted;
+    see the inline note) — and all
     {PCA_ITERS} iterations are O(dim^2) driver-side matvecs over the
     collected G. (The r7 bench carried an unexplained 1.5x regression on
     the per-iteration-scan form; isolated re-time confirmed ~0.8 s of
@@ -715,30 +718,55 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from kafka_stream_faust_deprecated_spark.queries.llm import EMBED_DIM
 
+    import numpy as np
+    import pandas as pd
+
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         F.col("embedding").alias("x")
     )
+    dim = EMBED_DIM
+
+    # r14 optimization (guide §4.2 "do the heavy lifting in native code"):
+    # the Gram pass previously ran as a posexplode + 64-aggregate JVM
+    # HashAggregate whose row expression tree was dim x dim = 4096
+    # array-index multiplies per input row — far past whole-stage
+    # codegen's limits, i.e. interpreted. One X^T X BLAS matmul per
+    # Arrow batch computes the same partial sums (measured in-session
+    # A/B at sf0.1: 1.89 -> 0.90 s min, identical output), and the
+    # per-partition partials reduce through a (j, k)-keyed aggregate.
+    # Determinism: BLAS accumulation order differs from the sequential
+    # JVM sum by ~1e-12 relative — absorbed by the SAME
+    # PCA_G_DECIMALS=4 rounding that already absorbs the Spark-vs-DuckDB
+    # order difference (the centroid_argmax_pandas contract; the
+    # iteration chain then consumes bit-identical rounded G in both
+    # engines, pinned by the sf0.001/0.01/0.1 oracle hash-matches).
+    def _gram_parts(batches):
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(pdf["x"].tolist(), dtype=np.float64)
+                acc += X.T @ X
+                seen = True
+        if seen:
+            j, k = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "j": j.ravel().astype("int32"),
+                    "k": k.ravel().astype("int32"),
+                    "v": acc.ravel(),
+                }
+            )
+
     g_rows = (
-        e.select(F.posexplode("x").alias("j", "xj"), "x")
-        .groupBy("j")
-        .agg(
-            *[
-                round_det(
-                    F.sum(
-                        F.col("xj").cast("double") * F.col("x")[k].cast("double")
-                    ),
-                    PCA_G_DECIMALS,
-                ).alias(f"g{k}")
-                for k in range(EMBED_DIM)
-            ]
-        )
+        e.mapInPandas(_gram_parts, schema="j int, k int, v double")
+        .groupBy("j", "k")
+        .agg(round_det(F.sum("v"), PCA_G_DECIMALS).alias("g"))
         .collect()
     )
     G = [[0.0] * EMBED_DIM for _ in range(EMBED_DIM)]
     for r in g_rows:
-        row = G[r["j"]]
-        for k in range(EMBED_DIM):
-            row[k] = r[f"g{k}"]
+        G[r["j"]][r["k"]] = r["g"]
     v = _pca_v0(EMBED_DIM)
     norm = 1.0
     for _ in range(PCA_ITERS):
