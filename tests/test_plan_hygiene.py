@@ -45,7 +45,6 @@ BNLJ_WHITELIST = {
         "is non-equi by design (same class as knn_cosine_bruteforce)"
     ),
     "timeseries_gap_fill": "broadcast side = the 1-row global day span",
-    "basket_copurchase_rules": "broadcast side = the 1-row basket-count aggregate",
     "session_path_mining": "broadcast side = the 1-row session-total aggregate",
     "conversion_latency_percentiles": (
         "broadcast side = the 1-row signup-count aggregate"
@@ -108,7 +107,6 @@ SINGLE_PARTITION_WHITELIST = {
         "MI-total / share windows over the (lang, source) joint relation — "
         "catalog-bounded (|lang| x |source| rows, the corpus_datacard class)"
     ),
-    "basket_copurchase_rules": "global basket-count aggregate: 1 row",
     "skyline_pareto_frontier": (
         "sort-sweep running max over the DISTINCT-PRICE relation "
         "(2-decimal price domain, the equi_depth_histogram class) + "
