@@ -5,10 +5,12 @@ query — the per-plan evidence behind SCALE.md's shuffle inventory.
 For each query: keyed data-sized exchanges (hash/range partitioning,
 with their keys), broadcast exchanges, and single-partition exchanges,
 so a reviewer can check "how many times does data move, keyed on what"
-without re-running anything. Round-robin REPARTITION_BY_NUM exchanges
-are counted separately: they are `load_table_parallel`'s small-fixture
-parallelism shim, applied only when the scan yields fewer splits than
-cores — a real cluster scan of real data never triggers it.
+without re-running anything. The loader's REPARTITION_BY_NUM exchanges
+(since r14 a hash repartition on the table's unique key — io.SHIM_KEYS;
+round-robin before that) are counted separately: they are
+`load_table_parallel`'s small-fixture parallelism shim, applied only
+when the scan yields fewer splits than cores — a real cluster scan of
+real data never triggers it.
 
 Drift adjudication (r13 verdict #3): a captured cell occasionally
 differs from the prior round's artifact without any code change —
@@ -145,7 +147,7 @@ def main() -> None:
         "data-sized exchanges (with partition keys), broadcast exchanges",
         "(dims / 1-row scalars), single-partition exchanges (all",
         "whitelisted bounded aggregates — `tests/test_plan_hygiene.py`),",
-        "and `shim` = round-robin REPARTITION_BY_NUM from",
+        "and `shim` = the REPARTITION_BY_NUM loader guard from",
         "`load_table_parallel` (small-fixture parallelism only; a real",
         "cluster scan never triggers it). Reused exchanges are not",
         "double-counted. Queries returning an eager `localCheckpoint`",

@@ -79,3 +79,34 @@ def test_lateral_topk_census_pinned(spark):
     assert c["data_keys"] == ["c_nationkey"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_shim_exchange_classified_as_shim_not_data(spark):
+    """r14: load_table_parallel's under-split guard hash-partitions on
+    the table's unique key (io.SHIM_KEYS) instead of round-robin — the
+    round-robin exchange paid a hidden local sort of the whole table
+    (SPARK-23207 sortBeforeRepartition). The census must keep
+    classifying that loader exchange as 'shim' (absent on real cluster
+    scans), NOT as keyed data movement, or every row-id hygiene guard
+    would false-positive on the local fixtures."""
+    from kafka_stream_faust_deprecated_spark.io import (
+        SHIM_KEYS,
+        load_table,
+        load_table_parallel,
+    )
+
+    df = load_table_parallel(spark, SF_DIR, "embeddings")
+    c = exchange_census(df)
+    assert c["shim"] == 1, c
+    assert c["data"] == 0, c  # vec_id must NOT count as data movement
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"hashpartitioning({SHIM_KEYS['embeddings']}#" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    # the shim is a pure repartition: row multiset unchanged
+    assert df.count() == load_table(spark, SF_DIR, "embeddings").count()
+    # an explicit graph-key REPARTITION_BY_NUM still counts as data
+    g = load_table(spark, SF_DIR, "orders").selectExpr(
+        "o_orderkey AS s", "o_custkey AS t"
+    ).repartition(8, "s")
+    cg = exchange_census(g)
+    assert cg["data"] == 1 and cg["shim"] == 0, cg
