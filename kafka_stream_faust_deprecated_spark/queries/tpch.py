@@ -648,10 +648,18 @@ ORDER BY value DESC, l_partkey
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11: parts whose traded value through NATION_{0,1,2} suppliers
     exceeds 0.1% of that channel's total (adapted: no partsupp, value =
-    discounted revenue through those suppliers). The group-vs-global
-    comparison reuses ONE aggregation: the per-part agg is computed
-    once, and the global total is a broadcast scalar from a second pass
-    over the (tiny) agg output — never a rescan of lineitem."""
+    discounted revenue through those suppliers).
+
+    The group-vs-global comparison is ONE window over the per-part agg
+    (r15, guide §1.2/§2.4): the previous aggregate-scalar-then-rejoin
+    shape re-expanded ``val`` — Catalyst does not CSE across DataFrame
+    branches, so lineitem was scanned+joined+aggregated TWICE and the
+    scalar came back through a whitelisted BroadcastNestedLoopJoin.
+    ``sum() OVER ()`` on the part-bounded agg output computes the same
+    total in the same relation: one lineitem pass, no BNLJ (A/B at
+    sf0.1: 0.53 -> 0.38 s, identical output). The single-partition
+    window is part-catalog-bounded — the whitelisted bounded-relation
+    class."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 3)
     val = (
@@ -661,9 +669,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
         )
     )
-    total = val.agg(F.sum("value").alias("tot"))
+    from pyspark.sql.window import Window
+
     return (
-        val.join(F.broadcast(total))
+        val.withColumn("tot", F.sum("value").over(Window.partitionBy()))
         .where(F.col("value") > 0.001 * F.col("tot"))
         .select("l_partkey", round_det(F.col("value"), 4).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
@@ -742,11 +751,22 @@ ORDER BY s_suppkey
     tags=("E3", "E7", "tpch"),
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15: supplier(s) with the maximum Q1-1996 revenue. The
-    revenue-equals-max correlated view is one aggregation reused twice:
-    per-supplier revenue (100 rows) feeds both the broadcast max scalar
-    and the final filter — no second lineitem scan. Rounded to 4dp on
-    BOTH sides before the equality so the two engines agree on ties."""
+    """Q15: supplier(s) with the maximum Q1-1996 revenue. Rounded to
+    4dp on BOTH sides of the equality so the two engines agree on ties.
+
+    The revenue-equals-max correlated view is ONE aggregation + a
+    global max WINDOW over it (r15, guide §1.2/§2.4): the previous
+    broadcast-scalar formulation claimed to reuse ``rev``, but Catalyst
+    re-expands shared DataFrame subtrees per branch — the executed plan
+    scanned and aggregated lineitem TWICE (one chain per ``rev``
+    reference, zero ReusedExchange). ``max() OVER ()`` computes the
+    scalar inside the same supplier-bounded agg output: one lineitem
+    pass, 4 -> 2 pre-sort exchanges (A/B at sf0.1: 0.42 -> 0.27 s,
+    identical output). The single-partition window hop is
+    supplier-catalog-bounded — the whitelisted class. The equality
+    compares the ROUNDED values on both sides, exactly as before."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -755,10 +775,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev"
         )
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("mx", F.max("total_rev").over(Window.partitionBy()))
         .where(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
@@ -834,19 +853,28 @@ WHERE p.p_brand = 'Brand#13' AND l.l_quantity < pa.q_thresh
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17: revenue lost if tiny orders (below 20% of the part's mean
-    quantity) were dropped, for one brand. The correlated per-part AVG
-    decorrelates into a groupBy + equi-join back onto lineitem — and
-    because only Brand#13 parts survive the dim filter, the avg agg
-    itself is computed AFTER a semi-join-style pruning through the
-    broadcast part dim, not over all 100 TB of lineitem."""
+    quantity) were dropped, for one brand. Only Brand#13 parts survive
+    the broadcast dim filter, so the per-part stats are computed over
+    the pruned rows, not all 100 TB of lineitem.
+
+    The correlated per-part AVG decorrelates into a WINDOW over the
+    pruned join output (r15, guide §2.4 — the classic windowed Q17):
+    the previous groupBy + rejoin shape re-expanded ``pruned``, so the
+    brand-pruned lineitem scan+join ran TWICE (Catalyst does not CSE
+    across branches). ``avg() OVER (PARTITION BY l_partkey)`` computes
+    the threshold in the same pass: one scan, one l_partkey exchange
+    (A/B at sf0.1: 0.43 -> 0.30 s, identical output). The exchange now
+    carries brand-pruned raw rows instead of combined per-part partials
+    — strictly cheaper than the second full scan it replaces, since the
+    brand filter is what makes both small."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
     pruned = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-    pa = pruned.groupBy(F.col("l_partkey").alias("pa_key")).agg(
-        (0.2 * F.avg("l_quantity")).alias("q_thresh")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        pruned.join(F.broadcast(pa), F.col("pa_key") == F.col("l_partkey"))
+        pruned.withColumn("q_thresh", 0.2 * F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < F.col("q_thresh"))
         .agg(round_det(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -915,9 +943,20 @@ ORDER BY s_name
 def tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20: suppliers who moved an above-half-average volume of red
     parts in 1996 (adapted: shipped quantity stands in for partsupp
-    availqty). Chain: broadcast-dim prune → per-supplier agg →
-    broadcast scalar threshold → LEFT SEMI into the supplier dim. The
-    semi join keeps supplier rows unique without a distinct."""
+    availqty). Chain: broadcast-dim prune → per-supplier agg → global
+    half-average threshold → LEFT SEMI into the supplier dim. The semi
+    join keeps supplier rows unique without a distinct.
+
+    The threshold is a global avg WINDOW over the per-supplier agg
+    (r15, guide §1.2/§2.4): the previous broadcast-scalar formulation
+    re-expanded ``sq``, so the red-pruned lineitem scan+agg chain ran
+    TWICE and the scalar attached through a whitelisted
+    BroadcastNestedLoopJoin. ``avg() OVER ()`` computes it inside the
+    same supplier-bounded agg output: one lineitem pass, no BNLJ (A/B
+    at sf0.1: 0.48 -> 0.39 s, identical output). Single-partition hop
+    is supplier-catalog-bounded — the whitelisted class."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -927,8 +966,9 @@ def tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    thresh = sq.agg((0.5 * F.avg("qty")).alias("t"))
-    hot = sq.join(F.broadcast(thresh)).where(F.col("qty") > F.col("t"))
+    hot = sq.withColumn("t", 0.5 * F.avg("qty").over(Window.partitionBy())).where(
+        F.col("qty") > F.col("t")
+    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -972,42 +1012,44 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on l_orderkey replaces two correlated self-joins of
     lineitem (the classic Q21 plan killer at 100 TB).
 
-    Single-pass shape: lineitem joins F-orders ONCE (the only lineitem
-    scan and the only data-sized exchange); the per-(order, supplier)
-    late-flag dedup and the per-order supplier/late counts both group
-    on supersets of l_orderkey, so Catalyst reuses the join's orderkey
-    partitioning for BOTH aggregates — zero additional exchanges where
-    the round-4 plan re-scanned and re-shuffled lineitem for the
-    all-suppliers set and semi-joined the two sides back together."""
+    Single-pass shape (r15, guide §2.4): lineitem joins F-orders ONCE,
+    and ONE l_orderkey-keyed aggregate computes both per-order sets as
+    map-side-combined ``collect_set``s — the distinct suppliers and the
+    distinct LATE suppliers (``when`` is null for on-time rows and
+    collect_set drops nulls, so a supplier lands in late_set iff ANY of
+    its rows shipped late — exactly the r14 per-(order, supplier)
+    max(late) dedup, which this replaces). The r14 shape stacked
+    groupBy(orderkey, suppkey) on groupBy(orderkey); those hash to
+    DIFFERENT distributions, so the plan paid TWO sequential exchanges.
+    The fused aggregate pays ONE, with per-order partial sets bounded
+    by suppliers-per-order (~7), so the exchange bytes match the old
+    combiner-deduped pair rows (A/B at sf0.1: 0.780 -> 0.754 s,
+    identical output; 3 -> 2 exchanges — the removed barrier is the
+    at-scale win, the local delta is one stage latency). This remains
+    far cheaper than the round-4 plan that re-scanned and re-shuffled
+    lineitem for the all-suppliers set and semi-joined the sides back
+    together."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    per_pair = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        # NOT repartition(orderkey)-then-agg: letting each aggregate
-        # insert its own exchange keeps map-side partial aggregation —
-        # exchange 1 carries combiner-deduped (orderkey, suppkey, late)
-        # partials and exchange 2 the per-pair rows, both far smaller
-        # than one raw-row shuffle of the join output (measured 0.78 s
-        # vs 1.07 s at sf0.1; the byte ratio only grows at 100 TB).
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                (
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-                ).cast("int")
-            ).alias("late")
-        )
+    # NOT repartition(orderkey)-then-agg: the aggregate's own exchange
+    # keeps map-side partial aggregation — it carries combiner-merged
+    # per-order sets, far smaller than one raw-row shuffle of the join
+    # output (r14 measured 0.78 s vs 1.07 s at sf0.1 for the raw-row
+    # variant; the byte ratio only grows at 100 TB).
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"),
     )
     sole_late = (
-        per_pair.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("late").alias("n_late"),
-            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("supp"),
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.collect_set(late_supp).alias("late_set"),
         )
-        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .where((F.col("n_supp") > 1) & (F.size("late_set") == 1))
+        .select(F.col("late_set")[0].alias("supp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (

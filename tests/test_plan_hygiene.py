@@ -25,8 +25,6 @@ BNLJ_WHITELIST = {
     "tfidf_top_terms": "broadcast side = the 1-row global doc count",
     "scalar_subquery_orders": "broadcast side = the 1-row global average",
     "funnel_conversion": "broadcast sides = the three 1-row stage counts",
-    "tpch_q11_important_parts": "broadcast side = the 1-row channel-total aggregate",
-    "tpch_q20_excess_supply": "broadcast side = the 1-row half-average threshold",
     "tpch_q22_global_sales_opportunity": "broadcast side = the 1-row global avg balance",
     "doc_unigram_nll": "broadcast side = the 1-row corpus token total",
     "dsir_importance_weights": "broadcast side = the 1-row LM normalizer totals",
@@ -70,11 +68,20 @@ SINGLE_PARTITION_WHITELIST = {
     "tpch_q6_forecast_revenue": "global revenue aggregate: 1 partial row per task",
     "tpch_q14_promo_revenue": "global promo-share aggregate: 1 partial row per task",
     "funnel_conversion": "three 1-row stage-count aggregates",
-    "tpch_q11_important_parts": "global channel-total aggregate: 1 row",
-    "tpch_q15_top_supplier": "global max-revenue aggregate: 1 row",
+    "tpch_q11_important_parts": (
+        "channel-total window over the per-part agg output: "
+        "part-catalog-bounded (r15 window decorrelation)"
+    ),
+    "tpch_q15_top_supplier": (
+        "global-max window over the per-supplier agg output: "
+        "supplier-catalog-bounded (r15 window decorrelation)"
+    ),
     "tpch_q17_small_quantity_revenue": "global revenue sum: 1 partial row per task",
     "tpch_q19_disjunctive_revenue": "global revenue sum: 1 partial row per task",
-    "tpch_q20_excess_supply": "global threshold aggregate: 1 row",
+    "tpch_q20_excess_supply": (
+        "half-average window over the per-supplier agg output: "
+        "supplier-catalog-bounded (r15 window decorrelation)"
+    ),
     "tpch_q22_global_sales_opportunity": "global avg-balance aggregate: 1 row",
     "mixture_language_sampling": "share normalization windows: 1 row per language",
     "corpus_datacard": "share normalization window: 1 row per (lang, source)",
