@@ -1231,14 +1231,33 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-keyed join of the rank relation against the (memoized,
     checkpointed) edge list plus a map-side-combinable contribution
     aggregate. The node count enters as a broadcast 1-row aggregate,
-    not a driver scalar, so the whole loop stays one lazy plan."""
+    not a driver scalar, so the whole loop stays one lazy plan.
+
+    r15 loop shape (guide §2.4): the rank relation is CARRIED FORWARD
+    from each iteration's contribution aggregate instead of being
+    rebuilt as nodes ⟕ contrib. The left join was vacuous — the edge
+    list holds both directions of every pair, so every node is some
+    edge's ``t`` and receives >= 1 contribution — but Catalyst does not
+    CSE across branches, so the rebuild re-expanded the degree subtree
+    AND the node-count broadcast EVERY iteration (the r14 plan carried
+    4 copies of each; 30 scheduler stages). The (1-d)/n teleport term
+    rides along as a constant ``base`` column seeded from the one
+    broadcast cross join, so no per-iteration scalar re-attach and no
+    driver collect. The contribution aggregate's output partitioning
+    (t, dp) is alias-forwarded to (s, dp), so iteration k+1's edge join
+    reuses it: ONE exchange per iteration. A/B (interleaved, min of 5):
+    sf0.1 2.58 -> 2.43 s, 8x replica 4.99 -> 4.84 s, identical output
+    both scales; plans/r15 shows the per-iteration degree/broadcast
+    re-expansions gone. A window-degree variant (kcore's trick) was
+    measured and REJECTED: 1.87 vs 2.02 s at sf0.1 but 4.38 vs 3.84 s
+    at 8x — the degree join beats full-width window materialization
+    once the graph grows."""
     from kafka_stream_faust_deprecated_spark.queries.llm import _simhash_pairs
 
     pairs = _simhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("da").alias("s"), F.col("db").alias("t")).unionByName(
         pairs.select(F.col("db").alias("s"), F.col("da").alias("t"))
     )
-    deg = edges.groupBy("s").agg(F.count("*").alias("c"))
     # Explicit co-partitioning: ONE node-keyed exchange sized to the
     # cluster's parallelism (the graph is pair-cap-bounded — inheriting
     # data-sized spark.sql.shuffle.partitions schedules hundreds of
@@ -1252,29 +1271,29 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.repartition(dp, "s")
     deg = e2.groupBy("s").agg(F.count("*").alias("c"))  # reuses (s, dp)
     ed = e2.join(deg, "s")  # co-partitioned: no exchange
-    nodes = deg.select("s", "c")  # already one row per node
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    p = nodes.crossJoin(F.broadcast(nn)).select(
-        "s", (F.lit(1.0) / F.col("n")).alias("p")
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    p = deg.crossJoin(F.broadcast(nn)).select(
+        "s",
+        (F.lit(1.0) / F.col("n")).alias("p"),
+        (F.lit(1 - PR_DAMPING) / F.col("n")).alias("base"),
     )
     for _ in range(PR_ITERS):
-        contrib = (
+        p = (
             ed.join(p, "s")  # both sides (s, dp): no exchange
             .repartition(dp, "t")
             .groupBy("t")
-            .agg(F.sum(F.col("p") / F.col("c")).alias("w"))
-        )
-        p = (
-            nodes.crossJoin(F.broadcast(nn))
-            # (s, dp) vs (t, dp): co-partitioned on the join keys
-            .join(contrib, nodes["s"] == contrib["t"], "left")
+            .agg(
+                # base is constant across rows; max() just forwards it
+                # through the aggregate so no scalar re-attach is needed.
+                F.max("base").alias("base"),
+                F.sum(F.col("p") / F.col("c")).alias("w"),
+            )
             .select(
-                "s",
+                F.col("t").alias("s"),  # (t, dp) alias-forwarded to (s, dp)
                 F.round(
-                    F.lit(1 - PR_DAMPING) / F.col("n")
-                    + PR_DAMPING * F.coalesce(F.col("w"), F.lit(0.0)),
-                    PR_DECIMALS,
+                    F.col("base") + PR_DAMPING * F.col("w"), PR_DECIMALS
                 ).alias("p"),
+                "base",
             )
         )
     return p.join(deg, "s").select(
