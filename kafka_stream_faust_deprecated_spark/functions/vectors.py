@@ -139,6 +139,53 @@ def centroid_argmax_pandas(centroids: list[list[float]], norms: list[float]):
     return cidx
 
 
+def centroid_partial_sums_pandas(centroids: list[list[float]], norms: list[float]):
+    """Arrow-native fused assign + per-cell partial sums for a k-means
+    mean update (r15, guide §4.2): ONE ``mapInPandas`` pass emits, per
+    Arrow batch, one row per non-empty cell — ``(cidx, n, sums)`` where
+    ``sums`` is the element-wise sum of the batch's member vectors.
+    Callers reduce the partials with a (cidx, pos)-keyed aggregate and
+    divide: ``mean = round(sum(sums[pos]) / sum(n), d)``.
+
+    This replaces the assign-project + 64-way ``posexplode`` + corpus
+    x dim row HashAggregate shape: the per-row JVM work (array explode,
+    per-row literal lookup) disappears, and the Python -> JVM transfer
+    drops from one int per row to k x (dim + 2) doubles per batch.
+
+    Determinism contract: the argmax side is ``centroid_argmax_pandas``
+    verbatim (BLAS matmul, first-occurrence ties — see its caveat). The
+    SUMS leave this function, and their per-batch/np.add.at accumulation
+    order differs from the JVM hash-aggregate it replaces by ~1e-15
+    relative — absorbed by the caller's KMEANS_MEAN_DECIMALS rounding,
+    the same contract that already absorbs the Spark-vs-DuckDB
+    summation-order difference (oracle hash-green at 3 SFs pins it; the
+    residual risk is the documented half-step boundary class shared by
+    every rounded float aggregate in the engine)."""
+    mat_c = np.array(centroids, dtype=np.float64).T  # dim x k
+    inv_norms = 1.0 / np.array(norms, dtype=np.float64)  # k
+    kk = mat_c.shape[1]
+
+    def fn(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.array(b["v"].tolist(), dtype=np.float64)  # batch x dim
+            idx = np.argmax((mat @ mat_c) * inv_norms, axis=1)
+            acc = np.zeros((kk, mat.shape[1]), dtype=np.float64)
+            np.add.at(acc, idx, mat)
+            counts = np.bincount(idx, minlength=kk)
+            hot = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cidx": hot.astype("int32"),
+                    "n": counts[hot].astype("int64"),
+                    "sums": [acc[i].tolist() for i in hot],
+                }
+            )
+
+    return fn
+
+
 def lsh_bucket_strings_pandas(
     n_tables: int, bits_per_table: int, dim: int, bits_stride: int | None = None
 ):

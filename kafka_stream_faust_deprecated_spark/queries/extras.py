@@ -1034,6 +1034,22 @@ def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors keep their cid so the argmax tiebreak stays aligned with
     the oracle's ORDER BY cid.
 
+    r15 means pass (guide §4.2): the first iters-1 iterations (whose
+    ONLY output is the rounded means) fuse assignment and per-cell
+    partial sums into one Arrow pass (``centroid_partial_sums_pandas``)
+    instead of assign-project + 64-way posexplode + a corpus x dim row
+    HashAggregate; the k x partitions partial rows reduce in a tiny
+    (cidx, pos) aggregate and ``mean = round(sum/count, 6)`` — the same
+    value the old ``round(avg, 6)`` produced up to summation order,
+    which the rounding contract absorbs (see
+    centroid_partial_sums_pandas's determinism note; oracle hash-green
+    at 3 SFs). The FINAL iteration keeps the posexplode path unchanged
+    — every value the query RETURNS (mean_cos via the sequential JVM
+    winner dot, new_norm, n_members) still follows the established
+    arithmetic. A/B (interleaved, min of 5): sf0.1 2.38 -> 2.32 s, 8x
+    replica 2.40 -> 2.31 s, identical output — the remaining cost is
+    the inherent 3 sequential collect barriers.
+
     The oracle replays the identical three iterations as chained SQL
     CTEs — see KMEANS_TRAIN_ITERS for the rounding contract that keeps
     the two engines' assignments bit-identical across iterations."""
@@ -1066,16 +1082,27 @@ def kmeans_train_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(KMEANS_TRAIN_ITERS - 1):
+        from kafka_stream_faust_deprecated_spark.functions.vectors import (
+            centroid_partial_sums_pandas,
+        )
+
+        partials = e.select("v").mapInPandas(
+            centroid_partial_sums_pandas(
+                [comp for _, comp, _ in cents], [norm for _, _, norm in cents]
+            ),
+            "cidx int, n long, sums array<double>",
+        )
+        # k x partitions partial rows: the posexplode + (cidx, pos) agg
+        # runs over a bounded relation, never the corpus.
         means = (
-            _assign(cents)
-            .select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), KMEANS_MEAN_DECIMALS).alias("m"))
+            partials.select("cidx", "n", F.posexplode("sums").alias("pos", "x"))
+            .groupBy("cidx", "pos")
+            .agg(F.round(F.sum("x") / F.sum("n"), KMEANS_MEAN_DECIMALS).alias("m"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            by_cid.setdefault(cents[r["cidx"]][0], {})[r["pos"]] = r["m"]
         if not by_cid:
             # empty corpus: no assignments, no means. Keep the previous
             # centroids — an empty literal array would not even analyze

@@ -769,6 +769,47 @@ def test_kmeans_training_improves_objective(spark):
     assert three > one + 0.05, (one, three)
 
 
+def test_centroid_partial_sums_match_naive_assignment():
+    """The fused Arrow assign+partial-sums kernel (r15 kmeans means
+    pass) must produce exactly the per-cell counts and element-wise
+    member sums of a naive per-row nearest-centroid assignment — the
+    quantity the old posexplode + avg aggregate computed."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        centroid_partial_sums_pandas,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, k, n = 5, 3, 64
+    cents = rng.normal(size=(k, dim)).tolist()
+    norms = [float(np.linalg.norm(c)) for c in cents]
+    vecs = rng.normal(size=(n, dim))
+
+    fn = centroid_partial_sums_pandas(cents, norms)
+    batches = [
+        pd.DataFrame({"v": list(vecs[:40])}),
+        pd.DataFrame({"v": list(vecs[40:])}),
+        pd.DataFrame({"v": []}),  # empty Arrow batch must not crash
+    ]
+    got_n = np.zeros(k)
+    got_sums = np.zeros((k, dim))
+    for out in fn(iter(batches)):
+        for _, r in out.iterrows():
+            got_n[r["cidx"]] += r["n"]
+            got_sums[r["cidx"]] += np.array(r["sums"])
+
+    mat_c = np.array(cents).T
+    idx = np.argmax((vecs @ mat_c) / np.array(norms), axis=1)
+    want_n = np.bincount(idx, minlength=k)
+    want_sums = np.zeros((k, dim))
+    np.add.at(want_sums, idx, vecs)
+
+    assert (got_n == want_n).all(), (got_n, want_n)
+    assert np.allclose(got_sums, want_sums, rtol=0, atol=1e-12)
+
+
 def test_source_overlap_surfaces_planted_redundancy(spark):
     """Sources containing planted near-dup docs must stand out: the top
     source-pair Jaccard should clearly exceed the background overlap
