@@ -69,9 +69,18 @@ def exchange_census(df_or_plan: DataFrame | str) -> dict:
         elif (
             kind == "hashpartitioning"
             and "REPARTITION_BY_NUM" in line
-            and {c.split("#")[0] for c in re.findall(r"(\w+)#\d+", args)}
-            <= shim_cols
+            and len(cols := {c.split("#")[0] for c in re.findall(r"(\w+)#\d+", args)})
+            == 1
+            and next(iter(cols)) in shim_cols
         ):
+            # Exactly ONE parsed column, and it is a table PK (r15
+            # advice hardening: the old subset test also matched an
+            # EMPTY parsed set and multi-column SHIM_KEYS combinations,
+            # neither of which the loader shim ever produces).
+            # tests/test_plans_api.py::test_engine_never_repartitions_by_num_on_table_pk
+            # enforces the other half of the disambiguation contract:
+            # engine query code never calls repartition(n, <table PK>),
+            # so this tag+key pair can only come from io.load_table_parallel.
             shim += 1
         else:
             cols = ", ".join(

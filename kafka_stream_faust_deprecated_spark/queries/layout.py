@@ -740,6 +740,19 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     # order difference (the centroid_argmax_pandas contract; the
     # iteration chain then consumes bit-identical rounded G in both
     # engines, pinned by the sf0.001/0.01/0.1 oracle hash-matches).
+    # Boundary-flake adjudication (r15 advice): the residual risk is a
+    # true G-cell sum lying within ~1e-12 relative of a .00005
+    # half-step, where the rounded cell — and through the driver-side
+    # power iteration, the whole output — could flip between runs or
+    # partition layouts. This is the SAME half-step class every rounded
+    # float aggregate in the engine carries (kmeans means, ticker
+    # moments); it was not introduced by the BLAS rewrite — the r13
+    # HashAggregate's merge order was already partition-dependent. If a
+    # future fixture ever hash-flakes here, the adjudication is: rerun
+    # at the same SF — a layout-dependent flip (not a logic bug)
+    # reproduces only intermittently; the fix is raising the guard
+    # precision (round partials at 1e-8 before the final 1e-4 round),
+    # NOT loosening the oracle contract.
     def _gram_parts(batches):
         acc = np.zeros((dim, dim), dtype=np.float64)
         seen = False

@@ -110,3 +110,60 @@ def test_shim_exchange_classified_as_shim_not_data(spark):
     ).repartition(8, "s")
     cg = exchange_census(g)
     assert cg["data"] == 1 and cg["shim"] == 0, cg
+
+
+def test_shim_classifier_requires_exactly_one_pk_column(spark):
+    """r15 advice hardening: the shim classifier must NOT absorb a
+    REPARTITION_BY_NUM hash exchange whose parsed column set is empty
+    or a multi-column combination of SHIM_KEYS — only the loader's
+    single-PK form. A hypothetical engine repartition(n, doc_id,
+    event_id) must count as data movement."""
+    from kafka_stream_faust_deprecated_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").selectExpr(
+        "doc_id", "doc_id AS event_id"
+    )
+    c = exchange_census(docs.repartition(8, "doc_id", "event_id"))
+    assert c["data"] == 1 and c["shim"] == 0, c
+
+
+def test_engine_never_repartitions_by_num_on_table_pk():
+    """The census disambiguation contract ('a REPARTITION_BY_NUM hash
+    exchange on a single table PK can only be the loader shim') was a
+    documented convention; enforce it (r15 advice): no engine query
+    module may call repartition(<count>, <SHIM_KEYS column>). Explicit
+    single-arg repartition("pk") (REPARTITION_BY_COL, e.g. tpch_q2) and
+    graph-key repartition(dp, "s"/"t") remain free."""
+    import os
+    import re
+
+    from kafka_stream_faust_deprecated_spark.io import SHIM_KEYS
+
+    pkg = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+        "kafka_stream_faust_deprecated_spark",
+    )
+    pks = set(SHIM_KEYS.values())
+    # .repartition(<something>, <args...>) with at least two arguments:
+    # flag when any later argument quotes a table PK column.
+    call = re.compile(r"\.repartition\(\s*([^)]+)\)", re.S)
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            if os.path.basename(path) == "io.py":
+                continue  # the shim itself lives here
+            src = open(path).read()
+            for m in call.finditer(src):
+                args = m.group(1)
+                if "," not in args:
+                    continue  # REPARTITION_BY_COL form: not the shim tag
+                tail = args.split(",", 1)[1]
+                hit = [pk for pk in pks if f'"{pk}"' in tail or f"'{pk}'" in tail]
+                if hit:
+                    offenders.append((path, m.group(0)[:80], hit))
+    assert not offenders, offenders
