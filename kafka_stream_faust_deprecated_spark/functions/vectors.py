@@ -186,6 +186,50 @@ def centroid_partial_sums_pandas(centroids: list[list[float]], norms: list[float
     return fn
 
 
+def pq_partial_sums_pandas(
+    codebooks: list[list[list[float]]], norms2: list[list[float]]
+):
+    """Arrow-native fused PQ encode + per-(subspace, codeword) partial
+    sums for the PQ codebook mean update (r15, guide §4.2 — the
+    centroid_partial_sums_pandas pattern applied to ``_pq_train``): one
+    ``mapInPandas`` pass emits, per Arrow batch, one row per non-empty
+    (j, code) cell — ``(j, code, n, sums)`` with ``sums`` the
+    element-wise sum of the batch's member SUBvectors. Callers reduce
+    with a (j, code, pos) aggregate and ``round(sum/count, d)``.
+
+    Replaces encode + an m-way struct explode + a subdim posexplode +
+    a corpus x dim row HashAggregate. The encode arithmetic is
+    ``pq_encode_pandas`` verbatim (same score form, same
+    first-occurrence argmin ties); the summation-order note on
+    ``centroid_partial_sums_pandas`` applies to the emitted sums."""
+    mats = [np.array(cb, dtype=np.float64).T for cb in codebooks]  # subdim x k
+    half_n2 = [0.5 * np.array(n2, dtype=np.float64) for n2 in norms2]
+    m = len(codebooks)
+    kk = mats[0].shape[1] if m else 0
+
+    def fn(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.array(b["v"].tolist(), dtype=np.float64)  # batch x dim
+            sub = mat.shape[1] // m
+            rows = {"j": [], "code": [], "n": [], "sums": []}
+            for j in range(m):
+                s = mat[:, j * sub : (j + 1) * sub]
+                idx = np.argmax(s @ mats[j] - half_n2[j], axis=1)
+                acc = np.zeros((kk, sub), dtype=np.float64)
+                np.add.at(acc, idx, s)
+                counts = np.bincount(idx, minlength=kk)
+                for c in np.flatnonzero(counts):
+                    rows["j"].append(j)
+                    rows["code"].append(int(c))
+                    rows["n"].append(int(counts[c]))
+                    rows["sums"].append(acc[c].tolist())
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
 def lsh_bucket_strings_pandas(
     n_tables: int, bits_per_table: int, dim: int, bits_stride: int | None = None
 ):

@@ -2032,9 +2032,6 @@ def _pq_train(
     mean update would run on a deterministic hash-sample of the corpus
     rather than every row; the fixture corpus IS the sample here.
     Memoized per (session, sf_dir) — see _PQ_BOOK_MEMO."""
-    from kafka_stream_faust_deprecated_spark.functions.vectors import (
-        pq_encode_pandas,
-    )
     from kafka_stream_faust_deprecated_spark.queries.llm import (
         EMBED_DIM,
         _evict_dead_sessions,
@@ -2058,28 +2055,27 @@ def _pq_train(
     init_norms2 = [
         [sum(x * x for x in c) for c in cb] for cb in init_books
     ]
-    enc0 = pq_encode_pandas(init_books, init_norms2)
-    # One Lloyd mean update, all subspaces in one pass: explode to
-    # (j, code, pos, x) and aggregate — map-side combine collapses the
-    # n*dim rows to m*k*subdim groups before the (only) exchange.
-    stacked = e.select("v", enc0("v").alias("c")).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.col("c")[j].alias("code"),
-                        F.slice("v", j * sub + 1, sub).alias("s"),
-                    )
-                    for j in range(PQ_M)
-                ]
-            )
-        ).alias("e")
+    # One Lloyd mean update, all subspaces in one pass, fused into the
+    # encode UDF (r15, guide §4.2 — the kmeans_train_3iter pattern):
+    # pq_partial_sums_pandas emits per-batch (j, code, n, subvector-sum)
+    # partials, so the old m-way struct explode + subdim posexplode +
+    # corpus x dim HashAggregate collapses to a bounded
+    # (m x k x partitions)-row reduce. round(sum/count, d) equals the
+    # old round(avg, d) up to summation order, absorbed by
+    # PQ_MEAN_DECIMALS (see centroid_partial_sums_pandas; interleaved
+    # A/B at sf0.1: 0.963 -> 0.738 s, identical 1024 rounded means).
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        pq_partial_sums_pandas,
+    )
+
+    partials = e.select("v").mapInPandas(
+        pq_partial_sums_pandas(init_books, init_norms2),
+        "j int, code int, n long, sums array<double>",
     )
     means = (
-        stacked.select("e.j", "e.code", F.posexplode("e.s").alias("pos", "x"))
+        partials.select("j", "code", "n", F.posexplode("sums").alias("pos", "x"))
         .groupBy("j", "code", "pos")
-        .agg(F.round(F.avg("x"), PQ_MEAN_DECIMALS).alias("m"))
+        .agg(F.round(F.sum("x") / F.sum("n"), PQ_MEAN_DECIMALS).alias("m"))
         .collect()
     )
     by_jc: dict[tuple[int, int], dict[int, float]] = {}

@@ -810,6 +810,42 @@ def test_centroid_partial_sums_match_naive_assignment():
     assert np.allclose(got_sums, want_sums, rtol=0, atol=1e-12)
 
 
+def test_pq_partial_sums_match_naive_encoding():
+    """The fused PQ encode+partial-sums kernel (r15 _pq_train means
+    pass) must produce exactly the per-(subspace, codeword) counts and
+    subvector sums of a naive pq_encode_pandas assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_stream_faust_deprecated_spark.functions.vectors import (
+        pq_partial_sums_pandas,
+    )
+
+    rng = np.random.default_rng(11)
+    m, k, sub, n = 4, 5, 3, 48
+    books = rng.normal(size=(m, k, sub)).tolist()
+    norms2 = [[float(np.dot(c, c)) for c in cb] for cb in books]
+    vecs = rng.normal(size=(n, m * sub))
+
+    fn = pq_partial_sums_pandas(books, norms2)
+    got_n = np.zeros((m, k))
+    got_sums = np.zeros((m, k, sub))
+    batches = [pd.DataFrame({"v": list(vecs[:30])}), pd.DataFrame({"v": list(vecs[30:])})]
+    for out in fn(iter(batches)):
+        for _, r in out.iterrows():
+            got_n[r["j"], r["code"]] += r["n"]
+            got_sums[r["j"], r["code"]] += np.array(r["sums"])
+
+    for j in range(m):
+        s = vecs[:, j * sub : (j + 1) * sub]
+        idx = np.argmax(s @ np.array(books[j]).T - 0.5 * np.array(norms2[j]), axis=1)
+        want_n = np.bincount(idx, minlength=k)
+        want_sums = np.zeros((k, sub))
+        np.add.at(want_sums, idx, s)
+        assert (got_n[j] == want_n).all(), j
+        assert np.allclose(got_sums[j], want_sums, rtol=0, atol=1e-12), j
+
+
 def test_source_overlap_surfaces_planted_redundancy(spark):
     """Sources containing planted near-dup docs must stand out: the top
     source-pair Jaccard should clearly exceed the background overlap
