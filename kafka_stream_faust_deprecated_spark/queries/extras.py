@@ -20,7 +20,7 @@ from kafka_stream_faust_deprecated_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from kafka_stream_faust_deprecated_spark.io import load_table_parallel
+from kafka_stream_faust_deprecated_spark.io import load_table, load_table_parallel
 from kafka_stream_faust_deprecated_spark.queries.llm import SQL_NORM
 from kafka_stream_faust_deprecated_spark.registry import register
 
@@ -1167,8 +1167,19 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, one map-side-combinable aggregate to a
     catalog-bounded (lang x source) relation; the share normalization
     is a window over that bounded relation (whitelisted
-    single-partition pattern), never the corpus."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    single-partition pattern), never the corpus.
+
+    Plain loader, not the parallelism shim (r15, the
+    dedup_exact_documents class; guide §2.3 "aggregate before you
+    shuffle"): the per-row work is ONE tokenize+size whose partial
+    combine collapses rows to the (lang, source) catalog before any
+    exchange, so a shim repartition would ship full text rows to
+    parallelize less work than the exchange costs (interleaved A/B at
+    sf0.1: shim 0.689 s vs plain 0.310 s). Contrast doc_quality_score
+    (multi-signal per-row scoring), where the same A/B measured the
+    shim WINNING 0.261 vs 0.390 — the shim stays the default for
+    compute-heavy text stages; opt-outs are per-query and measured."""
+    docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "lang", "source", "n_chars", F.size(tokens(F.col("text"))).alias("n_tok")
     )
